@@ -1,0 +1,64 @@
+"""Test harness: force an 8-device CPU platform before JAX initializes.
+
+This is the JAX analog of the reference's oversubscribed single-host
+``mpiexec -np 8`` testing (report §6): the same shard_map code paths run on 8
+virtual CPU devices here and on real TPU slices unmodified. Must run before
+any ``import jax`` in the test process.
+"""
+
+import os
+
+# Note: this image's sitecustomize imports jax at interpreter startup (TPU
+# tunnel registration), so env vars alone are too late — jax.config.update is
+# the reliable override. XLA_FLAGS is still read lazily at CPU-client init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+# The reference's shipped golden systems (values transcribed from
+# matrixA.txt / vectorb.txt / initialguess.txt and matrixA1.txt / vectorb1.txt
+# / X0.txt — hand-checkable math facts, see SURVEY.md §4.1).
+GOLDEN_2X2 = dict(
+    A=np.array([[2.0, -1.0], [-1.0, 2.0]], np.float32),
+    b=np.array([1.0, 0.0], np.float32),
+    x0=np.zeros(2, np.float32),
+    x_star=np.array([2.0 / 3.0, 1.0 / 3.0], np.float32),
+    iters=2,
+)
+
+GOLDEN_4X4 = dict(
+    A=np.array(
+        [
+            [7.0, 3.0, -1.0, 2.0],
+            [3.0, 8.0, 1.0, -4.0],
+            [-1.0, 1.0, 4.0, -1.0],
+            [2.0, -4.0, -1.0, 6.0],
+        ],
+        np.float32,
+    ),
+    b=np.array([-1.0, 0.0, -3.0, 1.0], np.float32),
+    x0=np.zeros(4, np.float32),
+    x_star=np.array([-1.0, 1.0, -1.0, 1.0], np.float32),
+    iters=4,
+)
+
+
+@pytest.fixture
+def golden_2x2():
+    return GOLDEN_2X2
+
+
+@pytest.fixture
+def golden_4x4():
+    return GOLDEN_4X4

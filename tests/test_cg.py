@@ -1,0 +1,95 @@
+"""Single-device jitted CG vs the oracle and golden systems."""
+
+import numpy as np
+import pytest
+
+from tpucg import CGConfig, cg_solve
+from tpucg.io.generator import generate_spd_system, poisson3d_csr
+from tpucg.solver.operators import EllOperator, PoissonOperator
+from tpucg.solver.oracle import oracle_cg
+
+
+def test_golden_2x2(golden_2x2):
+    g = golden_2x2
+    res = cg_solve(g["A"], g["b"], g["x0"])
+    np.testing.assert_allclose(np.asarray(res.x), g["x_star"], rtol=1e-6)
+    assert int(res.iterations) == g["iters"]
+    assert bool(res.converged)
+    assert float(res.residual_norm) < 1e-6
+
+
+def test_golden_4x4(golden_4x4):
+    g = golden_4x4
+    res = cg_solve(g["A"], g["b"], g["x0"])
+    np.testing.assert_allclose(
+        np.asarray(res.x), g["x_star"], rtol=1e-5, atol=1e-5
+    )
+    assert int(res.iterations) == g["iters"]
+    assert bool(res.converged)
+
+
+@pytest.mark.parametrize("n", [64, 200])
+def test_matches_oracle_random_spd(n):
+    A, b, x0 = generate_spd_system(n, seed=n)
+    ox, oiters, _ = oracle_cg(A, b, x0)
+    res = cg_solve(A, b, x0)
+    # float32 reduction order differs (sequential C sum vs XLA tree sum);
+    # the contract is same iteration count +/-1 and matching solution
+    # (SURVEY.md §7 "bitwise-tolerance" definition).
+    assert abs(int(res.iterations) - oiters) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), ox, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(A @ np.asarray(res.x), b, atol=1e-4)
+
+
+def test_exact_initial_guess(golden_2x2):
+    g = golden_2x2
+    res = cg_solve(g["A"], g["b"], g["x_star"])
+    assert int(res.iterations) == 0
+    assert bool(res.converged)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_maxiter_cap(golden_4x4):
+    g = golden_4x4
+    res = cg_solve(g["A"], g["b"], g["x0"], config=CGConfig(maxiter=1))
+    assert int(res.iterations) == 1
+    assert not bool(res.converged)
+
+
+def test_pallas_kernel_backend(golden_4x4):
+    # Forces the Pallas GEMV + fused-update path (interpreted on CPU); the
+    # 4x4 system gets identity-tail padded to the 128-lane contract.
+    g = golden_4x4
+    res = cg_solve(g["A"], g["b"], g["x0"], config=CGConfig(kernel="pallas"))
+    np.testing.assert_allclose(
+        np.asarray(res.x), g["x_star"], rtol=1e-5, atol=1e-5
+    )
+    assert int(res.iterations) == g["iters"]
+    assert res.x.shape == (4,)
+
+
+def test_ell_operator_poisson():
+    csr = poisson3d_csr(5)  # n = 125
+    op = EllOperator.from_csr(csr)
+    rng = np.random.default_rng(0)
+    b = rng.random(op.n).astype(np.float32)
+    res = cg_solve(op, b)
+    A = csr.to_dense()
+    ox, oiters, _ = oracle_cg(A, b, np.zeros(op.n, np.float32))
+    np.testing.assert_allclose(np.asarray(res.x), ox, rtol=1e-3, atol=1e-4)
+    assert abs(int(res.iterations) - oiters) <= 1
+
+
+def test_poisson_matrix_free_matches_csr():
+    m = 5
+    csr = poisson3d_csr(m)
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(1)
+    x = rng.random(m**3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), csr.matvec(x), rtol=1e-5, atol=1e-5
+    )
+    b = rng.random(m**3).astype(np.float32)
+    res = cg_solve(op, b)
+    ox, _, _ = oracle_cg(csr.to_dense(), b, np.zeros(m**3, np.float32))
+    np.testing.assert_allclose(np.asarray(res.x), ox, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,77 @@
+"""Sharded SPMD CG on a forced 8-device CPU mesh: both communication
+strategies vs the serial oracle (the reference's serial-vs-parallel
+cross-check, SURVEY.md §4.1 item 3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpucg import CGConfig, make_mesh, sharded_cg_solve
+from tpucg.io.generator import generate_spd_system
+from tpucg.io.partitioner import RowPartition, pad_system
+from tpucg.solver.oracle import oracle_cg
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "overlap"])
+@pytest.mark.parametrize("n", [96, 50])  # 50 exercises pad-to-shardable
+def test_sharded_matches_oracle(mesh8, strategy, n):
+    A, b, _ = generate_spd_system(n, seed=n)
+    ox, oiters, _ = oracle_cg(A, b, np.zeros(n, np.float32))
+    res = sharded_cg_solve(
+        A, b, mesh=mesh8, config=CGConfig(strategy=strategy)
+    )
+    assert res.x.shape == (n,)
+    assert abs(int(res.iterations) - oiters) <= 1
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), ox, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "overlap"])
+def test_sharded_golden_4x4(mesh8, strategy, golden_4x4):
+    # n=4 over 8 shards: pure padding corner (more shards than rows).
+    g = golden_4x4
+    res = sharded_cg_solve(
+        g["A"], g["b"], g["x0"], mesh=mesh8,
+        config=CGConfig(strategy=strategy),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x), g["x_star"], rtol=1e-5, atol=1e-5
+    )
+    assert bool(res.converged)
+
+
+def test_strategies_agree(mesh8):
+    n = 128
+    A, b, x0 = generate_spd_system(n, seed=7)
+    r1 = sharded_cg_solve(A, b, x0, mesh=mesh8, strategy="allgather")
+    r2 = sharded_cg_solve(A, b, x0, mesh=mesh8, strategy="overlap")
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_allclose(
+        np.asarray(r1.x), np.asarray(r2.x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pad_system_preserves_solution():
+    n = 10
+    A, b, x0 = generate_spd_system(n, seed=9)
+    part = RowPartition(n=n, num_shards=8, align=8)
+    Ap, bp, x0p = pad_system(A, b, x0, part)
+    assert Ap.shape == (part.n_padded, part.n_padded)
+    xp, _, _ = oracle_cg(Ap, bp, x0p)
+    x, _, _ = oracle_cg(A, b, x0)
+    np.testing.assert_allclose(xp[:n], x, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(xp[n:], 0.0, atol=1e-7)
+
+
+def test_smaller_mesh():
+    mesh2 = make_mesh(2)
+    n = 64
+    A, b, _ = generate_spd_system(n, seed=11)
+    res = sharded_cg_solve(A, b, mesh=mesh2, strategy="overlap")
+    np.testing.assert_allclose(A @ np.asarray(res.x), b, atol=1e-4)

@@ -1,0 +1,70 @@
+"""Reference text-format I/O tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpucg.io.textio import load_matrix, load_system, load_vector, save_array
+
+REF = "/root/reference"
+
+
+def test_round_trip_matrix(tmp_path):
+    A = np.array([[2.0, -1.0], [-1.0, 2.0]], np.float32)
+    path = str(tmp_path / "A.txt")
+    save_array(path, A)
+    got = load_matrix(path)
+    np.testing.assert_allclose(got, A)
+
+
+def test_round_trip_vector_exact(tmp_path):
+    v = np.array([0.12345678, -9.87e-3, 4.0], np.float32)
+    path = str(tmp_path / "v.txt")
+    save_array(path, v, fmt="%r")
+    got = load_vector(path, n=3)
+    np.testing.assert_array_equal(got, v)
+
+
+def test_missing_file_fails_loudly(tmp_path):
+    # The reference continues with uninitialized memory here
+    # (serialConjugate.c:101-104); tpucg must raise.
+    with pytest.raises(FileNotFoundError):
+        load_vector(str(tmp_path / "nope.txt"))
+
+
+def test_wrong_count_rejected(tmp_path):
+    path = str(tmp_path / "v.txt")
+    save_array(path, np.arange(3, dtype=np.float32))
+    with pytest.raises(ValueError):
+        load_vector(path, n=5)
+    with pytest.raises(ValueError):
+        load_matrix(path)  # 3 values is not a square
+
+
+def test_bom_noise_tolerated(tmp_path):
+    # initialguess1.txt in the reference carries a stray UTF-8 BOM; the C
+    # parser's %*c eats it. Our tokenizer must too.
+    path = str(tmp_path / "bom.txt")
+    with open(path, "wb") as f:
+        f.write(b"1.0\n0.0\xef\xbb\xbf\n")
+    got = load_vector(path, n=2)
+    np.testing.assert_allclose(got, [1.0, 0.0])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_reference_shipped_files(golden_2x2, golden_4x4):
+    A, b, x0 = load_system(
+        f"{REF}/matrixA.txt", f"{REF}/vectorb.txt", f"{REF}/initialguess.txt"
+    )
+    np.testing.assert_allclose(A, golden_2x2["A"])
+    np.testing.assert_allclose(b, golden_2x2["b"])
+    np.testing.assert_allclose(x0, golden_2x2["x0"])
+    A1, b1, x01 = load_system(
+        f"{REF}/matrixA1.txt", f"{REF}/vectorb1.txt", f"{REF}/X0.txt"
+    )
+    np.testing.assert_allclose(A1, golden_4x4["A"])
+    np.testing.assert_allclose(b1, golden_4x4["b"])
+    # initialguess1.txt has the BOM; must parse as [1, 0]
+    v = load_vector(f"{REF}/initialguess1.txt", n=2)
+    np.testing.assert_allclose(v, [1.0, 0.0])

@@ -1,0 +1,50 @@
+"""tpucg — a TPU-native conjugate-gradient solver library.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+C/MPI project ``mawunyega/conjugate_gradient`` (serial + parallel unpreconditioned
+CG for dense/sparse SPD systems), re-designed TPU-first:
+
+- compute kernels (GEMV, dot, axpy, fused CG updates) as Pallas TPU kernels with
+  XLA fallbacks (reference: plain C loops, ``serialConjugate.c:109-177``);
+- the CG iteration as a jit-compiled ``jax.lax.while_loop`` with the reference's
+  float32 / ``sqrt(r.r) < 1e-6`` / <= n-iteration contract
+  (reference: ``serialConjugate.c:180-259``);
+- distribution as row-block sharding over a ``jax.sharding.Mesh`` with ``psum``
+  scalar reductions (reference: ``MPI_Allreduce``, ``parallel_cg.c:287-313``) and
+  two selectable communication strategies — ``allgather`` (reference:
+  ``MPI_Allgather``, ``parallel_cg.c:290-291``) and ``overlap`` (a
+  collective-permute ring with compute/comm overlap; the TPU-native answer to the
+  hand-rolled send/recv arm in ``point-to-point_cg.c:180-394``).
+"""
+
+from tpucg.config import CGConfig
+from tpucg.solver.cg import CGResult, cg_solve
+from tpucg.solver.sharded import sharded_cg_solve
+from tpucg.solver.operators import (
+    DenseOperator,
+    EllOperator,
+    LinearOperator,
+    PoissonOperator,
+)
+from tpucg.io.textio import load_matrix, load_vector, save_array
+from tpucg.io.generator import generate_spd_system, poisson3d_csr
+from tpucg.comm.mesh import make_mesh
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CGConfig",
+    "CGResult",
+    "cg_solve",
+    "sharded_cg_solve",
+    "LinearOperator",
+    "DenseOperator",
+    "EllOperator",
+    "PoissonOperator",
+    "load_matrix",
+    "load_vector",
+    "save_array",
+    "generate_spd_system",
+    "poisson3d_csr",
+    "make_mesh",
+]

@@ -1,0 +1,36 @@
+"""Mesh construction.
+
+The reference's process model is P MPI ranks over a single interconnect
+(``MPI_Init``/``Comm_size``, ``parallel_cg.c:76-82``). tpucg's is a 1-D
+``jax.sharding.Mesh`` over TPU devices — within a slice the collectives ride
+ICI; across hosts, DCN. The same code runs on a forced multi-device CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``) — the analog of the
+reference's oversubscribed single-host ``mpiexec -np N`` testing (report §6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+ROWS_AXIS = "rows"
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_name: str = ROWS_AXIS,
+) -> Mesh:
+    """A 1-D mesh over ``num_devices`` devices (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, only {len(devices)} present"
+            )
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))

@@ -1,0 +1,56 @@
+"""Runtime configuration for CG solves.
+
+The reference hard-codes every knob at compile time (``#define ROWS/COLS/EPSILON``,
+``serialConjugate.c:28-31``) and requires recompilation to change problem size.
+tpucg replaces that with one runtime config object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CGConfig:
+    """Configuration for a conjugate-gradient solve.
+
+    Attributes:
+      tol: absolute residual-2-norm stopping tolerance. The reference contract is
+        ``sqrt(r.r) < EPSILON`` with ``EPSILON = 1e-6`` (``serialConjugate.c:28,235``),
+        checked after the x/r update and before the p update.
+      maxiter: iteration cap. ``None`` means n (the reference caps at ROWS,
+        ``serialConjugate.c:213``).
+      dtype: compute dtype. The reference is float32 throughout (``float`` /
+        ``MPI_FLOAT``); float64 is supported as an extension (requires
+        ``jax.config.update('jax_enable_x64', True)``).
+      strategy: communication strategy for sharded solves —
+        ``"allgather"`` rebuilds the full direction vector each iteration
+        (reference collective arm, ``parallel_cg.c:290-291``);
+        ``"overlap"`` keeps p block-sharded and streams blocks around a
+        collective-permute ring overlapped with local matvec (the TPU-native
+        replacement for the reference's p2p arm, ``point-to-point_cg.c:364-394``).
+      kernel: compute-kernel backend — ``"auto"`` picks Pallas on TPU and XLA
+        elsewhere; ``"pallas"`` / ``"xla"`` force a backend.
+      safe_alpha: guard the ``alpha = rsold / (p . Ap)`` division against a zero
+        denominator (exact initial guess). The reference would produce NaN here;
+        tpucg treats it as converged instead (SURVEY.md §3.5 mandates failing
+        loudly / robustly rather than replicating reference bugs).
+    """
+
+    tol: float = 1.0e-6
+    maxiter: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    strategy: str = "allgather"
+    kernel: str = "auto"
+    safe_alpha: bool = True
+
+    def __post_init__(self):
+        if self.strategy not in ("allgather", "overlap"):
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown kernel backend {self.kernel!r}")
+        if self.tol <= 0:
+            raise ValueError("tol must be positive")

@@ -1,0 +1,66 @@
+"""ctypes bridge to the optional C++ fast text parser (native/fastio.cpp).
+
+The reference's data-distribution phase is dominated by rank 0 fscanf-ing the
+whole matrix file (``parallel_cg.c:100-108``; 15.7 s at n=8192 for the p2p arm,
+BASELINE.md). The native parser is tpucg's answer: a single-pass C++ tokenizer,
+~20x faster than per-token Python parsing. If the shared library has not been
+built, ``parse_floats`` returns None and callers fall back to NumPy parsing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "native", "libfastio.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.fastio_count_floats.restype = ctypes.c_longlong
+        lib.fastio_count_floats.argtypes = [ctypes.c_char_p]
+        lib.fastio_parse_floats.restype = ctypes.c_longlong
+        lib.fastio_parse_floats.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def parse_floats(path: str) -> Optional[np.ndarray]:
+    """Parse all float tokens in ``path`` via the native library, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    cpath = os.fsencode(path)
+    count = lib.fastio_count_floats(cpath)
+    if count < 0:
+        raise IOError(f"native parser failed to open {path!r}")
+    out = np.empty(count, dtype=np.float32)
+    got = lib.fastio_parse_floats(
+        cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count
+    )
+    if got != count:
+        raise IOError(f"native parser: expected {count} floats, parsed {got}")
+    return out

@@ -1,0 +1,114 @@
+"""Dense GEMV: y = A @ x.
+
+This is the hot kernel of CG — O(n^2) per iteration, every iteration
+(reference: ``matVec``, ``serialConjugate.c:109-120`` / ``parallel_cg.c:172-184``).
+On TPU it is HBM-bandwidth bound (A is read once per call; FLOP:byte = 0.5 for
+f32), so the kernel's job is to stream A at speed-of-light while the VPU/MXU
+does the multiply-accumulate. The Pallas version tiles A into (TILE_M, TILE_K)
+VMEM blocks with the grid ordered so each output block stays resident in VMEM
+across the K-reduction, and x is broadcast once per row-stripe.
+
+Shapes may be rectangular (rows, cols) — the sharded solver calls this on
+row-blocks A_blk (n/P, n) (reference: ``parallel_cg.c:292``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucg.kernels.dispatch import interpret_mode
+
+# Alignment contract for the Pallas path: rows % 128 == 0 (rows become the
+# lane dim of the (1, rows) output) and cols % 128 == 0 (lane dim of A).
+# Operators pad once at construction to meet it.
+MATVEC_ALIGN = (128, 128)
+
+
+def matvec_xla(A: jax.Array, x: jax.Array) -> jax.Array:
+    """XLA fallback / oracle: plain jnp dot with f32 accumulation."""
+    return jnp.dot(A, x, preferred_element_type=jnp.float32)
+
+
+def _pick_tiles(rows: int, cols: int) -> tuple[int, int]:
+    """Largest aligned tiles that divide (rows, cols) and fit VMEM comfortably.
+
+    Budget: A tile <= 2 MB so double-buffered HBM->VMEM streaming (2 tiles in
+    flight) plus x/y blocks stay well under the ~16 MB/core VMEM.
+    """
+
+    def divisors_down(n: int, start: int, step: int):
+        t = min(start, n)
+        t -= t % step
+        while t >= step:
+            if n % t == 0:
+                yield t
+            t -= step
+
+    for tm in divisors_down(rows, 512, 128):
+        for tk in divisors_down(cols, 1024, 128):
+            if tm * tk * 4 <= 2 * 1024 * 1024:
+                return tm, tk
+    raise ValueError(f"no aligned tiling for shape ({rows}, {cols})")
+
+
+def _matvec_kernel(a_ref, x_ref, y_ref):
+    # Vectors are carried as (1, n) rows: 1-D f32 arrays get an XLA layout
+    # (T(1024) tiling) that Mosaic's block layouts cannot always match —
+    # observed as a compile failure on real v5e — while 2-D (sublane, lane)
+    # blocks are the native form.
+    j = pl.program_id(1)
+    partial = jax.lax.dot_general(
+        x_ref[...],
+        a_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, tk) x (tm, tk)^T -> (1, tm)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = partial
+
+    @pl.when(j != 0)
+    def _():
+        y_ref[...] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("tiles",))
+def matvec_pallas(A: jax.Array, x: jax.Array, tiles=None) -> jax.Array:
+    """Tiled Pallas GEMV. Requires MATVEC_ALIGN-aligned shapes."""
+    rows, cols = A.shape
+    if rows % MATVEC_ALIGN[0] or cols % MATVEC_ALIGN[1]:
+        raise ValueError(
+            f"matvec_pallas needs shapes aligned to {MATVEC_ALIGN}, got {A.shape}; "
+            "pad via tpucg.io.partitioner or use matvec_xla"
+        )
+    tm, tk = tiles if tiles is not None else _pick_tiles(rows, cols)
+    grid = (rows // tm, cols // tk)
+    y2d = pl.pallas_call(
+        _matvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j: (i, j)),
+            pl.BlockSpec((1, tk), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, tm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, rows), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * cols,
+            bytes_accessed=A.size * A.dtype.itemsize + (rows + cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(A, x.astype(jnp.float32).reshape(1, cols))
+    return y2d.reshape(rows)
+
+
+def matvec(A: jax.Array, x: jax.Array, backend: str = "xla") -> jax.Array:
+    if backend == "pallas":
+        return matvec_pallas(A, x)
+    return matvec_xla(A, x)

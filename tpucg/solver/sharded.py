@@ -1,0 +1,219 @@
+"""Distributed CG over a device mesh.
+
+This is the TPU-native re-design of the reference's two parallel programs
+(SURVEY.md §2.3-2.4). The decomposition is the same 1-D row-block striping
+("row-wise block-striped decomposition", report §5.2; ``MPI_Scatter`` of A at
+``parallel_cg.c:112-115``) — A sharded ``P('rows', None)``, b/x/r/p sharded
+``P('rows')`` — but the communication is XLA collectives over ICI:
+
+- scalar reductions (rsold / p.Ap / beta): ``lax.psum`` inside shard_map,
+  replacing the three ``MPI_Allreduce`` calls per iteration
+  (``parallel_cg.c:287,294,313``);
+- strategy "allgather": rebuild the full direction vector each iteration via
+  ``lax.all_gather`` then one local (rows/P, n) GEMV — semantically the
+  collective arm (``MPI_Allgather``, ``parallel_cg.c:290-292``);
+- strategy "overlap": p stays block-sharded; the local GEMV is split into P
+  column-block partial products while a ``lax.ppermute`` ring rotates p blocks
+  between neighbors, overlapping each transfer with the concurrent partial
+  matvec. This is the hand-rolled send/recv arm of ``point-to-point_cg.c``
+  rebuilt the TPU way (ring collective with compute/comm overlap instead of
+  sequential rank-0 gather+bcast).
+
+Unlike the reference, x is block-sharded too — ``parallel_cg.c:299-303``
+redundantly updates the full replicated x on every rank (SURVEY.md §3.2 quirk);
+here every vector op is O(n/P) per device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpucg.comm.mesh import ROWS_AXIS, make_mesh
+from tpucg.config import CGConfig
+from tpucg.io.partitioner import RowPartition, pad_system
+from tpucg.kernels.dispatch import resolve_backend
+from tpucg.kernels.matvec import matvec
+from tpucg.solver.cg import CGResult, cg_loop, dataclasses_replace
+
+
+def _ring_perm(num: int) -> list:
+    """ppermute pairs: device j receives the block held by j+1 (mod P), i.e.
+    blocks flow one step down the ring each lap."""
+    return [((j + 1) % num, j) for j in range(num)]
+
+
+def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str):
+    block_rows = A_blk.shape[0]
+
+    if strategy == "allgather":
+
+        def mv(p_blk):
+            p_full = jax.lax.all_gather(p_blk, axis, tiled=True)
+            return matvec(A_blk, p_full, backend=backend)
+
+        return mv
+
+    def mv(p_blk):
+        # Ring matvec: at step s this device multiplies its A column-block
+        # (my + s) mod P with the p block currently in hand, while the next p
+        # block is already in flight on the ring. Statically unrolled
+        # (num_shards is a mesh constant) so XLA's scheduler can overlap each
+        # ppermute with the concurrent partial GEMV.
+        my = jax.lax.axis_index(axis)
+        y = jnp.zeros((block_rows,), jnp.float32)
+        p_cur = p_blk
+        for s in range(num_shards):
+            idx = jax.lax.rem(my + s, num_shards)
+            col0 = (idx * block_rows).astype(jnp.int32)
+            A_cols = jax.lax.dynamic_slice(
+                A_blk, (jnp.int32(0), col0), (block_rows, block_rows)
+            )
+            p_next = (
+                jax.lax.ppermute(p_cur, axis, _ring_perm(num_shards))
+                if s < num_shards - 1
+                else p_cur
+            )
+            y = y + matvec(A_cols, p_cur, backend=backend)
+            p_cur = p_next
+        return y
+
+    return mv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
+    ),
+)
+def _sharded_cg_jit(
+    A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis
+):
+    num = mesh.devices.size
+
+    def solve(A_blk, b_blk, x_blk):
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+
+        def dot(u, v):
+            # Partial local dot + psum — the reference's vecVec+MPI_Allreduce
+            # pair (``parallel_cg.c:286-287``) as one fused collective.
+            return jax.lax.psum(
+                jnp.dot(u, v, preferred_element_type=jnp.float32), axis
+            )
+
+        def update(x, r, p, ap, alpha):
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            beta = dot(rn, rn)
+            return xn, rn, beta
+
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation, which
+        # trips shard_map's VMA verifier when the Pallas kernels run inside;
+        # replication of the scalar outputs is guaranteed by psum instead.
+        check_vma=False,
+    )(A, b, x0)
+
+
+def distribute_system(
+    A: np.ndarray,
+    b: np.ndarray,
+    x0: Optional[np.ndarray],
+    mesh: Mesh,
+    part: RowPartition,
+    axis: str = ROWS_AXIS,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pad and place (A, b, x0) row-block-sharded on the mesh.
+
+    This is the reference's "data distribution" phase (``MPI_Bcast`` +
+    ``MPI_Scatter``, ``parallel_cg.c:111-115``) as sharded device_put; timed
+    separately by the bench harness to mirror its three-phase report.
+    """
+    Ap, bp, x0p = pad_system(A, b, x0, part)
+    shard2d = NamedSharding(mesh, P(axis, None))
+    shard1d = NamedSharding(mesh, P(axis))
+    return (
+        jax.device_put(Ap, shard2d),
+        jax.device_put(bp, shard1d),
+        jax.device_put(x0p, shard1d),
+    )
+
+
+def sharded_cg_solve(
+    A,
+    b,
+    x0=None,
+    mesh: Optional[Mesh] = None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Solve A x = b with A row-block-sharded across the mesh.
+
+    Accepts host (NumPy) arrays — they are padded so every shard has equal
+    static shape (lifting the reference's ``ROWS % P == 0`` restriction,
+    ``parallel_cg.c:86-90``) and distributed; or pre-sharded device arrays of
+    already-padded shape (then padding/placement are skipped).
+    """
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    backend = resolve_backend(config.kernel)
+
+    A = np.asarray(A) if not isinstance(A, jax.Array) else A
+    n = A.shape[0]
+    align = 256 if backend == "pallas" else 8
+    part = RowPartition(n=n, num_shards=num, align=align)
+    if isinstance(A, jax.Array) and A.shape[0] == part.n_padded:
+        Ad, bd, x0d = (
+            A,
+            jnp.asarray(b, jnp.float32),
+            (
+                jnp.zeros(part.n_padded, jnp.float32)
+                if x0 is None
+                else jnp.asarray(x0, jnp.float32)
+            ),
+        )
+    else:
+        Ad, bd, x0d = distribute_system(
+            np.asarray(A, np.float32),
+            np.asarray(b, np.float32),
+            None if x0 is None else np.asarray(x0, np.float32),
+            mesh,
+            part,
+            axis,
+        )
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rnorm, done = _sharded_cg_jit(
+        Ad, bd, x0d,
+        mesh=mesh,
+        strategy=config.strategy,
+        backend=backend,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+    )
+    if part.n_padded != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)

@@ -1,0 +1,119 @@
+"""Sparse containers: COO / CSR on the host, ELL for the device.
+
+The reference has no sparse support (dense text files only); BASELINE.json's
+north star adds "CSR/COO/BSR sparse forms" with the 3-D Poisson Laplacian as
+the sparse workload. tpucg's device-side format of choice is ELLPACK (`EllMatrix`):
+every row padded to the same nnz, giving static shapes and a gather+multiply+
+row-sum SpMV that XLA/Pallas tile cleanly — CSR's ragged rows force
+data-dependent control flow, which is hostile to the TPU compilation model.
+COO/CSR remain the host-side interchange formats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class COOMatrix:
+    """Coordinate format: (row, col, val) triples."""
+
+    row: np.ndarray
+    col: np.ndarray
+    data: np.ndarray
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.size)
+
+    def to_csr(self) -> "CSRMatrix":
+        order = np.lexsort((self.col, self.row))
+        row, col, data = self.row[order], self.col[order], self.data[order]
+        indptr = np.zeros(self.shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, row + 1, 1)
+        return CSRMatrix(
+            indptr=np.cumsum(indptr),
+            indices=col.astype(np.int32),
+            data=data,
+            shape=self.shape,
+        )
+
+    def to_dense(self) -> np.ndarray:
+        A = np.zeros(self.shape, dtype=self.data.dtype)
+        np.add.at(A, (self.row, self.col), self.data)
+        return A
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """Compressed sparse rows: indptr (n+1), indices (nnz), data (nnz)."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.size)
+
+    @property
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def to_coo(self) -> COOMatrix:
+        row = np.repeat(np.arange(self.shape[0], dtype=np.int64), self.row_lengths)
+        return COOMatrix(row=row, col=self.indices.astype(np.int64),
+                         data=self.data, shape=self.shape)
+
+    def to_dense(self) -> np.ndarray:
+        return self.to_coo().to_dense()
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """Host-side reference SpMV (oracle for kernel tests)."""
+        prod = self.data * x[self.indices]
+        out = np.zeros(self.shape[0], dtype=np.result_type(self.data, x))
+        np.add.at(out, np.repeat(np.arange(self.shape[0]), self.row_lengths), prod)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """ELLPACK: rows padded to equal length L.
+
+    values  (n, L) float; indices (n, L) int32, padded entries point at column 0
+    with value 0 so the gather stays in-bounds and contributes nothing.
+    SpMV is ``(values * x[indices]).sum(axis=1)`` — static shapes, no ragged rows.
+    """
+
+    values: np.ndarray
+    indices: np.ndarray
+    shape: Tuple[int, int]
+
+    @property
+    def row_width(self) -> int:
+        return int(self.values.shape[1])
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(self.values))
+
+
+def csr_to_ell(csr: CSRMatrix, width_align: int = 1) -> EllMatrix:
+    """Convert CSR to ELLPACK, padding row width to a multiple of width_align."""
+    n = csr.shape[0]
+    lengths = csr.row_lengths
+    L = int(lengths.max()) if n else 0
+    L = max(1, ((L + width_align - 1) // width_align) * width_align)
+    values = np.zeros((n, L), dtype=csr.data.dtype)
+    indices = np.zeros((n, L), dtype=np.int32)
+    # Vectorized scatter: position of each nnz within its row.
+    within = np.arange(csr.nnz, dtype=np.int64) - np.repeat(csr.indptr[:-1], lengths)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    values[rows, within] = csr.data
+    indices[rows, within] = csr.indices
+    return EllMatrix(values=values, indices=indices, shape=csr.shape)
