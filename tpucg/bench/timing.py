@@ -1,0 +1,162 @@
+"""Timing + roofline utilities.
+
+The reference reports three wall-clock phases — data distribution, CG loop,
+total program — fenced by ``MPI_Barrier``/``MPI_Wtime``
+(``parallel_cg.c:109-117,278-279,328-336``). tpucg keeps the same three-phase
+report and adds what the reference lacks: per-kernel roofline accounting
+(dense matvec is HBM-bound, so achieved GB/s vs the chip's peak is the honest
+"percent of speed-of-light" number that BASELINE.json asks for).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Optional
+
+import jax
+
+# Peak HBM bandwidth per chip, bytes/s. Key is the PJRT device_kind prefix.
+_HBM_PEAK = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # v6e / Trillium
+    "TPU v6e": 1640e9,
+}
+HBM_PEAK_BYTES_PER_S = 819e9  # conservative default (v5e)
+
+
+def hbm_peak_bytes_per_s(device: Optional[jax.Device] = None) -> float:
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _HBM_PEAK.items():
+        if kind.startswith(prefix):
+            return peak
+    return HBM_PEAK_BYTES_PER_S
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    warmup: int = 1,
+    iters: int = 5,
+    reduce: str = "min",
+) -> float:
+    """Wall-clock seconds per call of ``fn(*args)``, fully synchronized.
+
+    Warmup triggers compilation; ``min`` over repeats rejects tunnel/host
+    noise (the remote-TPU dispatch path adds multi-ms jitter per call).
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    if reduce == "min":
+        return min(times)
+    if reduce == "mean":
+        return sum(times) / len(times)
+    raise ValueError(f"unknown reduce {reduce!r}")
+
+
+def time_matvec_loop(
+    apply: Callable,
+    operand,
+    x: jax.Array,
+    steps: int = 32,
+    iters: int = 5,
+) -> float:
+    """Seconds per matvec of ``apply(operand, v)``, dispatch-corrected.
+
+    A single dispatched call through the remote-TPU tunnel carries ~20 ms of
+    host/transport overhead, which swamps a sub-ms kernel. This times a jitted
+    power-iteration chain (y = A v / ||A v||, data-dependent so XLA cannot
+    elide steps) at two step counts and divides the difference — overhead
+    cancels, leaving pure on-device kernel time. ``operand`` (e.g. the matrix,
+    or any operator pytree) is a real argument, not a closure capture — a
+    captured 256 MB constant would be inlined into the compile payload.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(operand, v, k):
+        def body(_, u):
+            y = apply(operand, u)
+            return y * jax.lax.rsqrt(
+                jnp.dot(y, y, preferred_element_type=jnp.float32) + 1e-30
+            )
+
+        return jax.lax.fori_loop(0, k, body, v)
+
+    lo, hi = 2, 2 + steps
+    t_lo = time_fn(loop, operand, x, lo, warmup=1, iters=iters)
+    t_hi = time_fn(loop, operand, x, hi, warmup=1, iters=iters)
+    return max((t_hi - t_lo) / steps, 1e-12)
+
+
+@dataclasses.dataclass
+class BenchReport:
+    """Structured per-run report (the reference's rank-0 printf block,
+    ``parallel_cg.c:331-336``, made machine-readable)."""
+
+    n: int
+    iterations: int
+    residual_norm: float
+    distribute_s: float
+    solve_s: float
+    total_s: float
+    matvec_s: Optional[float] = None
+    matvec_gbps: Optional[float] = None
+    roofline_frac: Optional[float] = None
+    iters_per_s: Optional[float] = None
+    strategy: str = "serial"
+    backend: str = "xla"
+    device_kind: str = ""
+
+    def finalize(self) -> "BenchReport":
+        if self.solve_s and self.iterations:
+            self.iters_per_s = self.iterations / self.solve_s
+        if self.matvec_s and self.n:
+            bytes_moved = 4 * self.n * self.n  # stream A once per matvec
+            self.matvec_gbps = bytes_moved / self.matvec_s / 1e9
+            self.roofline_frac = (
+                bytes_moved / self.matvec_s / hbm_peak_bytes_per_s()
+            )
+        if not self.device_kind:
+            self.device_kind = getattr(jax.devices()[0], "device_kind", "?")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    def pretty(self) -> str:
+        lines = [
+            f"system size          : {self.n} x {self.n}",
+            f"device               : {self.device_kind} "
+            f"[{self.strategy}/{self.backend}]",
+            f"data distribution (s): {self.distribute_s:.6f}",
+            f"CG method (s)        : {self.solve_s:.6f}",
+            f"total (s)            : {self.total_s:.6f}",
+            f"iterations           : {self.iterations}"
+            + (
+                f"  ({self.iters_per_s:.1f} it/s)"
+                if self.iters_per_s
+                else ""
+            ),
+            f"final ||r||          : {self.residual_norm:.3e}",
+        ]
+        if self.matvec_gbps:
+            lines.append(
+                f"matvec               : {self.matvec_s * 1e3:.3f} ms, "
+                f"{self.matvec_gbps:.0f} GB/s "
+                f"({100 * self.roofline_frac:.0f}% of HBM roofline)"
+            )
+        return "\n".join(lines)
