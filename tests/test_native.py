@@ -1,0 +1,85 @@
+"""Tests for the native C++ fast parser (native/fastio.cpp) and its ctypes
+bridge (tpucg/io/_native.py). The parser must agree exactly with the portable
+NumPy tokenizer on the reference text format, including its noise tolerance
+(BOM bytes, CRLF, blank lines — ``serialConjugate.c:96`` fscanf %f%*c)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpucg.io import _native
+from tpucg.io.textio import _FLOAT_RE, load_matrix, load_vector, save_array
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = _native._load()
+    if lib is None:
+        pytest.skip("native libfastio.so unavailable (no g++/make?)")
+    return lib
+
+
+def _python_parse(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    return np.array([float(t) for t in _FLOAT_RE.findall(data)], np.float32)
+
+
+def test_parse_simple(native_lib, tmp_path):
+    p = tmp_path / "v.txt"
+    vals = np.array([1.5, -2.25, 0.0, 3e4, -1e-3], np.float32)
+    save_array(str(p), vals, fmt="%r")
+    out = _native.parse_floats(str(p))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_parse_noise_tolerance(native_lib, tmp_path):
+    # BOM + CRLF + blank lines + trailing junk, like initialguess1.txt's BOM.
+    p = tmp_path / "noisy.txt"
+    p.write_bytes(b"\xef\xbb\xbf1.0\r\n\r\n-2.5\r\n3.25\n\n")
+    out = _native.parse_floats(str(p))
+    np.testing.assert_array_equal(
+        out, np.array([1.0, -2.5, 3.25], np.float32)
+    )
+    np.testing.assert_array_equal(out, _python_parse(str(p)))
+
+
+def test_parse_matches_python_on_random(native_lib, tmp_path):
+    rng = np.random.default_rng(7)
+    vals = (rng.standard_normal(4096) * 10).astype(np.float32)
+    p = tmp_path / "r.txt"
+    save_array(str(p), vals, fmt="%.6e")
+    out = _native.parse_floats(str(p))
+    ref = _python_parse(str(p))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_parse_large_multithreaded(native_lib, tmp_path):
+    # > 1 MB so the chunk-parallel path runs; order must still be exact.
+    rng = np.random.default_rng(11)
+    vals = rng.random(200_000).astype(np.float32)
+    p = tmp_path / "big.txt"
+    save_array(str(p), vals, fmt="%.8f")
+    assert os.path.getsize(str(p)) > (1 << 20)
+    out = _native.parse_floats(str(p))
+    ref = _python_parse(str(p))
+    assert out.size == ref.size == vals.size
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_missing_file_returns_error(native_lib, tmp_path):
+    assert native_lib.fastio_count_floats(
+        os.fsencode(str(tmp_path / "nope.txt"))
+    ) == -1
+
+
+def test_textio_uses_native_path(native_lib, tmp_path):
+    # End-to-end through load_matrix/load_vector with the lib loaded.
+    A = np.array([[2.0, -1.0], [-1.0, 2.0]], np.float32)
+    b = np.array([1.0, 0.0], np.float32)
+    pa, pb = tmp_path / "A.txt", tmp_path / "b.txt"
+    save_array(str(pa), A, fmt="%r")
+    save_array(str(pb), b, fmt="%r")
+    np.testing.assert_array_equal(load_matrix(str(pa)), A)
+    np.testing.assert_array_equal(load_vector(str(pb), n=2), b)

@@ -19,9 +19,36 @@ _LIB = None
 _TRIED = False
 
 
-def _lib_path() -> str:
+def _native_dir() -> str:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(root, "native", "libfastio.so")
+    return os.path.join(root, "native")
+
+
+def _lib_path() -> str:
+    return os.path.join(_native_dir(), "libfastio.so")
+
+
+def _try_build() -> bool:
+    """Build libfastio.so from source with make/g++, once, best-effort.
+
+    Opt out with TPUCG_NO_NATIVE_BUILD=1 (e.g. sandboxed environments).
+    """
+    if os.environ.get("TPUCG_NO_NATIVE_BUILD", "") == "1":
+        return False
+    src = os.path.join(_native_dir(), "fastio.cpp")
+    if not os.path.exists(src):
+        return False
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            ["make", "-C", _native_dir(), "libfastio.so"],
+            capture_output=True,
+            timeout=120,
+        )
+        return proc.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -30,6 +57,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _lib_path()
+    if not os.path.exists(path) and not _try_build():
+        return None
     if not os.path.exists(path):
         return None
     try:
