@@ -1,0 +1,99 @@
+"""Checkpoint/resume tests (tpucg.solver.checkpoint).
+
+The invariant: a solve interrupted at any segment boundary and resumed from
+its .npz checkpoint must follow the bit-identical float32 trajectory of an
+uninterrupted solve (the CG state (k, x, r, p, rsold) is saved exactly)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.solver.checkpoint import (
+    cg_solve_checkpointed,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture
+def system():
+    # Mildly conditioned so CG needs a healthy number of iterations: shrink
+    # the diagonal shift from the generator's n down to ~n/8.
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = A - (n - n / 8.0) * np.eye(n, dtype=np.float32)
+    return A.astype(np.float32), b, x0
+
+
+def test_checkpointed_matches_plain(system):
+    A, b, x0 = system
+    ref = tpucg.cg_solve(A, b, x0)
+    res = cg_solve_checkpointed(A, b, x0, segment_iters=3)
+    assert int(res.iterations) == int(ref.iterations)
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_resume_is_bit_identical(system, tmp_path):
+    A, b, x0 = system
+    ck = str(tmp_path / "cg.npz")
+    ref = cg_solve_checkpointed(A, b, x0, segment_iters=4)
+    k_total = int(ref.iterations)
+    assert k_total > 8, "fixture must need multiple segments"
+
+    # Phase 1: run a few segments then "crash" (stop driving).
+    partial = cg_solve_checkpointed(
+        A, b, x0, segment_iters=4, maxiter=8,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert int(partial.iterations) == 8
+    assert os.path.exists(ck)
+
+    # Phase 2: new driver resumes from the checkpoint to completion.
+    res = cg_solve_checkpointed(A, b, x0, segment_iters=4, checkpoint_path=ck)
+    assert int(res.iterations) == k_total
+    assert bool(res.converged)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    assert not os.path.exists(ck), "checkpoint removed after convergence"
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    n = 32
+    A, b, x0 = tpucg.generate_spd_system(n, seed=1)
+    ck = str(tmp_path / "s.npz")
+    cg_solve_checkpointed(
+        A, b, x0, segment_iters=1, maxiter=1,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    state, n_ck, tol = load_checkpoint(ck)
+    assert n_ck == n and tol == 1.0e-6
+    assert int(state.k) == 1
+    save_checkpoint(ck, state, n_ck, tol)
+    state2, _, _ = load_checkpoint(ck)
+    np.testing.assert_array_equal(np.asarray(state.x), np.asarray(state2.x))
+    np.testing.assert_array_equal(np.asarray(state.p), np.asarray(state2.p))
+
+
+def test_mismatched_checkpoint_rejected(system, tmp_path):
+    A, b, x0 = system
+    ck = str(tmp_path / "cg.npz")
+    cg_solve_checkpointed(
+        A, b, x0, segment_iters=2, maxiter=2,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    A2, b2, x02 = tpucg.generate_spd_system(48, seed=0)
+    with pytest.raises(ValueError, match="checkpoint"):
+        cg_solve_checkpointed(A2, b2, x02, checkpoint_path=ck)
+    with pytest.raises(ValueError, match="tol"):
+        cg_solve_checkpointed(A, b, x0, checkpoint_path=ck, tol=1e-4)
+
+
+def test_golden_through_checkpointing(golden_4x4):
+    g = golden_4x4
+    res = cg_solve_checkpointed(g["A"], g["b"], g["x0"], segment_iters=1)
+    assert int(res.iterations) == g["iters"]
+    np.testing.assert_allclose(
+        np.asarray(res.x), g["x_star"], atol=2e-3
+    )

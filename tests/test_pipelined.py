@@ -1,0 +1,83 @@
+"""Pipelined (Ghysels-Vanroose) CG tests: same Krylov iterates as classic CG
+in exact arithmetic, one fused reduction per lap. Extension beyond the
+reference (whose parallel arms pay 2-3 MPI_Allreduce per lap,
+``parallel_cg.c:287-313``)."""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.solver.oracle import oracle_cg
+
+
+def test_pipelined_matches_classic_serial():
+    A, b, x0 = tpucg.generate_spd_system(128, seed=0)
+    ref = tpucg.cg_solve(A, b, x0)
+    pipe = tpucg.cg_solve(A, b, x0, method="pipelined")
+    assert bool(pipe.converged)
+    # Same iterates in exact arithmetic -> iteration counts match (f32
+    # rounding drift can cost +-1 on marginal systems).
+    assert abs(int(pipe.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(pipe.x), np.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_pipelined_golden(golden_2x2, golden_4x4):
+    for g in (golden_2x2, golden_4x4):
+        r = tpucg.cg_solve(g["A"], g["b"], g["x0"], method="pipelined")
+        assert bool(r.converged)
+        assert int(r.iterations) == g["iters"]
+        np.testing.assert_allclose(
+            np.asarray(r.x), g["x_star"], atol=2e-3
+        )
+
+
+def test_pipelined_sharded_both_strategies():
+    # NOTE: pipelined CG's recurrence-maintained vectors drift in f32, so its
+    # attainable absolute residual floor is slightly above classic CG's; test
+    # at a tolerance scaled to ||b|| (the reference's absolute 1e-6 only makes
+    # sense for its unit-scale shipped systems).
+    n = 192
+    A, b, x0 = tpucg.generate_spd_system(n, seed=2)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    x_ref, k_ref, _ = oracle_cg(A, b, x0, tol=tol)
+    for strategy in ("allgather", "overlap"):
+        r = tpucg.sharded_cg_solve(
+            A, b, x0, method="pipelined", strategy=strategy, tol=tol
+        )
+        assert bool(r.converged), strategy
+        assert abs(int(r.iterations) - k_ref) <= 1
+        np.testing.assert_allclose(
+            np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_pipelined_many_iterations():
+    # Mild conditioning: dozens of laps so the recurrence drift is exercised.
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = (A - (n - n / 12.0) * np.eye(n)).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ref = tpucg.cg_solve(A, b, x0, tol=tol)
+    pipe = tpucg.cg_solve(A, b, x0, method="pipelined", tol=tol)
+    assert int(ref.iterations) >= 10
+    assert bool(pipe.converged)
+    assert abs(int(pipe.iterations) - int(ref.iterations)) <= 2
+    resid = np.linalg.norm(b - A @ np.asarray(pipe.x))
+    assert resid < 5 * tol  # true residual near the recurrence tolerance
+
+
+def test_pipelined_maxiter_cap_reports_honestly():
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = (A - (n - n / 8.0) * np.eye(n)).astype(np.float32)
+    r = tpucg.cg_solve(A, b, x0, method="pipelined", maxiter=3)
+    assert int(r.iterations) == 3
+    assert not bool(r.converged)
+    assert float(r.residual_norm) > 1e-6
+
+
+def test_pipelined_rejects_preconditioner():
+    with pytest.raises(ValueError, match="pipelined"):
+        tpucg.CGConfig(method="pipelined", precondition="jacobi")

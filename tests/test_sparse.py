@@ -46,3 +46,48 @@ def test_csr_to_ell_padding():
     x = np.arange(csr.shape[0], dtype=np.float32)
     y_ell = (ell.values * x[ell.indices]).sum(axis=1)
     np.testing.assert_allclose(y_ell, csr.matvec(x), rtol=1e-5, atol=1e-5)
+
+
+def test_csr_to_bsr_round_trip():
+    from tpucg.sparse.formats import csr_to_bsr
+
+    csr = poisson3d_csr(4)  # n=64, divisible by bs=4
+    bsr = csr_to_bsr(csr, blocksize=4)
+    np.testing.assert_allclose(bsr.to_dense(), csr.to_dense())
+    assert bsr.blocksize == 4
+    assert bsr.nnz == csr.nnz
+    x = np.arange(csr.shape[0], dtype=np.float32)
+    np.testing.assert_allclose(bsr.matvec(x), csr.matvec(x), rtol=1e-6)
+
+
+def test_bsr_operator_spmv_and_diag():
+    import jax.numpy as jnp
+
+    from tpucg.solver.operators import BsrOperator
+    from tpucg.sparse.formats import csr_to_bsr
+
+    csr = poisson3d_csr(4)
+    bsr = csr_to_bsr(csr, blocksize=8)
+    op = BsrOperator.from_bsr(bsr)
+    x = np.random.default_rng(0).standard_normal(csr.shape[0]).astype(
+        np.float32
+    )
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, csr.matvec(x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(op.diagonal()), 6.0)
+
+
+def test_cg_solve_accepts_bsr():
+    import tpucg
+    from tpucg.sparse.formats import csr_to_bsr
+
+    csr = poisson3d_csr(4)
+    n = csr.shape[0]
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    bsr = csr_to_bsr(csr, blocksize=4)
+    r = tpucg.cg_solve(bsr, b, tol=tol, maxiter=10 * n)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-3)

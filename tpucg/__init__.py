@@ -19,8 +19,10 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 
 from tpucg.config import CGConfig
 from tpucg.solver.cg import CGResult, cg_solve
+from tpucg.solver.checkpoint import cg_solve_checkpointed
 from tpucg.solver.sharded import sharded_cg_solve
 from tpucg.solver.operators import (
+    BsrOperator,
     DenseOperator,
     EllOperator,
     LinearOperator,
@@ -36,8 +38,10 @@ __all__ = [
     "CGConfig",
     "CGResult",
     "cg_solve",
+    "cg_solve_checkpointed",
     "sharded_cg_solve",
     "LinearOperator",
+    "BsrOperator",
     "DenseOperator",
     "EllOperator",
     "PoissonOperator",

@@ -38,6 +38,14 @@ class CGConfig:
         denominator (exact initial guess). The reference would produce NaN here;
         tpucg treats it as converged instead (SURVEY.md §3.5 mandates failing
         loudly / robustly rather than replicating reference bugs).
+      precondition: ``"none"`` (the reference's unpreconditioned CG) or
+        ``"jacobi"`` (z = r / diag(A); an extension — cuts iterations on badly
+        diagonally-scaled systems at one extra O(n) multiply per lap). The
+        stopping test stays on the true residual either way.
+      method: ``"cg"`` (the reference recurrence) or ``"pipelined"``
+        (Ghysels-Vanroose communication-hiding CG: ONE fused scalar reduction
+        per lap, overlappable with the matvec — an extension for
+        latency-bound distributed solves; see solver.cg.pipelined_cg_loop).
     """
 
     tol: float = 1.0e-6
@@ -46,11 +54,27 @@ class CGConfig:
     strategy: str = "allgather"
     kernel: str = "auto"
     safe_alpha: bool = True
+    precondition: str = "none"
+    method: str = "cg"
 
     def __post_init__(self):
         if self.strategy not in ("allgather", "overlap"):
             raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.method not in ("cg", "pipelined"):
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.method == "pipelined" and self.precondition != "none":
+            raise ValueError(
+                "method='pipelined' currently supports precondition='none'"
+            )
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
+        if self.precondition not in ("none", "jacobi"):
+            raise ValueError(f"unknown preconditioner {self.precondition!r}")
         if self.tol <= 0:
             raise ValueError("tol must be positive")
+        if jnp.dtype(self.dtype) not in (jnp.float32, jnp.float64):
+            # bf16 is a STORAGE dtype (DenseOperator.create(dtype=bfloat16)),
+            # not a solve dtype: the residual test needs f32+ vectors.
+            raise ValueError(
+                f"solve dtype must be float32/float64, got {self.dtype}"
+            )

@@ -25,6 +25,19 @@ from tpucg.kernels.dispatch import interpret_mode
 _LANE = 128
 
 
+def dot_xla(u: jax.Array, v: jax.Array) -> jax.Array:
+    """Exact vector dot (reference ``vecVec``). precision=HIGHEST keeps
+    XLA from routing the product through the MXU's 1-pass bf16 truncation —
+    CG's alpha/beta scalars need full-precision products (see matvec_xla).
+    Accumulates in at least f32 (f64 solves keep f64)."""
+    pet = jnp.promote_types(u.dtype, jnp.float32)
+    return jnp.dot(
+        u, v,
+        preferred_element_type=pet,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _chunk(n: int, cap: int = 1 << 17) -> int:
     """Largest multiple-of-128 divisor of n, at most cap."""
     if n % _LANE:
@@ -129,4 +142,4 @@ def fused_update(x, r, p, ap, alpha, backend: str = "xla"):
         return fused_update_pallas(x, r, p, ap, alpha)
     xn = x + alpha * p
     rn = r - alpha * ap
-    return xn, rn, jnp.dot(rn, rn, preferred_element_type=jnp.float32)
+    return xn, rn, dot_xla(rn, rn)

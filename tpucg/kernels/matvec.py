@@ -30,8 +30,21 @@ MATVEC_ALIGN = (128, 128)
 
 
 def matvec_xla(A: jax.Array, x: jax.Array) -> jax.Array:
-    """XLA fallback / oracle: plain jnp dot with f32 accumulation."""
-    return jnp.dot(A, x, preferred_element_type=jnp.float32)
+    """XLA fallback / oracle: jnp dot with f32 accumulation.
+
+    precision=HIGHEST is load-bearing: the TPU MXU truncates f32 operands to
+    bf16 by default (1-pass), which costs ~3 decimal digits per product and
+    stalls CG's residual around 1e-3-1e-4 — observed as the reference's 4x4
+    golden system failing to reach tol=1e-6 on a real v5e. HIGHEST selects the
+    multi-pass f32 algorithm; GEMV is HBM-bound so the extra MXU passes are
+    free.
+    """
+    pet = jnp.promote_types(jnp.promote_types(A.dtype, x.dtype), jnp.float32)
+    return jnp.dot(
+        A, x,
+        preferred_element_type=pet,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _pick_tiles(rows: int, cols: int) -> tuple[int, int]:
@@ -61,13 +74,16 @@ def _matvec_kernel(a_ref, x_ref, y_ref):
     # (T(1024) tiling) that Mosaic's block layouts cannot always match —
     # observed as a compile failure on real v5e — while 2-D (sublane, lane)
     # blocks are the native form.
+    #
+    # The multiply-accumulate runs on the VPU (broadcast multiply + lane
+    # reduction), NOT the MXU: an MXU dot truncates f32 operands to bf16,
+    # which breaks the float32 CG contract (the reference's 4x4 golden stops
+    # converging at tol=1e-6). GEMV at FLOP:byte = 0.5 is HBM-bound, so the
+    # VPU's exact-f32 FMA throughput is already above the streaming rate.
     j = pl.program_id(1)
-    partial = jax.lax.dot_general(
-        x_ref[...],
-        a_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, tk) x (tm, tk)^T -> (1, tm)
+    partial = jnp.sum(
+        a_ref[...].astype(jnp.float32) * x_ref[...], axis=1, keepdims=True
+    )  # (tm, tk) * (1, tk) -> row-sum -> (tm, 1); bf16 A upcast in-register
 
     @pl.when(j == 0)
     def _():
@@ -80,13 +96,20 @@ def _matvec_kernel(a_ref, x_ref, y_ref):
 
 @functools.partial(jax.jit, static_argnames=("tiles",))
 def matvec_pallas(A: jax.Array, x: jax.Array, tiles=None) -> jax.Array:
-    """Tiled Pallas GEMV. Requires MATVEC_ALIGN-aligned shapes."""
+    """Tiled Pallas GEMV. Requires MATVEC_ALIGN-aligned shapes.
+
+    A may be float32 or bfloat16 (half the HBM traffic -> ~2x faster at the
+    same roofline fraction; an extension beyond the reference's all-f32
+    contract). Accumulation is always float32.
+    """
     rows, cols = A.shape
     if rows % MATVEC_ALIGN[0] or cols % MATVEC_ALIGN[1]:
         raise ValueError(
             f"matvec_pallas needs shapes aligned to {MATVEC_ALIGN}, got {A.shape}; "
             "pad via tpucg.io.partitioner or use matvec_xla"
         )
+    if A.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(f"matvec_pallas supports f32/bf16 A, got {A.dtype}")
     tm, tk = tiles if tiles is not None else _pick_tiles(rows, cols)
     grid = (rows // tm, cols // tk)
     y2d = pl.pallas_call(
@@ -96,8 +119,8 @@ def matvec_pallas(A: jax.Array, x: jax.Array, tiles=None) -> jax.Array:
             pl.BlockSpec((tm, tk), lambda i, j: (i, j)),
             pl.BlockSpec((1, tk), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((1, tm), lambda i, j: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, rows), jnp.float32),
+        out_specs=pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * cols,
             bytes_accessed=A.size * A.dtype.itemsize + (rows + cols) * 4,

@@ -21,3 +21,25 @@ def ell_spmv(values: jax.Array, indices: jax.Array, x: jax.Array) -> jax.Array:
     """
     gathered = jnp.take(x, indices, axis=0)
     return jnp.sum(values * gathered, axis=1)
+
+
+def bsr_ell_spmv(
+    values: jax.Array, indices: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Block-ELL SpMV: values (nbr, L, bs, bs), indices (nbr, L) block-column
+    ids, x (nbr_cols * bs,). Each block row gathers L dense x-blocks and does
+    a batched (bs x bs) matvec — the gather moves bs elements per index (vs 1
+    for scalar ELL), and the block matvecs are dense contractions the TPU
+    vector units run at full f32 precision (HIGHEST keeps XLA off the 1-pass
+    bf16 MXU path, same contract as kernels.matvec).
+    """
+    nbr, L, bs, _ = values.shape
+    xb = x.reshape(-1, bs)
+    gathered = jnp.take(xb, indices.reshape(-1), axis=0).reshape(nbr, L, bs)
+    return jnp.einsum(
+        "rlij,rlj->ri",
+        values,
+        gathered,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(nbr * bs)

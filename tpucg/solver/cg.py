@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpucg.config import CGConfig
-from tpucg.kernels.blas1 import fused_update
+from tpucg.kernels.blas1 import dot_xla, fused_update
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.solver.operators import LinearOperator, as_operator
 
@@ -49,6 +49,33 @@ class _State(NamedTuple):
     done: jax.Array
 
 
+def init_state(matvec: Callable, dot: Callable, b: jax.Array,
+               x0: jax.Array, tol: float,
+               precond: Optional[Callable] = None) -> _State:
+    """CG initialization: r = p = b - A x0; rsold = r.r
+    (reference ``serialConjugate.c:208-212``).
+
+    With a ``precond`` closure (z = M^-1 r) this is PCG initialization
+    instead: p = z0, and ``rsold`` carries r.z (the direction scalar) while
+    ``rslast`` carries r.r (the stopping scalar — the contract's
+    ``sqrt(r.r) < tol`` test is always on the TRUE residual).
+    """
+    r0 = b - matvec(x0)
+    tol2 = jnp.asarray(tol, r0.dtype) ** 2
+    rr0 = dot(r0, r0)
+    # The reference would divide 0/0 on an exact initial guess
+    # (``serialConjugate.c:219-220``); we flag it converged at k=0 instead.
+    done0 = rr0 < tol2
+    if precond is None:
+        p0, rs0 = r0, rr0
+    else:
+        p0 = precond(r0)
+        rs0 = dot(r0, p0)
+    return _State(
+        k=jnp.int32(0), x=x0, r=r0, p=p0, rsold=rs0, rslast=rr0, done=done0
+    )
+
+
 def cg_loop(
     matvec: Callable,
     dot: Callable,
@@ -57,22 +84,29 @@ def cg_loop(
     x0: jax.Array,
     *,
     tol: float,
-    maxiter: int,
+    maxiter,
     safe_alpha: bool = True,
+    state: Optional[_State] = None,
+    precond: Optional[Callable] = None,
 ) -> _State:
     """Generic CG while_loop. ``matvec``/``dot``/``update`` abstract the
     execution model: serial closures here; psum-reducing closures under
     shard_map in ``tpucg.solver.sharded`` (where ``dot`` carries the
-    MPI_Allreduce role of ``parallel_cg.c:287-313``)."""
-    tol2 = jnp.float32(tol) ** 2
-    r0 = b - matvec(x0)
-    rs0 = dot(r0, r0)
-    # The reference would divide 0/0 on an exact initial guess
-    # (``serialConjugate.c:219-220``); we flag it converged at k=0 instead.
-    done0 = rs0 < tol2
-    state = _State(
-        k=jnp.int32(0), x=x0, r=r0, p=r0, rsold=rs0, rslast=rs0, done=done0
-    )
+    MPI_Allreduce role of ``parallel_cg.c:287-313``).
+
+    ``state`` resumes a previous run (checkpoint/resume — the CG state is just
+    (k, x, r, p, rsold); see ``tpucg.solver.checkpoint``). ``maxiter`` bounds
+    the *cumulative* iteration count k and may be a traced scalar (so a
+    segmented driver can extend it without recompiling).
+
+    ``precond`` (z = M^-1 r, e.g. Jacobi) switches the recurrence to
+    preconditioned CG — an extension beyond the reference (which is
+    unpreconditioned only), with the same stopping contract on the true
+    residual: ``sqrt(r.r) < tol`` after the x/r update, before the p update.
+    """
+    if state is None:
+        state = init_state(matvec, dot, b, x0, tol, precond=precond)
+    tol2 = jnp.asarray(tol, state.r.dtype) ** 2
 
     def cond(s: _State):
         return jnp.logical_and(s.k < maxiter, jnp.logical_not(s.done))
@@ -81,30 +115,137 @@ def cg_loop(
         ap = matvec(s.p)
         pap = dot(s.p, ap)
         if safe_alpha:
-            alpha = jnp.where(pap != 0, s.rsold / pap, jnp.float32(0))
+            alpha = jnp.where(pap != 0, s.rsold / pap, jnp.zeros_like(pap))
         else:
             alpha = s.rsold / pap
-        x, r, beta = update(s.x, s.r, s.p, ap, alpha)
-        done = beta < tol2
-        p = jnp.where(done, s.p, r + (beta / s.rsold) * s.p)
-        rsold = jnp.where(done, s.rsold, beta)
+        x, r, rr = update(s.x, s.r, s.p, ap, alpha)
+        done = rr < tol2
+        if precond is None:
+            z, rs_new = r, rr
+        else:
+            z = precond(r)
+            rs_new = dot(r, z)
+        p = jnp.where(done, s.p, z + (rs_new / s.rsold) * s.p)
+        rsold = jnp.where(done, s.rsold, rs_new)
         return _State(
-            k=s.k + 1, x=x, r=r, p=p, rsold=rsold, rslast=beta, done=done
+            k=s.k + 1, x=x, r=r, p=p, rsold=rsold, rslast=rr, done=done
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+class _PipeState(NamedTuple):
+    k: jax.Array
+    x: jax.Array
+    r: jax.Array
+    w: jax.Array       # A r (recurrence-maintained)
+    p: jax.Array
+    s: jax.Array       # A p
+    z: jax.Array       # A s
+    gamma: jax.Array   # r.r of the previous lap
+    alpha: jax.Array
+    rslast: jax.Array
+    done: jax.Array
+
+
+def pipelined_cg_loop(
+    matvec: Callable,
+    dot2: Callable,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    tol: float,
+    maxiter,
+    safe_alpha: bool = True,
+) -> _PipeState:
+    """Pipelined (communication-hiding) CG — Ghysels & Vanroose 2014.
+
+    Mathematically the same Krylov iterates as classic CG, but the two scalar
+    reductions per lap are FUSED into one (``dot2`` returns (r.r, w.r) in a
+    single psum), and that reduction is dataflow-independent of the lap's
+    matvec (q = A w) — so on a real mesh XLA can overlap the collective's ICI
+    latency with the GEMV. The price is three extra recurrence-maintained
+    vectors (w, s, z) ~ 3n more HBM traffic per lap, and slightly earlier
+    f32 rounding drift — worth it when the psum latency, not bandwidth,
+    bounds the iteration (strong-scaled small n/P). Extension beyond the
+    reference (its two MPI_Allreduce calls per lap are the analogous cost,
+    ``parallel_cg.c:294,313``).
+
+    Stopping contract: same quantity as classic CG (``sqrt(r.r) < tol``),
+    evaluated at the top of the next lap; ``k`` counts completed x-updates, so
+    iteration counts match the classic loop exactly.
+    """
+    r0 = b - matvec(x0)
+    tol2 = jnp.asarray(tol, r0.dtype) ** 2
+    w0 = matvec(r0)
+    zeros = jnp.zeros_like(r0)
+    one = jnp.ones((), r0.dtype)
+    state = _PipeState(
+        k=jnp.int32(0), x=x0, r=r0, w=w0, p=zeros, s=zeros, z=zeros,
+        gamma=one, alpha=one, rslast=one,
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+    def cond(st: _PipeState):
+        return jnp.logical_and(st.k < maxiter, jnp.logical_not(st.done))
+
+    def body(st: _PipeState):
+        gamma, delta = dot2(st.r, st.r, st.w, st.r)
+        done = gamma < tol2
+        q = matvec(st.w)  # independent of (gamma, delta): overlaps the psum
+        first = st.k == 0
+        beta = jnp.where(first, jnp.zeros_like(gamma), gamma / st.gamma)
+        denom = delta - beta * gamma / st.alpha
+        if safe_alpha:
+            alpha = jnp.where(denom != 0, gamma / denom, jnp.zeros_like(gamma))
+        else:
+            alpha = gamma / denom
+        p = st.r + beta * st.p
+        s = st.w + beta * st.s
+        z = q + beta * st.z
+        x = st.x + alpha * p
+        r = st.r - alpha * s
+        w = st.w - alpha * z
+        keep = lambda new, old: jnp.where(done, old, new)
+        return _PipeState(
+            k=jnp.where(done, st.k, st.k + 1),
+            x=keep(x, st.x), r=keep(r, st.r), w=keep(w, st.w),
+            p=keep(p, st.p), s=keep(s, st.s), z=keep(z, st.z),
+            gamma=keep(gamma, st.gamma), alpha=keep(alpha, st.alpha),
+            rslast=gamma, done=done,
         )
 
     return jax.lax.while_loop(cond, body, state)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "blas_backend", "safe_alpha")
+    jax.jit,
+    static_argnames=("tol", "maxiter", "blas_backend", "safe_alpha", "method"),
 )
-def _cg_jit(op, b, x0, tol, maxiter, blas_backend, safe_alpha):
+def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
+            method="cg"):
     matvec = op.matvec
-    dot = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+    dot = dot_xla
+    if method == "pipelined":
+        dot2 = lambda u1, v1, u2, v2: (dot_xla(u1, v1), dot_xla(u2, v2))
+        s = pipelined_cg_loop(
+            matvec, dot2, b, x0,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        )
+        # The pipelined loop tests convergence one lap late; if it exited on
+        # the iteration cap, recompute the final r.r for honest reporting.
+        rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
+        return CGResult(
+            x=s.x,
+            iterations=s.k,
+            residual_norm=jnp.sqrt(rr),
+            converged=jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2),
+        )
     update = functools.partial(fused_update, backend=blas_backend)
+    precond = None if minv is None else (lambda r: minv * r)
     s = cg_loop(
         matvec, dot, update, b, x0,
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     return CGResult(
         x=s.x,
@@ -132,16 +273,22 @@ def cg_solve(
     elif overrides:
         config = dataclasses_replace(config, **overrides)
     backend = resolve_backend(config.kernel)
-    op = as_operator(A, backend=backend)
+    dtype = jnp.dtype(config.dtype)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype=float64 requires jax.config.update('jax_enable_x64', True) "
+            "(the reference contract is float32; f64 is a tpucg extension)"
+        )
+    op = as_operator(A, backend=backend, dtype=dtype)
     n = op.n
     npad = op.padded_n
-    b = jnp.asarray(b, dtype=jnp.float32)
+    b = jnp.asarray(b, dtype=dtype)
     if b.shape != (n,):
         raise ValueError(f"b must have shape ({n},), got {b.shape}")
     x0 = (
-        jnp.zeros(n, jnp.float32)
+        jnp.zeros(n, dtype)
         if x0 is None
-        else jnp.asarray(x0, dtype=jnp.float32)
+        else jnp.asarray(x0, dtype=dtype)
     )
     if npad != n:
         # Identity-tail padding (see tpucg.io.partitioner): pad coordinates
@@ -149,10 +296,17 @@ def cg_solve(
         b = jnp.pad(b, (0, npad - n))
         x0 = jnp.pad(x0, (0, npad - n))
     maxiter = config.maxiter if config.maxiter is not None else n
-    blas_backend = backend if npad % 128 == 0 else "xla"
+    # The Pallas kernels are float32-only; other dtypes take the XLA path.
+    blas_backend = (
+        backend if npad % 128 == 0 and dtype == jnp.float32 else "xla"
+    )
+    minv = None
+    if config.precondition == "jacobi":
+        d = op.diagonal()
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
     res = _cg_jit(
-        op, b, x0, float(config.tol), int(maxiter), blas_backend,
-        bool(config.safe_alpha),
+        op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
+        bool(config.safe_alpha), config.method,
     )
     if npad != n:
         res = res._replace(x=res.x[:n])

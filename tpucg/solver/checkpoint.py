@@ -1,0 +1,193 @@
+"""Checkpoint / resume for long CG solves.
+
+The reference has no checkpointing at all — the CG state lives only in process
+memory and any failure loses the whole solve (SURVEY.md §5: "Checkpoint /
+resume: None"). On TPU the full solver state is tiny and explicit — exactly
+(k, x, r, p, rsold), the carried tuple of the jitted while_loop — so tpucg can
+dump and resume it trivially.
+
+Design: a segmented driver. Each segment runs up to ``segment_iters`` more
+iterations inside ONE jitted while_loop (the cumulative-iteration bound is a
+*traced* scalar, so every segment reuses the same executable — no per-segment
+recompiles), then the state is pulled to host and written as a ``.npz``. On
+restart, ``cg_solve_checkpointed`` finds the file and continues from the
+recorded iteration. The resumed trajectory is bit-identical to an uninterrupted
+run because float32 CG state is saved exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucg.config import CGConfig
+from tpucg.kernels.blas1 import dot_xla as _dot
+from tpucg.kernels.blas1 import fused_update
+from tpucg.kernels.dispatch import resolve_backend
+from tpucg.solver.cg import (
+    CGResult,
+    _State,
+    cg_loop,
+    dataclasses_replace,
+    init_state,
+)
+from tpucg.solver.operators import as_operator
+
+_META_KEYS = ("n", "tol", "k", "done")
+
+
+def save_checkpoint(path: str, state: _State, n: int, tol: float) -> None:
+    """Write the CG state (padded device vectors + scalars) as an .npz.
+
+    Atomic: writes to ``path + '.tmp'`` then renames, so a crash mid-write
+    never leaves a truncated checkpoint behind.
+    """
+    tmp = path + ".tmp"
+    np.savez(
+        tmp,
+        x=np.asarray(state.x),
+        r=np.asarray(state.r),
+        p=np.asarray(state.p),
+        rsold=np.asarray(state.rsold),
+        rslast=np.asarray(state.rslast),
+        k=np.asarray(state.k),
+        done=np.asarray(state.done),
+        n=np.int64(n),
+        tol=np.float64(tol),
+    )
+    # np.savez appends .npz to paths without it.
+    tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(tmp_real, path)
+
+
+def load_checkpoint(path: str):
+    """Read a checkpoint -> (state, n, tol)."""
+    with np.load(path) as z:
+        state = _State(
+            k=jnp.asarray(z["k"]),
+            x=jnp.asarray(z["x"]),
+            r=jnp.asarray(z["r"]),
+            p=jnp.asarray(z["p"]),
+            rsold=jnp.asarray(z["rsold"]),
+            rslast=jnp.asarray(z["rslast"]),
+            done=jnp.asarray(z["done"]),
+        )
+        return state, int(z["n"]), float(z["tol"])
+
+
+def _precond(minv):
+    return None if minv is None else (lambda r: minv * r)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "blas_backend"))
+def _init_jit(op, b, x0, minv, tol, blas_backend):
+    del blas_backend
+    return init_state(op.matvec, _dot, b, x0, tol, precond=_precond(minv))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tol", "blas_backend", "safe_alpha")
+)
+def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha):
+    update = functools.partial(fused_update, backend=blas_backend)
+    return cg_loop(
+        op.matvec, _dot, update, None, None,
+        tol=tol, maxiter=k_target, safe_alpha=safe_alpha, state=state,
+        precond=_precond(minv),
+    )
+
+
+def cg_solve_checkpointed(
+    A,
+    b,
+    x0=None,
+    config: Optional[CGConfig] = None,
+    *,
+    segment_iters: int = 128,
+    checkpoint_path: Optional[str] = None,
+    keep_checkpoint: bool = False,
+    **overrides,
+) -> CGResult:
+    """Solve A x = b, checkpointing every ``segment_iters`` iterations.
+
+    If ``checkpoint_path`` exists, the solve resumes from it (and the system
+    sizes must match). The checkpoint is deleted on convergence unless
+    ``keep_checkpoint``. Semantics otherwise identical to ``tpucg.cg_solve``.
+    """
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if segment_iters < 1:
+        raise ValueError("segment_iters must be >= 1")
+    backend = resolve_backend(config.kernel)
+    op = as_operator(A, backend=backend)
+    n, npad = op.n, op.padded_n
+    blas_backend = backend if npad % 128 == 0 else "xla"
+    maxiter = config.maxiter if config.maxiter is not None else n
+    tol = float(config.tol)
+    minv = None
+    if config.precondition == "jacobi":
+        d = op.diagonal()
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+
+    state = None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, n_ck, tol_ck = load_checkpoint(checkpoint_path)
+        if n_ck != n or state.x.shape != (npad,):
+            raise ValueError(
+                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
+                f"(padded {state.x.shape}); this system is n={n} "
+                f"(padded ({npad},))"
+            )
+        if tol_ck != tol:
+            raise ValueError(
+                f"checkpoint tol {tol_ck} != requested tol {tol}"
+            )
+    if state is None:
+        bj = jnp.asarray(b, jnp.float32)
+        if bj.shape != (n,):
+            raise ValueError(f"b must have shape ({n},), got {bj.shape}")
+        x0j = (
+            jnp.zeros(n, jnp.float32)
+            if x0 is None
+            else jnp.asarray(x0, jnp.float32)
+        )
+        if npad != n:
+            bj = jnp.pad(bj, (0, npad - n))
+            x0j = jnp.pad(x0j, (0, npad - n))
+        state = _init_jit(op, bj, x0j, minv, tol, blas_backend)
+
+    while True:
+        k_now = int(state.k)
+        if bool(state.done) or k_now >= maxiter:
+            break
+        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
+        state = jax.block_until_ready(
+            _segment_jit(
+                op, state, minv, k_target, tol, blas_backend,
+                bool(config.safe_alpha),
+            )
+        )
+        if checkpoint_path is not None:
+            save_checkpoint(checkpoint_path, state, n, tol)
+
+    if (
+        checkpoint_path is not None
+        and not keep_checkpoint
+        and os.path.exists(checkpoint_path)
+    ):
+        os.remove(checkpoint_path)
+    x = state.x[:n] if npad != n else state.x
+    return CGResult(
+        x=x,
+        iterations=state.k,
+        residual_norm=jnp.sqrt(state.rslast),
+        converged=state.done,
+    )

@@ -20,8 +20,8 @@ import numpy as np
 
 from tpucg.io.partitioner import round_up
 from tpucg.kernels.matvec import MATVEC_ALIGN, matvec
-from tpucg.kernels.spmv import ell_spmv
-from tpucg.sparse.formats import CSRMatrix, EllMatrix, csr_to_ell
+from tpucg.kernels.spmv import bsr_ell_spmv, ell_spmv
+from tpucg.sparse.formats import BSRMatrix, CSRMatrix, EllMatrix, csr_to_ell
 
 
 class LinearOperator:
@@ -37,6 +37,13 @@ class LinearOperator:
 
     def matvec(self, x: jax.Array) -> jax.Array:
         raise NotImplementedError
+
+    def diagonal(self) -> jax.Array:
+        """diag(A), padded length — for the Jacobi preconditioner."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose a diagonal; "
+            "precondition='jacobi' is unavailable for it"
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.matvec(x)
@@ -54,18 +61,25 @@ class DenseOperator(LinearOperator):
     backend: str = dataclasses.field(default="xla", metadata=dict(static=True))
 
     @classmethod
-    def create(cls, A, backend: str = "xla") -> "DenseOperator":
-        A = np.asarray(A, dtype=np.float32)
+    def create(cls, A, backend: str = "xla", dtype=np.float32) -> "DenseOperator":
+        """``dtype`` is the device STORAGE dtype of A: float32 (the reference
+        contract), bfloat16 (halved HBM traffic, ~2x faster matvec; f32
+        accumulation — an extension), or float64 (needs x64 mode)."""
+        dtype = jnp.dtype(dtype)
+        host_dtype = np.float32 if dtype == jnp.bfloat16 else dtype
+        A = np.asarray(A, dtype=host_dtype)
         n = A.shape[0]
         if A.shape != (n, n):
             raise ValueError(f"A must be square, got {A.shape}")
+        if backend == "pallas" and dtype not in (jnp.float32, jnp.bfloat16):
+            backend = "xla"
         npad = round_up(n, np.lcm(*MATVEC_ALIGN)) if backend == "pallas" else n
         if npad != n:
-            Ap = np.zeros((npad, npad), dtype=np.float32)
+            Ap = np.zeros((npad, npad), dtype=host_dtype)
             Ap[:n, :n] = A
             Ap[np.arange(n, npad), np.arange(n, npad)] = 1.0
             A = Ap
-        return cls(A=jnp.asarray(A), n=n, backend=backend)
+        return cls(A=jnp.asarray(A, dtype=dtype), n=n, backend=backend)
 
     @property
     def padded_n(self) -> int:
@@ -73,6 +87,12 @@ class DenseOperator(LinearOperator):
 
     def matvec(self, x: jax.Array) -> jax.Array:
         return matvec(self.A, x, backend=self.backend)
+
+    def diagonal(self) -> jax.Array:
+        # Identity pad tail -> 1.0, safe to invert; bf16 storage upcast.
+        return jnp.diagonal(self.A).astype(
+            jnp.promote_types(self.A.dtype, jnp.float32)
+        )
 
 
 @jax.tree_util.register_dataclass
@@ -99,6 +119,67 @@ class EllOperator(LinearOperator):
 
     def matvec(self, x: jax.Array) -> jax.Array:
         return ell_spmv(self.values, self.indices, x)
+
+    def diagonal(self) -> jax.Array:
+        rows = jax.lax.broadcasted_iota(
+            self.indices.dtype, self.indices.shape, 0
+        )
+        return jnp.sum(
+            jnp.where(self.indices == rows, self.values, 0.0), axis=1
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BsrOperator(LinearOperator):
+    """Block-ELL sparse operator (device form of BSR).
+
+    Block rows are padded to a uniform width L of (bs x bs) blocks — static
+    shapes for XLA, with dense per-block tiles (see ``kernels.spmv.
+    bsr_ell_spmv``). Padded blocks are all-zero with block-column 0.
+    """
+
+    values: jax.Array   # (nbr, L, bs, bs)
+    indices: jax.Array  # (nbr, L) int32
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_bsr(cls, bsr: BSRMatrix) -> "BsrOperator":
+        bs = bsr.blocksize
+        nbr = bsr.shape[0] // bs
+        lengths = bsr.block_row_lengths
+        L = max(1, int(lengths.max()) if nbr else 1)
+        values = np.zeros((nbr, L, bs, bs), dtype=bsr.data.dtype)
+        indices = np.zeros((nbr, L), dtype=np.int32)
+        within = (
+            np.arange(bsr.nnzb, dtype=np.int64)
+            - np.repeat(bsr.indptr[:-1], lengths)
+        )
+        rows = np.repeat(np.arange(nbr, dtype=np.int64), lengths)
+        values[rows, within] = bsr.data
+        indices[rows, within] = bsr.indices
+        return cls(
+            values=jnp.asarray(values),
+            indices=jnp.asarray(indices),
+            n=bsr.shape[0],
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return bsr_ell_spmv(self.values, self.indices, x)
+
+    def diagonal(self) -> jax.Array:
+        nbr, L, bs, _ = self.values.shape
+        rows = jax.lax.broadcasted_iota(self.indices.dtype, (nbr, L), 0)
+        on_diag = (self.indices == rows)[..., None]  # (nbr, L, 1)
+        diag_blocks = jnp.sum(
+            jnp.where(
+                on_diag,
+                jnp.diagonal(self.values, axis1=2, axis2=3),
+                0.0,
+            ),
+            axis=1,
+        )  # (nbr, bs)
+        return diag_blocks.reshape(nbr * bs)
 
 
 @jax.tree_util.register_dataclass
@@ -132,16 +213,25 @@ class PoissonOperator(LinearOperator):
         y = y - jnp.concatenate([zeros, u[:, :, :-1]], axis=2)
         return y.reshape(-1)
 
+    def diagonal(self) -> jax.Array:
+        return jnp.full(self.n, 6.0, jnp.float32)
 
-def as_operator(A, backend: str = "xla") -> LinearOperator:
-    """Coerce a dense array / CSR / ELL / operator into a LinearOperator."""
+
+def as_operator(A, backend: str = "xla", dtype=np.float32) -> LinearOperator:
+    """Coerce a dense array / CSR / ELL / BSR / operator into a LinearOperator.
+
+    ``dtype`` applies to dense storage only (sparse containers carry their own
+    data dtype; pre-built operators are returned unchanged).
+    """
     if isinstance(A, LinearOperator):
         return A
     if isinstance(A, CSRMatrix):
         return EllOperator.from_csr(A)
     if isinstance(A, EllMatrix):
         return EllOperator.from_ell(A)
+    if isinstance(A, BSRMatrix):
+        return BsrOperator.from_bsr(A)
     arr = np.asarray(A) if not isinstance(A, jax.Array) else A
     if arr.ndim == 2:
-        return DenseOperator.create(arr, backend=backend)
+        return DenseOperator.create(arr, backend=backend, dtype=dtype)
     raise TypeError(f"cannot interpret {type(A)!r} as a linear operator")

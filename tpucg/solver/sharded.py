@@ -37,9 +37,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpucg.comm.mesh import ROWS_AXIS, make_mesh
 from tpucg.config import CGConfig
 from tpucg.io.partitioner import RowPartition, pad_system
+from tpucg.kernels.blas1 import dot_xla
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.kernels.matvec import matvec
-from tpucg.solver.cg import CGResult, cg_loop, dataclasses_replace
+from tpucg.solver.cg import (
+    CGResult,
+    cg_loop,
+    dataclasses_replace,
+    pipelined_cg_loop,
+)
 
 
 def _ring_perm(num: int) -> list:
@@ -90,22 +96,53 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     jax.jit,
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
+        "precondition", "method",
     ),
 )
 def _sharded_cg_jit(
-    A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis
+    A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
+    precondition="none", method="cg",
 ):
     num = mesh.devices.size
 
     def solve(A_blk, b_blk, x_blk):
         mv = _make_matvec(A_blk, strategy, num, backend, axis)
 
+        precond = None
+        if precondition == "jacobi":
+            # Each shard's diagonal entries live in its own column block:
+            # rows [0, n/P) of A_blk map to global rows my*n/P + i, so the
+            # diagonal is A_blk[i, my*n/P + i].
+            block_rows = A_blk.shape[0]
+            my = jax.lax.axis_index(axis)
+            col0 = (my * block_rows).astype(jnp.int32)
+            d = jnp.diagonal(jax.lax.dynamic_slice(
+                A_blk, (jnp.int32(0), col0), (block_rows, block_rows)
+            ))
+            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+            precond = lambda r: minv * r
+
         def dot(u, v):
             # Partial local dot + psum — the reference's vecVec+MPI_Allreduce
             # pair (``parallel_cg.c:286-287``) as one fused collective.
-            return jax.lax.psum(
-                jnp.dot(u, v, preferred_element_type=jnp.float32), axis
+            return jax.lax.psum(dot_xla(u, v), axis)
+
+        if method == "pipelined":
+            def dot2(u1, v1, u2, v2):
+                # ONE psum for both scalars — the whole point of the
+                # pipelined method: a single fused (2,)-vector allreduce per
+                # lap, overlappable with the q = A w matvec.
+                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
+                tot = jax.lax.psum(part, axis)
+                return tot[0], tot[1]
+
+            s = pipelined_cg_loop(
+                mv, dot2, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
             )
+            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
+            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
+            return s.x, s.k, jnp.sqrt(rr), done
 
         def update(x, r, p, ap, alpha):
             xn = x + alpha * p
@@ -115,7 +152,7 @@ def _sharded_cg_jit(
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
-            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
         )
         return s.x, s.k, jnp.sqrt(s.rslast), s.done
 
@@ -213,6 +250,8 @@ def sharded_cg_solve(
         maxiter=int(maxiter),
         safe_alpha=bool(config.safe_alpha),
         axis=axis,
+        precondition=config.precondition,
+        method=config.method,
     )
     if part.n_padded != n:
         x = x[:n]

@@ -103,6 +103,90 @@ class EllMatrix:
         return int(np.count_nonzero(self.values))
 
 
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Block sparse rows: dense (bs x bs) blocks on a block-CSR skeleton.
+
+    ``indptr`` (n_block_rows + 1), ``indices`` (nnzb) block-column ids,
+    ``data`` (nnzb, bs, bs). The shape is the *logical* (rows, cols); rows and
+    cols must be multiples of bs. BSR is the TPU-friendly sparse form for
+    banded/stencil systems: each block is a small dense tile the VPU/MXU can
+    process whole, and per-block-row widths are far more uniform than
+    per-scalar-row nnz.
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+    shape: Tuple[int, int]
+
+    @property
+    def blocksize(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def nnzb(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(self.data))
+
+    @property
+    def block_row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def to_dense(self) -> np.ndarray:
+        bs = self.blocksize
+        A = np.zeros(self.shape, dtype=self.data.dtype)
+        for br in range(self.shape[0] // bs):
+            for k in range(self.indptr[br], self.indptr[br + 1]):
+                bc = self.indices[k]
+                A[br * bs:(br + 1) * bs, bc * bs:(bc + 1) * bs] += self.data[k]
+        return A
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """Host-side reference block SpMV (oracle for kernel tests)."""
+        bs = self.blocksize
+        xb = x.reshape(-1, bs)
+        yb = np.zeros((self.shape[0] // bs, bs), np.result_type(self.data, x))
+        for br in range(yb.shape[0]):
+            for k in range(self.indptr[br], self.indptr[br + 1]):
+                yb[br] += self.data[k] @ xb[self.indices[k]]
+        return yb.reshape(-1)
+
+
+def csr_to_bsr(csr: CSRMatrix, blocksize: int) -> BSRMatrix:
+    """Re-block a CSR matrix into (bs x bs) dense blocks (zero-filled).
+
+    Requires shape divisible by blocksize (pad upstream via the partitioner's
+    identity-tail scheme if not).
+    """
+    n_rows, n_cols = csr.shape
+    bs = blocksize
+    if n_rows % bs or n_cols % bs:
+        raise ValueError(f"shape {csr.shape} not divisible by blocksize {bs}")
+    coo = csr.to_coo()
+    brow = coo.row // bs
+    bcol = coo.col // bs
+    # Unique (brow, bcol) pairs in block-CSR order.
+    key = brow * (n_cols // bs) + bcol
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, inverse_s = np.unique(key_s, return_inverse=True)
+    data = np.zeros((uniq.size, bs, bs), dtype=coo.data.dtype)
+    r_in = (coo.row[order] % bs).astype(np.int64)
+    c_in = (coo.col[order] % bs).astype(np.int64)
+    np.add.at(data, (inverse_s, r_in, c_in), coo.data[order])
+    u_brow = (uniq // (n_cols // bs)).astype(np.int64)
+    u_bcol = (uniq % (n_cols // bs)).astype(np.int32)
+    indptr = np.zeros(n_rows // bs + 1, dtype=np.int64)
+    np.add.at(indptr, u_brow + 1, 1)
+    return BSRMatrix(
+        indptr=np.cumsum(indptr), indices=u_bcol, data=data, shape=csr.shape
+    )
+
+
 def csr_to_ell(csr: CSRMatrix, width_align: int = 1) -> EllMatrix:
     """Convert CSR to ELLPACK, padding row width to a multiple of width_align."""
     n = csr.shape[0]
