@@ -26,32 +26,10 @@ import numpy as np
 import pytest
 
 
-# The reference's shipped golden systems (values transcribed from
-# matrixA.txt / vectorb.txt / initialguess.txt and matrixA1.txt / vectorb1.txt
-# / X0.txt — hand-checkable math facts, see SURVEY.md §4.1).
-GOLDEN_2X2 = dict(
-    A=np.array([[2.0, -1.0], [-1.0, 2.0]], np.float32),
-    b=np.array([1.0, 0.0], np.float32),
-    x0=np.zeros(2, np.float32),
-    x_star=np.array([2.0 / 3.0, 1.0 / 3.0], np.float32),
-    iters=2,
-)
-
-GOLDEN_4X4 = dict(
-    A=np.array(
-        [
-            [7.0, 3.0, -1.0, 2.0],
-            [3.0, 8.0, 1.0, -4.0],
-            [-1.0, 1.0, 4.0, -1.0],
-            [2.0, -4.0, -1.0, 6.0],
-        ],
-        np.float32,
-    ),
-    b=np.array([-1.0, 0.0, -3.0, 1.0], np.float32),
-    x0=np.zeros(4, np.float32),
-    x_star=np.array([-1.0, 1.0, -1.0, 1.0], np.float32),
-    iters=4,
-)
+# The reference's shipped golden systems (hand-checkable math facts,
+# SURVEY.md §4.1) — single source of truth in tpucg.io.golden, shared with
+# `python -m tpucg selftest`.
+from tpucg.io.golden import GOLDEN_2X2, GOLDEN_4X4  # noqa: E402
 
 
 @pytest.fixture

@@ -1,0 +1,86 @@
+"""CLI surface tests (``python -m tpucg``), run in-process so the conftest's
+forced 8-device CPU platform applies. The CLI is the replacement for the
+reference's four compiled entry points (``serialConjugate.c:43``,
+``parallel_cg.c:53``, ...) with runtime flags instead of #defines."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpucg.cli import main
+from tpucg.io.golden import GOLDEN_2X2
+from tpucg.io.textio import load_vector, save_array
+
+
+@pytest.fixture
+def golden_files(tmp_path):
+    g = GOLDEN_2X2
+    pa, pb, px = (tmp_path / n for n in ("A.txt", "b.txt", "x0.txt"))
+    save_array(str(pa), g["A"], fmt="%r")
+    save_array(str(pb), g["b"], fmt="%r")
+    save_array(str(px), g["x0"], fmt="%r")
+    return str(pa), str(pb), str(px)
+
+
+def test_solve_golden(golden_files, tmp_path, capsys):
+    pa, pb, px = golden_files
+    out = tmp_path / "x.txt"
+    rc = main(["solve", pa, pb, px, "--output", str(out), "--print-solution"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "iterations           : 2" in text
+    assert "converged            : True" in text
+    x = load_vector(str(out), n=2)
+    np.testing.assert_allclose(x, GOLDEN_2X2["x_star"], atol=1e-6)
+
+
+def test_solve_sharded_strategies(golden_files, tmp_path, capsys):
+    # 2x2 padded over the 8-device CPU mesh — exercises padding + sharding.
+    pa, pb, px = golden_files
+    for strategy in ("allgather", "overlap"):
+        rc = main(["solve", pa, pb, px, "--strategy", strategy])
+        assert rc == 0, strategy
+        assert "converged            : True" in capsys.readouterr().out
+
+
+def test_solve_missing_file_fails_loudly(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        main(["solve", str(tmp_path / "no.txt"), str(tmp_path / "no2.txt")])
+
+
+def test_generate_roundtrip(tmp_path, capsys):
+    rc = main(["generate", "32", "--seed", "3", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    rc = main([
+        "solve",
+        str(tmp_path / "matrix32X32.txt"),
+        str(tmp_path / "vector32X1.txt"),
+        str(tmp_path / "X32X1.txt"),
+    ])
+    assert rc == 0
+    assert "converged            : True" in capsys.readouterr().out
+
+
+def test_selftest(capsys):
+    rc = main(["selftest", "--n", "64"])
+    text = capsys.readouterr().out
+    assert rc == 0, text
+    assert "all selftests passed" in text
+
+
+def test_bench_json(capsys):
+    rc = main(["bench", "--n", "256", "--repeats", "1", "--json"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n"] == 256
+    assert rep["iterations"] >= 1
+    assert rep["solve_s"] > 0
+
+
+def test_info(capsys):
+    rc = main(["info"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["device_count"] == 8  # forced CPU mesh
+    assert info["kernel_backend"] in ("pallas", "xla")

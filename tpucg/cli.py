@@ -1,0 +1,302 @@
+"""Command-line interface: ``python -m tpucg <command>``.
+
+The reference's entry points are four separately-compiled C programs taking
+three positional file arguments each (``./serialConjugate A.txt b.txt x0.txt``,
+``serialConjugate.c:43-73``; ``mpiexec -np P ./parallel_cg ...``), with every
+other knob a compile-time ``#define``. tpucg replaces them with one CLI:
+
+  solve      load a system from reference-format text files and solve it
+             (serial on one chip, or sharded over the device mesh — the
+             ``--strategy`` flag is the reference's collective-vs-p2p A/B)
+  generate   write a random SPD test system in the reference's text format
+             (the ``generateSPDmatrix.m`` role, same file naming)
+  selftest   golden 2x2/4x4 systems + random SPD + sharded strategies
+  bench      three-phase timing report (distribution / CG / total) + roofline
+  info       devices, backends, native-parser status
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+
+def _add_solver_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--tol", type=float, default=1.0e-6,
+                   help="absolute residual tolerance (reference EPSILON)")
+    p.add_argument("--maxiter", type=int, default=None,
+                   help="iteration cap (default: n, the reference's ROWS cap)")
+    p.add_argument("--strategy", default="serial",
+                   choices=("serial", "allgather", "overlap"),
+                   help="serial = single device; allgather/overlap = sharded "
+                        "(the reference's collective vs p2p arms)")
+    p.add_argument("--kernel", default="auto",
+                   choices=("auto", "pallas", "xla"))
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size for sharded strategies (default: all)")
+
+
+def _solve_args(args, A, b, x0):
+    import jax
+
+    import tpucg
+
+    t0 = time.perf_counter()
+    if args.strategy == "serial":
+        res = tpucg.cg_solve(
+            A, b, x0, tol=args.tol, maxiter=args.maxiter, kernel=args.kernel
+        )
+    else:
+        mesh = tpucg.make_mesh(args.devices)
+        res = tpucg.sharded_cg_solve(
+            A, b, x0, mesh=mesh, tol=args.tol, maxiter=args.maxiter,
+            kernel=args.kernel, strategy=args.strategy,
+        )
+    jax.block_until_ready(res.x)
+    return res, time.perf_counter() - t0
+
+
+def cmd_solve(args) -> int:
+    import numpy as np
+
+    from tpucg.io.textio import load_system, save_array
+
+    t_total0 = time.perf_counter()
+    t0 = time.perf_counter()
+    A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+    load_s = time.perf_counter() - t0
+    res, solve_s = _solve_args(args, A, b, x0)
+    total_s = time.perf_counter() - t_total0
+
+    n = A.shape[0]
+    # The reference's rank-0 report block (parallel_cg.c:331-336), plus
+    # convergence facts it never printed.
+    print(f"system size          : {n} x {n}")
+    print(f"strategy             : {args.strategy} [{args.kernel}]")
+    print(f"data load (s)        : {load_s:.6f}")
+    print(f"CG solve (s)         : {solve_s:.6f}  (includes jit compile)")
+    print(f"total (s)            : {total_s:.6f}")
+    print(f"iterations           : {int(res.iterations)}")
+    print(f"final ||r||          : {float(res.residual_norm):.6e}")
+    print(f"converged            : {bool(res.converged)}")
+    x = np.asarray(res.x)
+    if args.print_solution:
+        np.set_printoptions(threshold=64, precision=7)
+        print(f"x                    : {x}")
+    if args.output:
+        save_array(args.output, x, fmt="%r")
+        print(f"solution written     : {args.output}")
+    return 0 if bool(res.converged) else 3
+
+
+def cmd_generate(args) -> int:
+    import os
+
+    from tpucg.io.generator import generate_spd_system
+    from tpucg.io.textio import save_array
+
+    n = args.n
+    A, b, x0 = generate_spd_system(n, seed=args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    # Same naming scheme and formats as generateSPDmatrix.m:23-43
+    # (matrix2048X2048 / vector2048X1 / X2048X1; %.4f for A,b; %.1f for x0).
+    pa = os.path.join(args.out_dir, f"matrix{n}X{n}.txt")
+    pb = os.path.join(args.out_dir, f"vector{n}X1.txt")
+    px = os.path.join(args.out_dir, f"X{n}X1.txt")
+    save_array(pa, A, fmt="%.4f")
+    save_array(pb, b, fmt="%.4f")
+    save_array(px, x0, fmt="%.1f")
+    print(f"wrote {pa}, {pb}, {px}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.golden import GOLDEN_2X2, GOLDEN_4X4
+    from tpucg.solver.oracle import oracle_cg
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        status = "ok" if ok else "FAIL"
+        print(f"  [{status}] {name}" + (f" — {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    print(f"devices: {jax.device_count()} x "
+          f"{getattr(jax.devices()[0], 'device_kind', '?')}")
+    for label, g in (("golden 2x2", GOLDEN_2X2), ("golden 4x4", GOLDEN_4X4)):
+        r = tpucg.cg_solve(g["A"], g["b"], g["x0"])
+        ok = (
+            int(r.iterations) == g["iters"]
+            and bool(r.converged)
+            and np.allclose(np.asarray(r.x), g["x_star"], atol=1e-5)
+        )
+        check(label, ok,
+              f"{int(r.iterations)} iters, ||r||={float(r.residual_norm):.2e}")
+
+    n = args.n
+    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+    x_ref, k_ref, _ = oracle_cg(A, b, x0)
+    r = tpucg.cg_solve(A, b, x0)
+    check(
+        f"random SPD n={n} vs oracle",
+        bool(r.converged) and abs(int(r.iterations) - k_ref) <= 1
+        and np.allclose(np.asarray(r.x), x_ref, atol=1e-4),
+        f"{int(r.iterations)} iters (oracle {k_ref})",
+    )
+    for strategy in ("allgather", "overlap"):
+        rs = tpucg.sharded_cg_solve(A, b, x0, strategy=strategy)
+        check(
+            f"sharded[{strategy}] n={n} ({jax.device_count()} devices)",
+            bool(rs.converged)
+            and np.allclose(np.asarray(rs.x), x_ref, atol=1e-4),
+            f"{int(rs.iterations)} iters",
+        )
+
+    from tpucg.io import _native
+
+    native = _native._load() is not None
+    print(f"  [{'ok' if native else '--'}] native fast parser "
+          f"({'loaded' if native else 'unavailable; NumPy fallback in use'})")
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("all selftests passed")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import BenchReport, time_fn, time_matvec_loop
+    from tpucg.kernels.dispatch import resolve_backend
+    from tpucg.solver.operators import DenseOperator
+
+    backend = resolve_backend(args.kernel)
+    n = args.n
+    t_total0 = time.perf_counter()
+    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+
+    t0 = time.perf_counter()
+    if args.strategy == "serial":
+        op = DenseOperator.create(A, backend=backend)
+        bj = jax.device_put(jax.numpy.asarray(b))
+        x0j = jax.device_put(jax.numpy.asarray(x0))
+        jax.block_until_ready(op.A)
+        distribute_s = time.perf_counter() - t0
+        solve = lambda: tpucg.cg_solve(op, bj, x0j, tol=args.tol)
+    else:
+        mesh = tpucg.make_mesh(args.devices)
+        distribute_s = time.perf_counter() - t0
+        solve = lambda: tpucg.sharded_cg_solve(
+            A, b, x0, mesh=mesh, strategy=args.strategy, kernel=args.kernel,
+            tol=args.tol,
+        )
+
+    res = solve()
+    solve_s = time_fn(lambda: solve().x, warmup=1, iters=args.repeats)
+    matvec_s = None
+    if args.strategy == "serial":
+        v0 = (
+            bj if op.padded_n == n
+            else jax.numpy.pad(bj, (0, op.padded_n - n))
+        )
+        matvec_s = time_matvec_loop(lambda o, v: o.matvec(v), op, v0, steps=32)
+    report = BenchReport(
+        n=n,
+        iterations=int(res.iterations),
+        residual_norm=float(res.residual_norm),
+        distribute_s=distribute_s,
+        solve_s=solve_s,
+        total_s=time.perf_counter() - t_total0,
+        matvec_s=matvec_s,
+        strategy=args.strategy,
+        backend=backend,
+    ).finalize()
+    if args.json:
+        print(report.to_json())
+    else:
+        print(report.pretty())
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import tpucg
+    from tpucg.io import _native
+    from tpucg.kernels.dispatch import resolve_backend
+
+    devs = jax.devices()
+    info = {
+        "tpucg_version": tpucg.__version__,
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_count": len(devs),
+        "device_kind": getattr(devs[0], "device_kind", "?"),
+        "kernel_backend": resolve_backend("auto"),
+        "native_parser": _native._load() is not None,
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpucg",
+        description="TPU-native conjugate-gradient solver",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ps = sub.add_parser("solve", help="solve A x = b from text files")
+    ps.add_argument("matrix", help="matrix file (one float per line, row-major)")
+    ps.add_argument("rhs", help="right-hand-side vector file")
+    ps.add_argument("x0", nargs="?", default=None,
+                    help="initial-guess file (default zeros)")
+    ps.add_argument("--n", type=int, default=None,
+                    help="system size (default: inferred from file)")
+    ps.add_argument("--print-solution", action="store_true")
+    ps.add_argument("--output", default=None,
+                    help="write the solution vector to this file")
+    _add_solver_flags(ps)
+    ps.set_defaults(fn=cmd_solve)
+
+    pg = sub.add_parser("generate",
+                        help="write a random SPD system (generateSPDmatrix.m role)")
+    pg.add_argument("n", type=int)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--out-dir", default=".")
+    pg.set_defaults(fn=cmd_generate)
+
+    pt = sub.add_parser("selftest", help="golden + oracle + sharded checks")
+    pt.add_argument("--n", type=int, default=256)
+    pt.set_defaults(fn=cmd_selftest)
+
+    pb = sub.add_parser("bench", help="three-phase timing + roofline report")
+    pb.add_argument("--n", type=int, default=4096)
+    pb.add_argument("--repeats", type=int, default=5)
+    pb.add_argument("--json", action="store_true")
+    _add_solver_flags(pb)
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="device / backend / version info")
+    pi.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
