@@ -1,0 +1,77 @@
+"""2-D block decomposition tests (SUMMA-style GEMV over a (R x C) mesh).
+
+An extension beyond the reference's 1-D row striping (SURVEY.md §2.4 lists
+2-D blocking as the idiomatic improvement): per-lap comm is O(n/C) allgather
+within mesh columns + O(n/R) reduce-scatter within mesh rows instead of the
+1-D O(n) allgather."""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.comm.mesh import make_mesh2d
+from tpucg.solver.oracle import oracle_cg
+from tpucg.solver.sharded import _colperm_2d
+
+
+def test_colperm_is_permutation():
+    perm = _colperm_2d(48, 2, 4)
+    assert sorted(perm.tolist()) == list(range(48))
+    # device (i, j) gathers chunks (0..R-1, j): block j of the permuted order.
+    cs = 48 // 8
+    block_j0 = perm[: 2 * cs]
+    np.testing.assert_array_equal(
+        block_j0,
+        np.concatenate([np.arange(0, cs), np.arange(4 * cs, 5 * cs)]),
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (2, 2)])
+def test_2d_matches_oracle(shape):
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=1)
+    x_ref, k_ref, _ = oracle_cg(A, b, x0)
+    mesh = make_mesh2d(*shape)
+    r = tpucg.sharded_cg_solve(A, b, x0, mesh=mesh)
+    assert bool(r.converged)
+    assert abs(int(r.iterations) - k_ref) <= 1
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_2d_padded_uneven():
+    n = 67  # forces identity-tail padding for any 2-D shape
+    A, b, x0 = tpucg.generate_spd_system(n, seed=3)
+    x_ref, _, _ = oracle_cg(A, b, x0)
+    r = tpucg.sharded_cg_solve(A, b, x0, mesh=make_mesh2d(2, 4))
+    assert bool(r.converged)
+    assert np.asarray(r.x).shape == (n,)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_2d_pipelined():
+    n = 128
+    A, b, x0 = tpucg.generate_spd_system(n, seed=2)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    x_ref, k_ref, _ = oracle_cg(A, b, x0, tol=tol)
+    r = tpucg.sharded_cg_solve(
+        A, b, x0, mesh=make_mesh2d(2, 4), method="pipelined", tol=tol
+    )
+    assert bool(r.converged)
+    assert abs(int(r.iterations) - k_ref) <= 1
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_2d_golden(golden_4x4):
+    g = golden_4x4
+    r = tpucg.sharded_cg_solve(g["A"], g["b"], g["x0"], mesh=make_mesh2d(2, 2))
+    assert bool(r.converged)
+    assert int(r.iterations) == g["iters"]
+    np.testing.assert_allclose(np.asarray(r.x), g["x_star"], atol=2e-3)
+
+
+def test_2d_rejects_jacobi():
+    A, b, x0 = tpucg.generate_spd_system(16, seed=0)
+    with pytest.raises(ValueError, match="2-D"):
+        tpucg.sharded_cg_solve(
+            A, b, x0, mesh=make_mesh2d(2, 2), precondition="jacobi"
+        )

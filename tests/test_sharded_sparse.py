@@ -1,0 +1,94 @@
+"""Distributed sparse/stencil solves: slab-decomposed matrix-free Poisson
+with ppermute halo exchange (the BASELINE north star: halo transfer
+overlapped with local stencil compute) and row-sharded ELL SpMV."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.io.generator import poisson3d_csr
+from tpucg.solver.operators import EllOperator, PoissonOperator
+from tpucg.solver.sharded import sharded_operator_cg_solve
+
+
+@pytest.fixture(scope="module")
+def poisson_system():
+    m = 8  # 8 slabs of 1 plane each on the 8-device mesh
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(m ** 3).astype(np.float32)
+    b = np.asarray(op.matvec(jnp.asarray(x_true)))
+    return m, op, b, x_true
+
+
+def test_poisson_halo_matches_serial(poisson_system):
+    m, op, b, x_true = poisson_system
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    sh = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    assert bool(sh.converged)
+    assert int(sh.iterations) == int(ser.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(sh.x), x_true, atol=1e-3)
+
+
+def test_poisson_halo_jacobi_and_pipelined(poisson_system):
+    m, op, b, _ = poisson_system
+    tol = 1e-5 * float(np.linalg.norm(b))
+    base = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    jac = sharded_operator_cg_solve(
+        op, b, tol=tol, maxiter=4 * m ** 3, precondition="jacobi"
+    )
+    assert bool(jac.converged)
+    # Jacobi on constant-diagonal Poisson is exact scaling: same iterates.
+    assert abs(int(jac.iterations) - int(base.iterations)) <= 1
+    pipe = sharded_operator_cg_solve(
+        op, b, tol=tol, maxiter=4 * m ** 3, method="pipelined"
+    )
+    assert bool(pipe.converged)
+    assert abs(int(pipe.iterations) - int(base.iterations)) <= 1
+
+
+def test_poisson_halo_matvec_exact():
+    # One maxiter=1 lap computes r0 = b - A x0 through the halo matvec;
+    # compare its residual against the serial operator on a random x0.
+    m = 8
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(m ** 3).astype(np.float32)
+    x0 = rng.standard_normal(m ** 3).astype(np.float32)
+    ser = tpucg.cg_solve(op, b, x0, maxiter=1)
+    sh = sharded_operator_cg_solve(op, b, x0, maxiter=1)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(sh.residual_norm), float(ser.residual_norm), rtol=1e-5
+    )
+
+
+def test_poisson_requires_divisible_grid():
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_operator_cg_solve(
+            PoissonOperator(m=9), np.ones(729, np.float32)
+        )
+
+
+def test_ell_sharded_matches_serial():
+    csr = poisson3d_csr(8)  # n=512, divisible by 8
+    n = csr.shape[0]
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    op = EllOperator.from_csr(csr)
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n)
+    sh = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * n)
+    assert bool(sh.converged)
+    assert int(sh.iterations) == int(ser.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )

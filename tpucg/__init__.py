@@ -20,7 +20,7 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 from tpucg.config import CGConfig
 from tpucg.solver.cg import CGResult, cg_solve
 from tpucg.solver.checkpoint import cg_solve_checkpointed
-from tpucg.solver.sharded import sharded_cg_solve
+from tpucg.solver.sharded import sharded_cg_solve, sharded_operator_cg_solve
 from tpucg.solver.operators import (
     BsrOperator,
     DenseOperator,
@@ -30,7 +30,7 @@ from tpucg.solver.operators import (
 )
 from tpucg.io.textio import load_matrix, load_vector, save_array
 from tpucg.io.generator import generate_spd_system, poisson3d_csr
-from tpucg.comm.mesh import make_mesh
+from tpucg.comm.mesh import make_mesh, make_mesh2d
 
 __version__ = "0.1.0"
 
@@ -40,6 +40,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_checkpointed",
     "sharded_cg_solve",
+    "sharded_operator_cg_solve",
     "LinearOperator",
     "BsrOperator",
     "DenseOperator",
@@ -51,4 +52,5 @@ __all__ = [
     "generate_spd_system",
     "poisson3d_csr",
     "make_mesh",
+    "make_mesh2d",
 ]

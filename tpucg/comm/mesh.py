@@ -17,6 +17,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 ROWS_AXIS = "rows"
+COLS_AXIS = "cols"
+
+
+def make_mesh2d(
+    rows: int,
+    cols: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names=(ROWS_AXIS, COLS_AXIS),
+) -> Mesh:
+    """A (rows x cols) 2-D mesh for the block2d decomposition — the 2-D
+    analog the reference never had (its only strategy is 1-D row striping,
+    report §5.2); see ``tpucg.solver.sharded`` for the SUMMA-style GEMV."""
+    if devices is None:
+        devices = jax.devices()
+    if rows * cols > len(devices):
+        raise ValueError(
+            f"requested {rows}x{cols} mesh, only {len(devices)} devices"
+        )
+    grid = np.asarray(devices[: rows * cols]).reshape(rows, cols)
+    return Mesh(grid, axis_names)
 
 
 def make_mesh(

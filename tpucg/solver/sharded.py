@@ -40,6 +40,7 @@ from tpucg.io.partitioner import RowPartition, pad_system
 from tpucg.kernels.blas1 import dot_xla
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.kernels.matvec import matvec
+from tpucg.kernels.spmv import ell_spmv
 from tpucg.solver.cg import (
     CGResult,
     cg_loop,
@@ -168,6 +169,301 @@ def _sharded_cg_jit(
     )(A, b, x0)
 
 
+def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
+    """Column permutation aligning A's storage with the 2-D gather order.
+
+    Vectors are sharded P(('rows','cols')): device (i, j) holds the
+    contiguous chunk k = i*C + j. ``all_gather`` over 'rows' on device (i, j)
+    concatenates chunks (0..R-1, j) in i-order, so A's local column block must
+    contain exactly those chunks' columns in that order: global column
+    position j*(npad/C) + i*(npad/(R*C)) + t maps to column (i*C+j)*chunk + t.
+    A pure storage-layout permutation — vectors, b, and the solution all stay
+    in natural order.
+    """
+    cs = npad // (R * C)
+    perm = np.empty(npad, dtype=np.int64)
+    pos = 0
+    for j in range(C):
+        for i in range(R):
+            k = i * C + j
+            perm[pos:pos + cs] = np.arange(k * cs, (k + 1) * cs)
+            pos += cs
+    return perm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
+    ),
+)
+def _sharded2d_cg_jit(
+    A, b, x0, *, mesh, backend, tol, maxiter, safe_alpha, method="cg"
+):
+    """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
+    (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
+    vectors fully sharded over both axes. Per lap the direction vector is
+    all-gathered only within mesh columns (n/C data over R devices) and the
+    partial GEMV results reduce-scattered within mesh rows (n/R over C) —
+    O(n/C + n/R) comm instead of the 1-D allgather's O(n)."""
+    r_ax, c_ax = mesh.axis_names
+
+    def solve(A_blk, b_blk, x_blk):
+        def mv(p_blk):
+            p_cols = jax.lax.all_gather(p_blk, r_ax, tiled=True)  # (n/C,)
+            partial = matvec(A_blk, p_cols, backend=backend)      # (n/R,)
+            return jax.lax.psum_scatter(
+                partial, c_ax, scatter_dimension=0, tiled=True
+            )  # (n/(R*C),)
+
+        def dot(u, v):
+            return jax.lax.psum(dot_xla(u, v), (r_ax, c_ax))
+
+        if method == "pipelined":
+            def dot2(u1, v1, u2, v2):
+                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
+                tot = jax.lax.psum(part, (r_ax, c_ax))
+                return tot[0], tot[1]
+
+            s = pipelined_cg_loop(
+                mv, dot2, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            )
+            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
+            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
+            return s.x, s.k, jnp.sqrt(rr), done
+
+        def update(x, r, p, ap, alpha):
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            return xn, rn, dot(rn, rn)
+
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec, vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=False,
+    )(A, b, x0)
+
+
+def distribute_system_2d(
+    A: np.ndarray,
+    b: np.ndarray,
+    x0: Optional[np.ndarray],
+    mesh: Mesh,
+    align: int = 1,
+):
+    """Pad, column-permute, and place (A, b, x0) block-sharded on a 2-D mesh
+    (see ``_colperm_2d``). Returns (A2, b, x0, n_padded)."""
+    R, C = mesh.devices.shape
+    n = A.shape[0]
+    base = int(np.lcm.reduce([R * C, R * align, C * align]))
+    npad = ((n + base - 1) // base) * base
+    part = RowPartition(n=n, num_shards=1, align=npad)  # pad to npad exactly
+    Ap, bp, x0p = pad_system(A, b, x0, part)
+    A2 = Ap[:, _colperm_2d(npad, R, C)]
+    r_ax, c_ax = mesh.axis_names
+    return (
+        jax.device_put(A2, NamedSharding(mesh, P(r_ax, c_ax))),
+        jax.device_put(bp, NamedSharding(mesh, P((r_ax, c_ax),))),
+        jax.device_put(x0p, NamedSharding(mesh, P((r_ax, c_ax),))),
+        npad,
+    )
+
+
+def _poisson_halo_matvec(m: int, mp: int, axis: str, num: int):
+    """Slab-decomposed 3-D 7-point Laplacian with ppermute halo exchange.
+
+    Device d owns x-planes [d*mp, (d+1)*mp) of the m^3 grid. Each lap it
+    needs one boundary plane from each neighbor; the two ``ppermute`` halo
+    transfers are dataflow-independent of the in-slab y/z stencil work, so
+    XLA overlaps the ICI hop with local compute — the BASELINE.json north
+    star ("halo segments exchanged via collective-permute overlapped with
+    local matVec"), replacing the reference's replicate-everything allgather
+    (``parallel_cg.c:290-291``). Unpaired edge devices receive zeros from
+    ppermute — exactly the Dirichlet boundary condition.
+    """
+    down = [(j, j + 1) for j in range(num - 1)]  # d sends its last plane to d+1
+    up = [(j + 1, j) for j in range(num - 1)]    # d sends its first plane to d-1
+
+    def mv(u_flat):
+        u = u_flat.reshape(mp, m, m)
+        halo_lo = jax.lax.ppermute(u[-1:], axis, down)  # plane (d*mp - 1)
+        halo_hi = jax.lax.ppermute(u[:1], axis, up)     # plane ((d+1)*mp)
+        # In-slab y/z stencil (independent of the halos -> overlaps them).
+        y = 6.0 * u
+        zeros = jnp.zeros_like(u[:, :1])
+        y = y - jnp.concatenate([u[:, 1:], zeros], axis=1)
+        y = y - jnp.concatenate([zeros, u[:, :-1]], axis=1)
+        zeros = jnp.zeros_like(u[:, :, :1])
+        y = y - jnp.concatenate([u[:, :, 1:], zeros], axis=2)
+        y = y - jnp.concatenate([zeros, u[:, :, :-1]], axis=2)
+        # x-direction needs the halos.
+        u_ext = jnp.concatenate([halo_lo, u, halo_hi], axis=0)  # (mp+2, m, m)
+        y = y - u_ext[2:] - u_ext[:-2]
+        return y.reshape(-1)
+
+    return mv
+
+
+def _ell_allgather_matvec(values_blk, indices_blk, axis: str):
+    """Row-sharded ELL SpMV: gather the full direction vector, multiply the
+    local rows (global column indices stay valid). The sparse analog of the
+    reference's collective arm."""
+
+    def mv(x_blk):
+        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)
+        return ell_spmv(values_blk, indices_blk, x_full)
+
+    return mv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
+        "precondition",
+    ),
+)
+def _sharded_operator_cg_jit(
+    op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
+    method="cg", kind="ell", m=None, precondition="none",
+):
+    num = mesh.devices.size
+
+    def solve(op_blk, b_blk, x_blk, minv_blk):
+        if kind == "poisson":
+            mv = _poisson_halo_matvec(m, m // num, axis, num)
+        else:
+            values_blk, indices_blk = op_blk
+            mv = _ell_allgather_matvec(values_blk, indices_blk, axis)
+
+        def dot(u, v):
+            return jax.lax.psum(dot_xla(u, v), axis)
+
+        if method == "pipelined":
+            def dot2(u1, v1, u2, v2):
+                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
+                tot = jax.lax.psum(part, axis)
+                return tot[0], tot[1]
+
+            s = pipelined_cg_loop(
+                mv, dot2, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            )
+            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
+            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
+            return s.x, s.k, jnp.sqrt(rr), done
+
+        def update(x, r, p, ap, alpha):
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            return xn, rn, dot(rn, rn)
+
+        precond = None
+        if precondition == "jacobi":
+            precond = lambda r: minv_blk * r
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    vec = P(axis)
+    op_specs = (
+        P(axis) if kind == "poisson" else (P(axis, None), P(axis, None))
+    )
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(op_specs, vec, vec, vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=False,
+    )(op_arrays, b, x0, minv)
+
+
+def sharded_operator_cg_solve(
+    op,
+    b,
+    x0=None,
+    mesh: Optional[Mesh] = None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Distributed CG on a sparse/stencil operator over a 1-D mesh.
+
+    - ``PoissonOperator``: slab decomposition with overlapped ppermute halo
+      exchange (requires m %% P == 0);
+    - ``EllOperator``: row-block sharded values/indices + all_gather of the
+      direction vector (requires n %% P == 0; build from a padded CSR if not).
+    """
+    from tpucg.solver.operators import EllOperator, PoissonOperator
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    n = op.n
+    b = jnp.asarray(b, jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32) if x0 is None else jnp.asarray(x0, jnp.float32)
+    shard1 = NamedSharding(mesh, P(axis))
+
+    if isinstance(op, PoissonOperator):
+        if op.m % num:
+            raise ValueError(f"grid edge m={op.m} not divisible by P={num}")
+        kind, m_static = "poisson", op.m
+        op_arrays = jnp.zeros((num,), jnp.float32)  # placeholder, unused
+        op_arrays = jax.device_put(op_arrays, shard1)
+    elif isinstance(op, EllOperator):
+        if n % num:
+            raise ValueError(f"n={n} not divisible by P={num}")
+        kind, m_static = "ell", None
+        shard2 = NamedSharding(mesh, P(axis, None))
+        op_arrays = (
+            jax.device_put(op.values, shard2),
+            jax.device_put(op.indices, shard2),
+        )
+    else:
+        raise TypeError(
+            f"sharded_operator_cg_solve supports Poisson/Ell operators, "
+            f"got {type(op).__name__}"
+        )
+    if config.precondition == "jacobi":
+        d = op.diagonal()
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    else:
+        minv = jnp.ones(n, jnp.float32)  # placeholder, unused when "none"
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rnorm, done = _sharded_operator_cg_jit(
+        op_arrays,
+        jax.device_put(b, shard1),
+        jax.device_put(x0, shard1),
+        jax.device_put(minv, shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+        method=config.method,
+        kind=kind,
+        m=m_static,
+        precondition=config.precondition,
+    )
+    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
+
+
 def distribute_system(
     A: np.ndarray,
     b: np.ndarray,
@@ -213,9 +509,11 @@ def sharded_cg_solve(
         config = dataclasses_replace(config, **overrides)
     if mesh is None:
         mesh = make_mesh()
+    backend = resolve_backend(config.kernel)
+    if mesh.devices.ndim == 2:
+        return _sharded2d_solve(A, b, x0, mesh, config, backend)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
-    backend = resolve_backend(config.kernel)
 
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
     n = A.shape[0]
@@ -254,5 +552,35 @@ def sharded_cg_solve(
         method=config.method,
     )
     if part.n_padded != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
+
+
+def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
+    if config.precondition != "none":
+        raise ValueError(
+            "the 2-D block decomposition does not support preconditioning yet"
+        )
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    align = 128 if backend == "pallas" else 1
+    Ad, bd, x0d, npad = distribute_system_2d(
+        A,
+        np.asarray(b, np.float32),
+        None if x0 is None else np.asarray(x0, np.float32),
+        mesh,
+        align=align,
+    )
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rnorm, done = _sharded2d_cg_jit(
+        Ad, bd, x0d,
+        mesh=mesh,
+        backend=backend,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        method=config.method,
+    )
+    if npad != n:
         x = x[:n]
     return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
