@@ -51,11 +51,11 @@ def main():
     solve_s = time_fn(lambda: solve().x, warmup=1, iters=5)
 
     # Isolated hot-kernel timing for the roofline number (dispatch-corrected).
-    from tpucg.bench.timing import time_matvec_loop
+    from tpucg.bench.timing import auto_steps, time_matvec_loop
 
     v0 = bj if op.padded_n == N else jax.numpy.pad(bj, (0, op.padded_n - N))
     matvec_s = time_matvec_loop(
-        lambda o, v: o.matvec(v), op, v0, steps=32
+        lambda o, v: o.matvec(v), op, v0, steps=auto_steps(op.padded_n)
     )
 
     total_s = time.perf_counter() - t_total0

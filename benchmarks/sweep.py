@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Reproduce the reference's benchmark matrix on TPU -> RESULTS.md.
+
+The reference's published experiment (results.xlsx sheet2; BASELINE.md) times
+serial CG over n in {512..8192} on one Xeon, plus MPI variants at P in
+{2,4,8}. This sweep runs the same dense SPD family (generateSPDmatrix.m
+construction, float32, tol 1e-6) through tpucg on one TPU chip: per-size CG
+solve time, iterations, residual, and the dense-GEMV roofline number.
+
+Usage: python benchmarks/sweep.py [--sizes 512,1024,...] [--out RESULTS.md]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Reference serial CG seconds (results.xlsx sheet2 C5:C9; BASELINE.md).
+REF_SERIAL_S = {512: 0.005, 1024: 0.016, 2048: 0.039, 4096: 0.186, 8192: 0.562}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="512,1024,2048,4096,8192")
+    ap.add_argument("--repeats", type=int, default=7)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import (
+        auto_steps,
+        hbm_peak_bytes_per_s,
+        time_fn,
+        time_matvec_loop,
+    )
+    from tpucg.kernels.dispatch import resolve_backend
+    from tpucg.solver.operators import DenseOperator
+
+    backend = resolve_backend("auto")
+    device = getattr(jax.devices()[0], "device_kind", "?")
+    peak = hbm_peak_bytes_per_s()
+    rows = []
+    for n in sizes:
+        t0 = time.time()
+        A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+        op = DenseOperator.create(A, backend=backend)
+        bj = jax.device_put(jax.numpy.asarray(b))
+        x0j = jax.device_put(jax.numpy.asarray(x0))
+        jax.block_until_ready(op.A)
+        solve = lambda: tpucg.cg_solve(op, bj, x0j)
+        res = solve()
+        iters, rnorm = int(res.iterations), float(res.residual_norm)
+        solve_s = time_fn(
+            lambda: solve().x, warmup=1, iters=args.repeats, reduce="median"
+        )
+        v0 = (
+            bj if op.padded_n == n
+            else jax.numpy.pad(bj, (0, op.padded_n - n))
+        )
+        mv_s = time_matvec_loop(
+            lambda o, v: o.matvec(v), op, v0, steps=auto_steps(op.padded_n)
+        )
+        gbps = 4.0 * op.padded_n * op.padded_n / mv_s / 1e9
+        roof = gbps * 1e9 / peak
+        ref = REF_SERIAL_S.get(n)
+        rows.append(dict(
+            n=n, iters=iters, rnorm=rnorm, solve_s=solve_s,
+            matvec_ms=mv_s * 1e3, gbps=gbps, roofline=roof,
+            ref_s=ref, speedup=(ref / solve_s if ref else None),
+        ))
+        print(f"n={n}: {solve_s*1e3:.2f} ms ({iters} iters, ||r||={rnorm:.2e}), "
+              f"matvec {gbps:.0f} GB/s ({100*roof:.0f}%), "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+
+    lines = [
+        "# RESULTS — tpucg vs reference (dense serial CG)",
+        "",
+        f"Hardware: 1x {device} (HBM peak {peak/1e9:.0f} GB/s). Workload: "
+        "generateSPDmatrix.m-family dense SPD, float32, tol 1e-6, x0 = 0 — "
+        "the reference's benchmark matrix (results.xlsx sheet2; BASELINE.md). "
+        "Reference hardware: one Linux Intel Xeon.",
+        "",
+        "| n | ref serial CG (s) | tpucg CG (s) | speedup | iters | final ||r|| "
+        "| matVec | GB/s | % HBM roofline |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        sp = f"{r['speedup']:.1f}x" if r["speedup"] else "—"
+        ref = f"{r['ref_s']}" if r["ref_s"] else "—"
+        lines.append(
+            f"| {r['n']} | {ref} | {r['solve_s']:.5f} | {sp} | {r['iters']} "
+            f"| {r['rnorm']:.2e} | {r['matvec_ms']:.3f} ms "
+            f"| {r['gbps']:.0f} | {100 * r['roofline']:.0f}% |"
+        )
+    lines += [
+        "",
+        "Solve time is the median of warm, fully-synchronized end-to-end "
+        "`cg_solve` calls (one jitted while_loop; includes per-call host "
+        "dispatch over the remote-TPU tunnel, so small-n times are "
+        "latency-floored). matVec GB/s uses dispatch-corrected chained "
+        "timing (`tpucg.bench.timing.time_matvec_loop`).",
+        "",
+        "Distributed arms (the reference's P in {2,4,8} tables): this "
+        "environment exposes ONE physical chip, so the collective/overlap/2-D "
+        "strategies are validated functionally on an 8-device CPU mesh "
+        "(`tests/test_sharded*.py`) and compile-checked for real meshes via "
+        "`__graft_entry__.dryrun_multichip`; on-chip A/B timing requires a "
+        "multi-chip slice.",
+    ]
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RESULTS.md",
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(out.replace(".md", ".json"), "w") as f:
+        json.dump(dict(device=device, rows=rows), f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,34 @@ def test_info(capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["device_count"] == 8  # forced CPU mesh
     assert info["kernel_backend"] in ("pallas", "xla")
+
+
+def test_bench_poisson_free(capsys):
+    rc = main(["bench", "--operator", "poisson-free", "--m", "8",
+               "--repeats", "1", "--json", "--tol", "1e-4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n"] == 512
+    assert rep["iterations"] >= 1
+
+
+def test_bench_compare_strategies(capsys):
+    rc = main(["bench", "--n", "128", "--repeats", "1", "--json",
+               "--compare-strategies"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    reps = [json.loads(l) for l in lines]
+    assert len(reps) == 3
+    assert {r["strategy"].split("/")[0] for r in reps} == {
+        "serial", "allgather", "overlap"
+    }
+
+
+def test_solve_pipelined_jacobi_flags(golden_files, capsys):
+    pa, pb, px = golden_files
+    rc = main(["solve", pa, pb, px, "--method", "pipelined"])
+    assert rc == 0
+    assert "iterations           : 2" in capsys.readouterr().out
+    rc = main(["solve", pa, pb, px, "--precondition", "jacobi"])
+    assert rc == 0
+    assert "converged            : True" in capsys.readouterr().out

@@ -58,11 +58,26 @@ def time_fn(
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
+    times.sort()
     if reduce == "min":
-        return min(times)
+        return times[0]
+    if reduce == "median":
+        return times[len(times) // 2]
     if reduce == "mean":
         return sum(times) / len(times)
     raise ValueError(f"unknown reduce {reduce!r}")
+
+
+def auto_steps(n: int, target_s: float = 0.05, peak=None) -> int:
+    """Step count so the timed chain dominates the tunnel's ~20 ms dispatch
+    noise: aim for target_s of pure kernel time (dense n^2 bytes/step at the
+    chip's HBM peak). The differencing in ``time_matvec_loop`` subtracts two
+    whole-chain timings, so per-chain kernel time must be >> the per-call
+    jitter or small-n results are garbage (observed: n=4096 varying 3x)."""
+    if peak is None:
+        peak = hbm_peak_bytes_per_s()
+    est = max(4.0 * n * n / peak, 1e-6)
+    return int(min(max(32, target_s / est), 2048))
 
 
 def time_matvec_loop(
@@ -117,6 +132,8 @@ class BenchReport:
     matvec_gbps: Optional[float] = None
     roofline_frac: Optional[float] = None
     iters_per_s: Optional[float] = None
+    nnz: Optional[int] = None          # sparse operators: nonzeros per matvec
+    nnz_per_s: Optional[float] = None
     strategy: str = "serial"
     backend: str = "xla"
     device_kind: str = ""
@@ -130,6 +147,8 @@ class BenchReport:
             self.roofline_frac = (
                 bytes_moved / self.matvec_s / hbm_peak_bytes_per_s()
             )
+        if self.matvec_s and self.nnz:
+            self.nnz_per_s = self.nnz / self.matvec_s
         if not self.device_kind:
             self.device_kind = getattr(jax.devices()[0], "device_kind", "?")
         return self
@@ -158,5 +177,10 @@ class BenchReport:
                 f"matvec               : {self.matvec_s * 1e3:.3f} ms, "
                 f"{self.matvec_gbps:.0f} GB/s "
                 f"({100 * self.roofline_frac:.0f}% of HBM roofline)"
+            )
+        elif self.nnz_per_s:
+            lines.append(
+                f"matvec               : {self.matvec_s * 1e3:.3f} ms, "
+                f"{self.nnz_per_s / 1e9:.2f} Gnnz/s"
             )
         return "\n".join(lines)

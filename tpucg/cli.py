@@ -37,6 +37,13 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                    choices=("auto", "pallas", "xla"))
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for sharded strategies (default: all)")
+    p.add_argument("--method", default="cg", choices=("cg", "pipelined"),
+                   help="pipelined = Ghysels-Vanroose single-reduction CG")
+    p.add_argument("--precondition", default="none",
+                   choices=("none", "jacobi"))
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the reference's informal "
+                        "determinism/NaN checking, made a real tool)")
 
 
 def _solve_args(args, A, b, x0):
@@ -44,16 +51,19 @@ def _solve_args(args, A, b, x0):
 
     import tpucg
 
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    kw = dict(
+        tol=args.tol, maxiter=args.maxiter, kernel=args.kernel,
+        method=args.method, precondition=args.precondition,
+    )
     t0 = time.perf_counter()
     if args.strategy == "serial":
-        res = tpucg.cg_solve(
-            A, b, x0, tol=args.tol, maxiter=args.maxiter, kernel=args.kernel
-        )
+        res = tpucg.cg_solve(A, b, x0, **kw)
     else:
         mesh = tpucg.make_mesh(args.devices)
         res = tpucg.sharded_cg_solve(
-            A, b, x0, mesh=mesh, tol=args.tol, maxiter=args.maxiter,
-            kernel=args.kernel, strategy=args.strategy,
+            A, b, x0, mesh=mesh, strategy=args.strategy, **kw
         )
     jax.block_until_ready(res.x)
     return res, time.perf_counter() - t0
@@ -172,45 +182,95 @@ def cmd_selftest(args) -> int:
     return 0
 
 
-def cmd_bench(args) -> int:
+def _build_bench_system(args, backend):
+    """Returns (label, operator-or-A, b, x0, n, nnz_per_row or None)."""
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.generator import poisson3d_csr
+    from tpucg.solver.operators import BsrOperator, DenseOperator, PoissonOperator
+    from tpucg.sparse.formats import csr_to_bsr
+
+    if args.operator == "dense":
+        A, b, x0 = tpucg.generate_spd_system(args.n, seed=0)
+        return "dense", A, b, x0, args.n, None
+    if args.operator not in ("poisson-ell", "poisson-bsr", "poisson-free"):
+        raise SystemExit(f"unknown operator {args.operator!r}")
+    # Sparse 3-D Poisson workloads (BASELINE.json config: n=m^3 Laplacian).
+    m = args.m
+    n = m ** 3
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    if args.operator == "poisson-free":
+        op = PoissonOperator(m=m)
+        import jax.numpy as jnp
+
+        b = np.asarray(op.matvec(jnp.asarray(x_true)))
+        return f"poisson-free m={m}", op, b, None, n, 7
+    csr = poisson3d_csr(m)
+    b = csr.matvec(x_true)
+    if args.operator == "poisson-bsr":
+        bs = 8 if n % 8 == 0 else 4
+        return f"poisson-bsr m={m}", csr_to_bsr(csr, bs), b, None, n, 7
+    return f"poisson-ell m={m}", csr, b, None, n, 7
+
+
+def _bench_one(args, strategy, backend):
+    import contextlib
+
     import jax
     import numpy as np
 
     import tpucg
     from tpucg.bench.timing import BenchReport, time_fn, time_matvec_loop
-    from tpucg.kernels.dispatch import resolve_backend
-    from tpucg.solver.operators import DenseOperator
+    from tpucg.solver.operators import DenseOperator, as_operator
 
-    backend = resolve_backend(args.kernel)
-    n = args.n
     t_total0 = time.perf_counter()
-    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+    label, A, b, x0, n, nnz_per_row = _build_bench_system(args, backend)
 
+    profile_cm = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+    kw = dict(tol=args.tol, method=args.method,
+              precondition=args.precondition, kernel=args.kernel)
     t0 = time.perf_counter()
-    if args.strategy == "serial":
-        op = DenseOperator.create(A, backend=backend)
-        bj = jax.device_put(jax.numpy.asarray(b))
-        x0j = jax.device_put(jax.numpy.asarray(x0))
-        jax.block_until_ready(op.A)
+    if strategy == "serial":
+        op = as_operator(A, backend=backend)
+        bj = jax.device_put(jax.numpy.asarray(b, jax.numpy.float32))
+        x0j = (
+            jax.device_put(jax.numpy.asarray(x0))
+            if x0 is not None else None
+        )
+        jax.tree_util.tree_map(jax.block_until_ready, (op, bj))
         distribute_s = time.perf_counter() - t0
-        solve = lambda: tpucg.cg_solve(op, bj, x0j, tol=args.tol)
+        solve = lambda: tpucg.cg_solve(op, bj, x0j, maxiter=4 * n, **kw)
     else:
+        if args.operator != "dense":
+            raise SystemExit("sharded bench currently runs the dense operator")
         mesh = tpucg.make_mesh(args.devices)
         distribute_s = time.perf_counter() - t0
         solve = lambda: tpucg.sharded_cg_solve(
-            A, b, x0, mesh=mesh, strategy=args.strategy, kernel=args.kernel,
-            tol=args.tol,
+            A, b, x0, mesh=mesh, strategy=strategy, maxiter=4 * n, **kw
         )
 
-    res = solve()
-    solve_s = time_fn(lambda: solve().x, warmup=1, iters=args.repeats)
-    matvec_s = None
-    if args.strategy == "serial":
-        v0 = (
-            bj if op.padded_n == n
-            else jax.numpy.pad(bj, (0, op.padded_n - n))
+    with profile_cm:
+        res = solve()
+        jax.block_until_ready(res.x)
+        solve_s = time_fn(
+            lambda: solve().x, warmup=1, iters=args.repeats, reduce="median"
         )
-        matvec_s = time_matvec_loop(lambda o, v: o.matvec(v), op, v0, steps=32)
+    matvec_s = None
+    if strategy == "serial":
+        from tpucg.bench.timing import auto_steps
+
+        npad = op.padded_n
+        v0 = jax.numpy.ones(npad, jax.numpy.float32)
+        matvec_s = time_matvec_loop(
+            lambda o, v: o.matvec(v), op, v0,
+            steps=auto_steps(npad) if args.operator == "dense" else 64,
+        )
     report = BenchReport(
         n=n,
         iterations=int(res.iterations),
@@ -219,13 +279,36 @@ def cmd_bench(args) -> int:
         solve_s=solve_s,
         total_s=time.perf_counter() - t_total0,
         matvec_s=matvec_s,
-        strategy=args.strategy,
+        nnz=(nnz_per_row * n if nnz_per_row else None),
+        strategy=f"{strategy}/{label}/{args.method}",
         backend=backend,
     ).finalize()
-    if args.json:
-        print(report.to_json())
-    else:
-        print(report.pretty())
+    if args.operator != "dense":
+        # Dense roofline accounting (n^2 bytes) does not apply to sparse ops.
+        report.matvec_gbps = None
+        report.roofline_frac = None
+    return report
+
+
+def cmd_bench(args) -> int:
+    from tpucg.kernels.dispatch import resolve_backend
+
+    backend = resolve_backend(args.kernel)
+    if args.compare_strategies:
+        # The reference repo's entire research question — collective vs
+        # hand-rolled p2p communication (results.xlsx; SURVEY.md §6) — as one
+        # flag: run both sharded arms plus serial and print all three.
+        reports = [
+            _bench_one(args, s, backend)
+            for s in ("serial", "allgather", "overlap")
+        ]
+        for rep in reports:
+            print(rep.to_json() if args.json else rep.pretty())
+            if not args.json:
+                print("-" * 60)
+        return 0
+    report = _bench_one(args, args.strategy, backend)
+    print(report.to_json() if args.json else report.pretty())
     return 0
 
 
@@ -282,9 +365,20 @@ def build_parser() -> argparse.ArgumentParser:
     pt.set_defaults(fn=cmd_selftest)
 
     pb = sub.add_parser("bench", help="three-phase timing + roofline report")
-    pb.add_argument("--n", type=int, default=4096)
+    pb.add_argument("--n", type=int, default=4096,
+                    help="dense system size")
+    pb.add_argument("--m", type=int, default=64,
+                    help="Poisson grid edge (n = m^3) for sparse operators")
+    pb.add_argument("--operator", default="dense",
+                    choices=("dense", "poisson-ell", "poisson-bsr",
+                             "poisson-free"))
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--json", action="store_true")
+    pb.add_argument("--compare-strategies", action="store_true",
+                    help="run serial + allgather + overlap (the reference's "
+                         "collective-vs-p2p A/B experiment)")
+    pb.add_argument("--profile", default=None, metavar="DIR",
+                    help="write an XLA profiler trace of the solve to DIR")
     _add_solver_flags(pb)
     pb.set_defaults(fn=cmd_bench)
 

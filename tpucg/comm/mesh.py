@@ -20,6 +20,33 @@ ROWS_AXIS = "rows"
 COLS_AXIS = "cols"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (one process per host on a pod slice).
+
+    The reference's MPI_Init role (``parallel_cg.c:76``) for the multi-host
+    case: after this, ``jax.devices()`` spans every host's chips and the same
+    ``make_mesh``/``shard_map`` code runs with psum/all_gather riding ICI
+    within a slice and DCN across slices. On Cloud TPU the arguments are
+    auto-detected from the metadata server; pass them explicitly elsewhere.
+    No-op if already initialized.
+    """
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
 def make_mesh2d(
     rows: int,
     cols: int,
