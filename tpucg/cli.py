@@ -25,8 +25,11 @@ from typing import Optional
 
 
 def _add_solver_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--tol", type=float, default=1.0e-6,
-                   help="absolute residual tolerance (reference EPSILON)")
+    p.add_argument("--tol", type=float, default=None,
+                   help="absolute residual tolerance (default: the reference "
+                        "EPSILON 1e-6; bench scales sparse defaults to ||b|| "
+                        "since f32 CG cannot reach 1e-6 absolute on "
+                        "large-norm systems)")
     p.add_argument("--maxiter", type=int, default=None,
                    help="iteration cap (default: n, the reference's ROWS cap)")
     p.add_argument("--strategy", default="serial",
@@ -54,7 +57,8 @@ def _solve_args(args, A, b, x0):
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     kw = dict(
-        tol=args.tol, maxiter=args.maxiter, kernel=args.kernel,
+        tol=args.tol if args.tol is not None else 1.0e-6,
+        maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
     )
     t0 = time.perf_counter()
@@ -233,7 +237,15 @@ def _bench_one(args, strategy, backend):
         if args.profile
         else contextlib.nullcontext()
     )
-    kw = dict(tol=args.tol, method=args.method,
+    if args.tol is not None:
+        tol = args.tol
+    elif args.operator == "dense":
+        tol = 1.0e-6  # reference EPSILON; unit-scale generator systems
+    else:
+        # Large-norm sparse systems: absolute 1e-6 is below the f32 residual
+        # floor (O(eps * kappa * ||b||)) and would spin to the iteration cap.
+        tol = 1.0e-5 * float(np.linalg.norm(b))
+    kw = dict(tol=tol, method=args.method,
               precondition=args.precondition, kernel=args.kernel)
     t0 = time.perf_counter()
     if strategy == "serial":
