@@ -10,6 +10,15 @@ generateSPDmatrix.m-style random dense SPD, float32, tol 1e-6 — solved here
 as one jitted while_loop with the Pallas GEMV on a single TPU chip.
 ``vs_baseline`` is the speedup factor (baseline seconds / our seconds).
 
+Methodology: the headline value is steady-state per-solve time, measured by
+chaining K full CG solves inside ONE dispatched program (a traced zero makes
+each solve data-depend on the previous, so XLA cannot CSE them) and
+differencing two chain lengths — this cancels the remote-tunnel's ~20-30 ms
+per-dispatch round trip, mirroring how the reference fences only its CG phase
+with MPI_Wtime (parallel_cg.c:278-279) and not process overheads. The
+single-dispatch end-to-end time (RTT included) is reported alongside on
+stderr.
+
 Diagnostics (roofline, phase split) go to stderr.
 """
 
@@ -48,7 +57,19 @@ def main():
     res = solve()  # compile + first run
     iters = int(res.iterations)
     rnorm = float(res.residual_norm)
-    solve_s = time_fn(lambda: solve().x, warmup=1, iters=5)
+    solve_e2e_s = time_fn(lambda: solve().x, warmup=1, iters=5)
+
+    # Steady-state per-solve time: chain K data-dependent solves in one
+    # dispatch and difference two chain lengths (see module docstring).
+    from tpucg.bench.timing import hbm_peak_bytes_per_s, time_solve_chain
+
+    npad = op.padded_n
+    b_pad = bj if npad == N else jax.numpy.pad(bj, (0, npad - N))
+    x0_pad = x0j if npad == N else jax.numpy.pad(x0j, (0, npad - N))
+    est = iters * 4.0 * npad ** 2 / hbm_peak_bytes_per_s()
+    solve_s = time_solve_chain(
+        op, b_pad, x0_pad, maxiter=N, blas_backend=backend, est_solve_s=est
+    )
 
     # Isolated hot-kernel timing for the roofline number (dispatch-corrected).
     from tpucg.bench.timing import auto_steps, time_matvec_loop
@@ -71,6 +92,10 @@ def main():
         backend=backend,
     ).finalize()
     print(report.pretty(), file=sys.stderr)
+    print(
+        f"solve (single dispatch, tunnel RTT incl.): {solve_e2e_s:.6f} s",
+        file=sys.stderr,
+    )
 
     baseline = BASELINE_S.get(N)
     out = {

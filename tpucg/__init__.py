@@ -18,7 +18,7 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 """
 
 from tpucg.config import CGConfig
-from tpucg.solver.cg import CGResult, cg_solve
+from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
 from tpucg.solver.checkpoint import cg_solve_checkpointed
 from tpucg.solver.sharded import sharded_cg_solve, sharded_operator_cg_solve
 from tpucg.solver.operators import (
@@ -38,6 +38,7 @@ __all__ = [
     "CGConfig",
     "CGResult",
     "cg_solve",
+    "cg_solve_multi",
     "cg_solve_checkpointed",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",

@@ -39,24 +39,39 @@ def hbm_peak_bytes_per_s(device: Optional[jax.Device] = None) -> float:
     return HBM_PEAK_BYTES_PER_S
 
 
+def _sync(result, fetch: bool):
+    """Completion barrier for a timed call.
+
+    ``fetch=True`` pulls the result to host (jax.device_get). This is
+    load-bearing on remote-TPU tunnels: ``block_until_ready`` there can ack at
+    dispatch time while execution backlogs server-side — observed as 0.2 ms
+    "solves" whose data then took seconds to fetch. Device-to-host copy is the
+    only barrier that provably waits for the computation.
+    """
+    if fetch:
+        return jax.device_get(result)
+    return jax.block_until_ready(result)
+
+
 def time_fn(
     fn: Callable,
     *args,
     warmup: int = 1,
     iters: int = 5,
     reduce: str = "min",
+    fetch: bool = True,
 ) -> float:
-    """Wall-clock seconds per call of ``fn(*args)``, fully synchronized.
-
-    Warmup triggers compilation; ``min`` over repeats rejects tunnel/host
-    noise (the remote-TPU dispatch path adds multi-ms jitter per call).
+    """Wall-clock seconds per call of ``fn(*args)``, fully synchronized
+    (including a result fetch — see ``_sync``; keep returned results small or
+    the transfer dominates). ``min``/``median`` over repeats rejects
+    tunnel/host noise (the remote-TPU dispatch path adds multi-ms jitter).
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args), fetch)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args), fetch)
         times.append(time.perf_counter() - t0)
     times.sort()
     if reduce == "min":
@@ -66,6 +81,68 @@ def time_fn(
     if reduce == "mean":
         return sum(times) / len(times)
     raise ValueError(f"unknown reduce {reduce!r}")
+
+
+def time_solve_chain(
+    op,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    tol: float = 1.0e-6,
+    maxiter: int,
+    blas_backend: str = "xla",
+    klo: int = 1,
+    khi: Optional[int] = None,
+    iters: int = 5,
+    est_solve_s: Optional[float] = None,
+    target_s: float = 0.05,
+) -> float:
+    """Steady-state seconds per CG solve, dispatch-corrected.
+
+    Chains K full solves inside one jitted program — each made data-dependent
+    on the previous via a traced runtime zero (so XLA cannot CSE them) — and
+    differences two chain lengths. Host dispatch, tunnel RTT, and the result
+    fetch cancel, mirroring the reference's practice of fencing only the CG
+    phase (``parallel_cg.c:278-279``). ``b``/``x0`` must already be padded to
+    ``op.padded_n``.
+
+    ``khi`` defaults so the extra chained work is ~``target_s`` (needs
+    ``est_solve_s``, e.g. iterations x the matvec roofline estimate) — too
+    short a chain differences two noisy ~25 ms round trips and returns
+    garbage at small n.
+    """
+    if khi is None:
+        if est_solve_s and est_solve_s > 0:
+            khi = klo + int(min(max(target_s / est_solve_s, 8), 256))
+        else:
+            khi = klo + 8
+    import functools
+
+    import jax.numpy as jnp
+
+    from tpucg.kernels.blas1 import dot_xla, fused_update
+    from tpucg.solver.cg import cg_loop
+
+    @functools.partial(jax.jit, static_argnames=("k", "maxiter"))
+    def chain(op, b, x0, eps, k, maxiter):
+        update = functools.partial(fused_update, backend=blas_backend)
+
+        def body(_, carry):
+            x, acc = carry
+            bj = b + eps * x  # eps == 0 at runtime; traced -> no CSE
+            s = cg_loop(op.matvec, dot_xla, update, bj, x0,
+                        tol=tol, maxiter=maxiter)
+            return s.x, acc + s.k
+
+        x, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
+        return x
+
+    eps = jnp.float32(0.0)
+    t_lo = time_fn(chain, op, b, x0, eps, klo, maxiter,
+                   warmup=1, iters=iters)
+    t_hi = time_fn(chain, op, b, x0, eps, khi, maxiter,
+                   warmup=1, iters=iters)
+    return max((t_hi - t_lo) / (khi - klo), 1e-9)
 
 
 def auto_steps(n: int, target_s: float = 0.05, peak=None) -> int:
@@ -93,9 +170,11 @@ def time_matvec_loop(
     host/transport overhead, which swamps a sub-ms kernel. This times a jitted
     power-iteration chain (y = A v / ||A v||, data-dependent so XLA cannot
     elide steps) at two step counts and divides the difference — overhead
-    cancels, leaving pure on-device kernel time. ``operand`` (e.g. the matrix,
-    or any operator pytree) is a real argument, not a closure capture — a
-    captured 256 MB constant would be inlined into the compile payload.
+    (dispatch, RTT, and the result fetch that ``time_fn`` now performs as its
+    completion barrier) cancels, leaving pure on-device kernel time.
+    ``operand`` (e.g. the matrix, or any operator pytree) is a real argument,
+    not a closure capture — a captured 256 MB constant would be inlined into
+    the compile payload.
     """
     import functools
 

@@ -255,6 +255,85 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha")
+)
+def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha):
+    def one(b, x0):
+        def update(x, r, p, ap, alpha):
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            return xn, rn, dot_xla(rn, rn)
+
+        precond = None if minv is None else (lambda r: minv * r)
+        s = cg_loop(
+            op.matvec, dot_xla, update, b, x0,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    # vmap over RHS columns: the per-lane GEMVs batch into one A @ P GEMM per
+    # lap, so A streams from HBM ONCE for all k systems — the bandwidth-bound
+    # solve amortizes k-fold. Lanes converge independently (each carries its
+    # own alpha/beta/done); the fused while_loop runs until all lanes finish.
+    x, k, rn, done = jax.vmap(one, in_axes=1, out_axes=(1, 0, 0, 0))(B, X0)
+    return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+
+
+def cg_solve_multi(
+    A,
+    B,
+    X0=None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Solve A X = B for k right-hand sides simultaneously (B is (n, k)).
+
+    An extension beyond the reference (one RHS per program run): the k CG
+    recurrences advance in lockstep under ``vmap``, turning the per-lap GEMV
+    into a GEMM that reads A once for all k systems. Fields of the result are
+    batched: ``x`` is (n, k); ``iterations``/``residual_norm``/``converged``
+    are (k,).
+    """
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg":
+        raise ValueError("cg_solve_multi supports method='cg' only")
+    backend = resolve_backend(config.kernel)
+    # The Pallas GEMV is single-vector; under vmap the XLA GEMM path is the
+    # right kernel anyway (MXU, HIGHEST precision).
+    op = as_operator(A, backend="xla")
+    n, npad = op.n, op.padded_n
+    B = jnp.asarray(B, jnp.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    X0 = (
+        jnp.zeros((n, k), jnp.float32)
+        if X0 is None
+        else jnp.asarray(X0, jnp.float32)
+    )
+    if X0.shape != (n, k):
+        raise ValueError(f"X0 must have shape ({n}, {k}), got {X0.shape}")
+    if npad != n:
+        B = jnp.pad(B, ((0, npad - n), (0, 0)))
+        X0 = jnp.pad(X0, ((0, npad - n), (0, 0)))
+    minv = None
+    if config.precondition == "jacobi":
+        d = op.diagonal()
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    maxiter = config.maxiter if config.maxiter is not None else n
+    res = _cg_multi_jit(
+        op, B, X0, minv, float(config.tol), int(maxiter),
+        bool(config.safe_alpha),
+    )
+    if npad != n:
+        res = res._replace(x=res.x[:n])
+    return res
+
+
 def cg_solve(
     A,
     b,
