@@ -93,3 +93,25 @@ def test_poisson_matrix_free_matches_csr():
     res = cg_solve(op, b)
     ox, _, _ = oracle_cg(csr.to_dense(), b, np.zeros(m**3, np.float32))
     np.testing.assert_allclose(np.asarray(res.x), ox, rtol=1e-3, atol=1e-4)
+
+
+def test_residual_history():
+    import numpy as np
+
+    import tpucg
+
+    n = 64
+    A, b, x0 = tpucg.generate_spd_system(n, seed=6)
+    res = tpucg.cg_solve(A, b, x0, record_residuals=True)
+    hist = np.asarray(res.residual_history)
+    k = int(res.iterations)
+    assert hist.shape == (n + 1,)
+    # entry 0 = ||r0||, entry k = final residual, NaN beyond.
+    assert abs(hist[0] - np.linalg.norm(b - A @ x0)) < 1e-4 * hist[0]
+    assert abs(hist[k] - float(res.residual_norm)) < 1e-9
+    assert np.all(np.isnan(hist[k + 1:]))
+    assert np.all(np.diff(np.log(hist[: k + 1])) < 0)  # monotone decrease here
+
+    plain = tpucg.cg_solve(A, b, x0)
+    assert plain.residual_history is None
+    np.testing.assert_array_equal(np.asarray(plain.x), np.asarray(res.x))

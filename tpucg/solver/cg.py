@@ -37,6 +37,9 @@ class CGResult(NamedTuple):
     iterations: jax.Array
     residual_norm: jax.Array
     converged: jax.Array
+    # ||r|| after each iteration (entry 0 = initial residual), NaN beyond the
+    # converged lap; only populated by record_residuals=True solves.
+    residual_history: Optional[jax.Array] = None
 
 
 class _State(NamedTuple):
@@ -47,11 +50,17 @@ class _State(NamedTuple):
     rsold: jax.Array
     rslast: jax.Array  # most recent r.r (tracked for reporting)
     done: jax.Array
+    # Optional (maxiter+1,) per-iteration ||r|| trace; None disables (the
+    # pytree structure is fixed per trace, so None costs nothing). The
+    # reference's only equivalent was the commented-out printer() dump
+    # (serialConjugate.c:252).
+    hist: Optional[jax.Array] = None
 
 
 def init_state(matvec: Callable, dot: Callable, b: jax.Array,
                x0: jax.Array, tol: float,
-               precond: Optional[Callable] = None) -> _State:
+               precond: Optional[Callable] = None,
+               hist_len: Optional[int] = None) -> _State:
     """CG initialization: r = p = b - A x0; rsold = r.r
     (reference ``serialConjugate.c:208-212``).
 
@@ -71,8 +80,13 @@ def init_state(matvec: Callable, dot: Callable, b: jax.Array,
     else:
         p0 = precond(r0)
         rs0 = dot(r0, p0)
+    hist = None
+    if hist_len is not None:
+        hist = jnp.full((hist_len + 1,), jnp.nan, r0.dtype)
+        hist = hist.at[0].set(jnp.sqrt(rr0))
     return _State(
-        k=jnp.int32(0), x=x0, r=r0, p=p0, rsold=rs0, rslast=rr0, done=done0
+        k=jnp.int32(0), x=x0, r=r0, p=p0, rsold=rs0, rslast=rr0, done=done0,
+        hist=hist,
     )
 
 
@@ -88,6 +102,7 @@ def cg_loop(
     safe_alpha: bool = True,
     state: Optional[_State] = None,
     precond: Optional[Callable] = None,
+    hist_len: Optional[int] = None,
 ) -> _State:
     """Generic CG while_loop. ``matvec``/``dot``/``update`` abstract the
     execution model: serial closures here; psum-reducing closures under
@@ -105,7 +120,9 @@ def cg_loop(
     residual: ``sqrt(r.r) < tol`` after the x/r update, before the p update.
     """
     if state is None:
-        state = init_state(matvec, dot, b, x0, tol, precond=precond)
+        state = init_state(
+            matvec, dot, b, x0, tol, precond=precond, hist_len=hist_len
+        )
     tol2 = jnp.asarray(tol, state.r.dtype) ** 2
 
     def cond(s: _State):
@@ -127,8 +144,13 @@ def cg_loop(
             rs_new = dot(r, z)
         p = jnp.where(done, s.p, z + (rs_new / s.rsold) * s.p)
         rsold = jnp.where(done, s.rsold, rs_new)
+        hist = (
+            None if s.hist is None
+            else s.hist.at[s.k + 1].set(jnp.sqrt(rr))
+        )
         return _State(
-            k=s.k + 1, x=x, r=r, p=p, rsold=rsold, rslast=rr, done=done
+            k=s.k + 1, x=x, r=r, p=p, rsold=rsold, rslast=rr, done=done,
+            hist=hist,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -220,10 +242,12 @@ def pipelined_cg_loop(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tol", "maxiter", "blas_backend", "safe_alpha", "method"),
+    static_argnames=(
+        "tol", "maxiter", "blas_backend", "safe_alpha", "method", "record",
+    ),
 )
 def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
-            method="cg"):
+            method="cg", record=False):
     matvec = op.matvec
     dot = dot_xla
     if method == "pipelined":
@@ -246,12 +270,14 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
     s = cg_loop(
         matvec, dot, update, b, x0,
         tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        hist_len=maxiter if record else None,
     )
     return CGResult(
         x=s.x,
         iterations=s.k,
         residual_norm=jnp.sqrt(s.rslast),
         converged=s.done,
+        residual_history=s.hist,
     )
 
 
@@ -339,6 +365,7 @@ def cg_solve(
     b,
     x0=None,
     config: Optional[CGConfig] = None,
+    record_residuals: bool = False,
     **overrides,
 ) -> CGResult:
     """Solve the SPD system A x = b on the current device.
@@ -346,6 +373,8 @@ def cg_solve(
     ``A`` may be a dense array, a ``CSRMatrix``/``EllMatrix``, or any
     ``LinearOperator``. Equivalent to running ``serialConjugate.c`` (same
     recurrence, tolerance, and iteration cap), jitted end-to-end.
+    ``record_residuals=True`` additionally returns the per-iteration ||r||
+    trace in ``result.residual_history``.
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -383,9 +412,11 @@ def cg_solve(
     if config.precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
+    if record_residuals and config.method != "cg":
+        raise ValueError("record_residuals requires method='cg'")
     res = _cg_jit(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
-        bool(config.safe_alpha), config.method,
+        bool(config.safe_alpha), config.method, bool(record_residuals),
     )
     if npad != n:
         res = res._replace(x=res.x[:n])
