@@ -1,6 +1,7 @@
 """Sparse container round trips and the Poisson generator."""
 
 import numpy as np
+import pytest
 
 from tpucg.io.generator import poisson3d_csr
 from tpucg.sparse.formats import COOMatrix, csr_to_ell
@@ -88,3 +89,57 @@ def test_cg_solve_accepts_bsr():
     r = tpucg.cg_solve(bsr, b, tol=tol, maxiter=10 * n)
     assert bool(r.converged)
     np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-3)
+
+
+def test_csr_to_dia_round_trip():
+    from tpucg.sparse.formats import csr_to_dia
+
+    csr = poisson3d_csr(4)
+    dia = csr_to_dia(csr)
+    assert dia.ndiag == 7
+    assert set(dia.offsets.tolist()) == {-16, -4, -1, 0, 1, 4, 16}
+    np.testing.assert_allclose(dia.to_dense(), csr.to_dense())
+    x = np.arange(csr.shape[0], dtype=np.float32)
+    np.testing.assert_allclose(dia.matvec(x), csr.matvec(x), rtol=1e-6)
+
+
+def test_dia_operator_spmv_and_solve():
+    import jax.numpy as jnp
+
+    import tpucg
+    from tpucg.solver.operators import DiaOperator
+    from tpucg.sparse.formats import csr_to_dia
+
+    csr = poisson3d_csr(6)
+    n = csr.shape[0]
+    dia = csr_to_dia(csr)
+    op = DiaOperator.from_dia(dia)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), csr.matvec(x),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(op.diagonal()), 6.0)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    r = tpucg.cg_solve(dia, b, tol=tol, maxiter=4 * n,
+                       precondition="jacobi")
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-3)
+
+
+def test_dia_rejects_unbanded():
+    from tpucg.sparse.formats import csr_to_dia
+
+    rng = np.random.default_rng(1)
+    n = 64
+    coo = COOMatrix(
+        row=rng.integers(0, n, 200),
+        col=rng.integers(0, n, 200),
+        data=rng.random(200).astype(np.float32),
+        shape=(n, n),
+    )
+    with pytest.raises(ValueError, match="diagonals"):
+        csr_to_dia(coo.to_csr(), max_diags=8)

@@ -24,6 +24,7 @@ from tpucg.solver.sharded import sharded_cg_solve, sharded_operator_cg_solve
 from tpucg.solver.operators import (
     BsrOperator,
     DenseOperator,
+    DiaOperator,
     EllOperator,
     LinearOperator,
     PoissonOperator,
@@ -45,6 +46,7 @@ __all__ = [
     "LinearOperator",
     "BsrOperator",
     "DenseOperator",
+    "DiaOperator",
     "EllOperator",
     "PoissonOperator",
     "load_matrix",

@@ -198,7 +198,9 @@ def _build_bench_system(args, backend):
     if args.operator == "dense":
         A, b, x0 = tpucg.generate_spd_system(args.n, seed=0)
         return "dense", A, b, x0, args.n, None
-    if args.operator not in ("poisson-ell", "poisson-bsr", "poisson-free"):
+    if args.operator not in (
+        "poisson-ell", "poisson-bsr", "poisson-dia", "poisson-free"
+    ):
         raise SystemExit(f"unknown operator {args.operator!r}")
     # Sparse 3-D Poisson workloads (BASELINE.json config: n=m^3 Laplacian).
     m = args.m
@@ -216,6 +218,10 @@ def _build_bench_system(args, backend):
     if args.operator == "poisson-bsr":
         bs = 8 if n % 8 == 0 else 4
         return f"poisson-bsr m={m}", csr_to_bsr(csr, bs), b, None, n, 7
+    if args.operator == "poisson-dia":
+        from tpucg.sparse.formats import csr_to_dia
+
+        return f"poisson-dia m={m}", csr_to_dia(csr), b, None, n, 7
     return f"poisson-ell m={m}", csr, b, None, n, 7
 
 
@@ -383,7 +389,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Poisson grid edge (n = m^3) for sparse operators")
     pb.add_argument("--operator", default="dense",
                     choices=("dense", "poisson-ell", "poisson-bsr",
-                             "poisson-free"))
+                             "poisson-dia", "poisson-free"))
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--json", action="store_true")
     pb.add_argument("--compare-strategies", action="store_true",

@@ -9,8 +9,14 @@ each vector — HBM traffic, not FLOPs, is the TPU bottleneck).
 
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.kernels.matvec import matvec, matvec_pallas, matvec_xla, MATVEC_ALIGN
-from tpucg.kernels.blas1 import dot_pallas, fused_update, fused_update_pallas
-from tpucg.kernels.spmv import ell_spmv
+from tpucg.kernels.blas1 import (
+    dot_pallas,
+    dot_xla,
+    fused_update,
+    fused_update_pallas,
+)
+from tpucg.kernels.spmv import bsr_ell_spmv, dia_spmv, ell_spmv
+from tpucg.kernels.stencil import poisson3d_pallas, stencil_supported
 
 __all__ = [
     "resolve_backend",
@@ -19,7 +25,12 @@ __all__ = [
     "matvec_xla",
     "MATVEC_ALIGN",
     "dot_pallas",
+    "dot_xla",
     "fused_update",
     "fused_update_pallas",
     "ell_spmv",
+    "bsr_ell_spmv",
+    "dia_spmv",
+    "poisson3d_pallas",
+    "stencil_supported",
 ]

@@ -23,6 +23,32 @@ def ell_spmv(values: jax.Array, indices: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.sum(values * gathered, axis=1)
 
 
+def dia_spmv(
+    data: jax.Array, offsets: tuple, x: jax.Array
+) -> jax.Array:
+    """DIA SpMV: y[i] = sum_d data[d, i] * x[i + offsets[d]].
+
+    ``offsets`` is a static tuple, so each diagonal lowers to a statically
+    shifted (pad + slice) multiply-add — pure VPU streaming, no gather. This
+    is the fast path for banded matrices on TPU (the scalar-gather ELL SpMV
+    measures ~500x slower for the 7-point Poisson at n=64^3).
+    """
+    n = x.shape[0]
+    y = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        if off == 0:
+            y = y + data[d] * x
+        elif off > 0:
+            # column i+off: x shifted left by off, zero-padded at the tail.
+            xs = jnp.concatenate([x[off:], jnp.zeros((off,), x.dtype)])
+            y = y + data[d] * xs
+        else:
+            k = -off
+            xs = jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
+            y = y + data[d] * xs
+    return y
+
+
 def bsr_ell_spmv(
     values: jax.Array, indices: jax.Array, x: jax.Array
 ) -> jax.Array:

@@ -20,8 +20,14 @@ import numpy as np
 
 from tpucg.io.partitioner import round_up
 from tpucg.kernels.matvec import MATVEC_ALIGN, matvec
-from tpucg.kernels.spmv import bsr_ell_spmv, ell_spmv
-from tpucg.sparse.formats import BSRMatrix, CSRMatrix, EllMatrix, csr_to_ell
+from tpucg.kernels.spmv import bsr_ell_spmv, dia_spmv, ell_spmv
+from tpucg.sparse.formats import (
+    BSRMatrix,
+    CSRMatrix,
+    DIAMatrix,
+    EllMatrix,
+    csr_to_ell,
+)
 
 
 class LinearOperator:
@@ -131,6 +137,37 @@ class EllOperator(LinearOperator):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class DiaOperator(LinearOperator):
+    """Diagonal-storage banded operator (device form of DIA).
+
+    The TPU-fast general sparse path: SpMV is a static shift-and-add per
+    diagonal (see ``kernels.spmv.dia_spmv``), no gather. Offsets are static
+    metadata so XLA sees fixed pad/slice shapes.
+    """
+
+    data: jax.Array  # (ndiag, n)
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_dia(cls, dia: DIAMatrix) -> "DiaOperator":
+        return cls(
+            data=jnp.asarray(dia.data),
+            offsets=tuple(int(o) for o in dia.offsets),
+            n=dia.shape[0],
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return dia_spmv(self.data, self.offsets, x)
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros(self.n, self.data.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BsrOperator(LinearOperator):
     """Block-ELL sparse operator (device form of BSR).
 
@@ -187,18 +224,33 @@ class BsrOperator(LinearOperator):
 class PoissonOperator(LinearOperator):
     """Matrix-free 3-D 7-point Laplacian on an m^3 grid (Dirichlet).
 
-    Identical to ``tpucg.io.generator.poisson3d_csr`` but applied as a stencil:
-    6*u - sum(in-grid neighbors), no gather, no stored matrix — the
-    speed-of-light form on TPU (pure VPU + HBM streaming of u).
+    Identical to ``tpucg.io.generator.poisson3d_csr`` but applied as a
+    stencil: 6*u - sum(in-grid neighbors), no gather, no stored matrix — the
+    speed-of-light form on TPU. When the grid is lane-tileable the matvec is
+    the single-pass Pallas kernel (``kernels.stencil``); otherwise the XLA
+    concat form (which materializes shifted temporaries, ~6x more traffic).
     """
 
     m: int = dataclasses.field(metadata=dict(static=True))
+    kernel: str = dataclasses.field(default="auto", metadata=dict(static=True))
 
     @property
     def n(self) -> int:  # type: ignore[override]
         return self.m ** 3
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        from tpucg.kernels.stencil import poisson3d_pallas, stencil_supported
+
+        if self.kernel in ("auto", "pallas") and stencil_supported(self.m):
+            return poisson3d_pallas(x, self.m)
+        if self.kernel == "pallas":
+            raise ValueError(
+                f"pallas stencil unsupported for m={self.m} "
+                "(needs (m*m) % 128 == 0)"
+            )
+        return self._matvec_xla(x)
+
+    def _matvec_xla(self, x: jax.Array) -> jax.Array:
         m = self.m
         u = x.reshape(m, m, m)
         y = 6.0 * u
@@ -231,6 +283,8 @@ def as_operator(A, backend: str = "xla", dtype=np.float32) -> LinearOperator:
         return EllOperator.from_ell(A)
     if isinstance(A, BSRMatrix):
         return BsrOperator.from_bsr(A)
+    if isinstance(A, DIAMatrix):
+        return DiaOperator.from_dia(A)
     arr = np.asarray(A) if not isinstance(A, jax.Array) else A
     if arr.ndim == 2:
         return DenseOperator.create(arr, backend=backend, dtype=dtype)
