@@ -25,10 +25,14 @@ REF_SERIAL_S = {512: 0.005, 1024: 0.016, 2048: 0.039, 4096: 0.186, 8192: 0.562}
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="512,1024,2048,4096,8192")
+    ap.add_argument("--sparse-grids", default="64,128",
+                    help="Poisson grid edges for the sparse section "
+                         "('' disables)")
     ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    grids = [int(s) for s in args.sparse_grids.split(",") if s]
 
     import jax
     import numpy as np
@@ -91,6 +95,37 @@ def main():
               f"matvec {gbps:.0f} GB/s ({100*roof:.0f}%), "
               f"[{time.time()-t0:.0f}s]", flush=True)
 
+    # Sparse section: the 3-D 7-point Poisson matvec through each operator
+    # family (BASELINE.json config 3: n = m^3 Laplacian on one chip).
+    sparse_rows = []
+    for m in grids:
+        from tpucg.io.generator import poisson3d_csr
+        from tpucg.solver.operators import DiaOperator, PoissonOperator
+        from tpucg.sparse.formats import csr_to_dia
+
+        n = m ** 3
+        v = jax.numpy.ones(n, jax.numpy.float32)
+        variants = [
+            ("stencil-pallas", PoissonOperator(m=m), 512),
+            ("stencil-xla", PoissonOperator(m=m, kernel="xla"), 256),
+        ]
+        if m <= 64:  # DIA host conversion at m=128 costs minutes; skip
+            variants.append(
+                ("dia", DiaOperator.from_dia(csr_to_dia(poisson3d_csr(m))),
+                 128),
+            )
+        for label, sop, steps in variants:
+            s = time_matvec_loop(
+                lambda o, u: o.matvec(u), sop, v, steps=steps
+            )
+            sparse_rows.append(dict(
+                m=m, n=n, op=label, matvec_us=s * 1e6,
+                gnnz_per_s=7 * n / s / 1e9,
+                eff_gbps=8 * n / s / 1e9,
+            ))
+            print(f"m={m} {label}: {s*1e6:.1f} us, "
+                  f"{7*n/s/1e9:.1f} Gnnz/s", flush=True)
+
     lines = [
         "# RESULTS — tpucg vs reference (dense serial CG)",
         "",
@@ -134,6 +169,24 @@ def main():
         "`__graft_entry__.dryrun_multichip`; on-chip A/B timing requires a "
         "multi-chip slice.",
     ]
+    if sparse_rows:
+        lines += [
+            "",
+            "## Sparse matvec — 3-D 7-point Poisson (n = m^3)",
+            "",
+            "The reference has no sparse support; these are tpucg extensions "
+            "(BASELINE.json config 3). `stencil-pallas` is the single-pass "
+            "fused Pallas kernel; `stencil-xla` the concat fallback; `dia` "
+            "the gather-free diagonal-storage SpMV.",
+            "",
+            "| m | n | operator | matVec (us) | Gnnz/s | effective GB/s |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in sparse_rows:
+            lines.append(
+                f"| {r['m']} | {r['n']} | {r['op']} | {r['matvec_us']:.1f} "
+                f"| {r['gnnz_per_s']:.1f} | {r['eff_gbps']:.0f} |"
+            )
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
@@ -141,7 +194,9 @@ def main():
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(out.replace(".md", ".json"), "w") as f:
-        json.dump(dict(device=device, rows=rows), f, indent=1)
+        json.dump(
+            dict(device=device, rows=rows, sparse=sparse_rows), f, indent=1
+        )
     print(f"wrote {out}")
 
 

@@ -92,3 +92,54 @@ def test_ell_sharded_matches_serial():
     np.testing.assert_allclose(
         np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
     )
+
+
+def test_poisson_slab_pallas_matches_xla():
+    # m=16 grid: lane-tileable so the sharded path uses the Pallas slab
+    # kernel; cross-check against a solve forced down the XLA fallback by a
+    # non-tileable grid is covered above — here compare directly to the
+    # serial operator.
+    m = 16
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(4)
+    x_true = rng.standard_normal(m ** 3).astype(np.float32)
+    b = np.asarray(op.matvec(jnp.asarray(x_true)))
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    sh = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    assert bool(sh.converged)
+    assert int(sh.iterations) == int(ser.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_poisson_slab_kernel_direct():
+    from tpucg.kernels.stencil import poisson3d_slab_pallas
+
+    m, P = 16, 4
+    mp = m // P
+    op = PoissonOperator(m=m, kernel="xla")
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal((m, m, m)).astype(np.float32)
+    y_ref = np.asarray(op.matvec(jnp.asarray(u.reshape(-1)))).reshape(m, m, m)
+    for d in range(P):
+        slab = u[d * mp:(d + 1) * mp]
+        lo = (
+            u[d * mp - 1:d * mp] if d > 0
+            else np.zeros((1, m, m), np.float32)
+        )
+        hi = (
+            u[(d + 1) * mp:(d + 1) * mp + 1] if d < P - 1
+            else np.zeros((1, m, m), np.float32)
+        )
+        y = np.asarray(poisson3d_slab_pallas(
+            jnp.asarray(slab.reshape(mp, m * m)),
+            jnp.asarray(lo.reshape(1, m * m)),
+            jnp.asarray(hi.reshape(1, m * m)),
+            m,
+        ))
+        np.testing.assert_allclose(
+            y.reshape(mp, m, m), y_ref[d * mp:(d + 1) * mp],
+            rtol=1e-5, atol=1e-5,
+        )

@@ -65,6 +65,68 @@ def _poisson_kernel(m: int, u_ref, y_ref):
     y_ref[...] = acc
 
 
+def slab_supported(m: int, mp: int) -> bool:
+    """Slab variant fits when the lane tiling holds and ~5 slab-sized arrays
+    fit VMEM (u, y, two shifted temporaries, masks)."""
+    return (m * m) % 128 == 0 and mp >= 1 and 5 * (mp + 2) * m * m * 4 <= 10**8
+
+
+def _poisson_slab_kernel(m: int, lo_ref, u_ref, hi_ref, y_ref):
+    mm = m * m
+    u = u_ref[...]       # (mp, mm) — this device's x-planes
+    lo = lo_ref[...]     # (1, mm) plane below (zeros at the domain edge)
+    hi = hi_ref[...]     # (1, mm) plane above
+    mp = u.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (mp, mm), 1)
+    z_id = lane % m
+    y_id = lane // m
+    zero = jnp.zeros((), u.dtype)
+
+    acc = 6.0 * u
+    acc = acc - jnp.concatenate([u[1:], hi], axis=0)   # x+1
+    acc = acc - jnp.concatenate([lo, u[:-1]], axis=0)  # x-1
+    zcols_m = jnp.zeros((mp, m), u.dtype)
+    acc = acc - jnp.where(
+        y_id == m - 1, zero, jnp.concatenate([u[:, m:], zcols_m], axis=1)
+    )
+    acc = acc - jnp.where(
+        y_id == 0, zero, jnp.concatenate([zcols_m, u[:, :-m]], axis=1)
+    )
+    zcol_1 = jnp.zeros((mp, 1), u.dtype)
+    acc = acc - jnp.where(
+        z_id == m - 1, zero, jnp.concatenate([u[:, 1:], zcol_1], axis=1)
+    )
+    acc = acc - jnp.where(
+        z_id == 0, zero, jnp.concatenate([zcol_1, u[:, :-1]], axis=1)
+    )
+    y_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def poisson3d_slab_pallas(
+    u_slab: jax.Array, halo_lo: jax.Array, halo_hi: jax.Array, m: int
+) -> jax.Array:
+    """Slab-local stencil for the distributed solver: ``u_slab`` is this
+    device's (mp, m*m) planes; the halo planes come from the ppermute ring
+    (``solver.sharded._poisson_halo_matvec``) and already carry zeros at the
+    global Dirichlet edges, so the kernel needs no boundary masks in x.
+    """
+    mp = u_slab.shape[0]
+    if not slab_supported(m, mp):
+        raise ValueError(f"slab stencil unsupported for m={m}, mp={mp}")
+    mm = m * m
+    return pl.pallas_call(
+        functools.partial(_poisson_slab_kernel, m),
+        out_shape=jax.ShapeDtypeStruct((mp, mm), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * mp * mm,
+            bytes_accessed=2 * 4 * mp * mm,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(halo_lo.reshape(1, mm), u_slab, halo_hi.reshape(1, mm))
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def poisson3d_pallas(u_flat: jax.Array, m: int) -> jax.Array:
     """y = A u for the 3-D 7-point Dirichlet Laplacian, one fused pass."""

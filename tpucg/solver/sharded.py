@@ -291,14 +291,24 @@ def _poisson_halo_matvec(m: int, mp: int, axis: str, num: int):
     (``parallel_cg.c:290-291``). Unpaired edge devices receive zeros from
     ppermute — exactly the Dirichlet boundary condition.
     """
+    from tpucg.kernels.stencil import poisson3d_slab_pallas, slab_supported
+
     down = [(j, j + 1) for j in range(num - 1)]  # d sends its last plane to d+1
     up = [(j + 1, j) for j in range(num - 1)]    # d sends its first plane to d-1
+    use_pallas = slab_supported(m, mp)
 
     def mv(u_flat):
         u = u_flat.reshape(mp, m, m)
         halo_lo = jax.lax.ppermute(u[-1:], axis, down)  # plane (d*mp - 1)
         halo_hi = jax.lax.ppermute(u[:1], axis, up)     # plane ((d+1)*mp)
-        # In-slab y/z stencil (independent of the halos -> overlaps them).
+        if use_pallas:
+            # Single fused in-VMEM pass; the ppermute halos land as (1, m*m)
+            # rows carrying zeros at the global edges (Dirichlet for free).
+            return poisson3d_slab_pallas(
+                u_flat.reshape(mp, m * m), halo_lo, halo_hi, m
+            ).reshape(-1)
+        # XLA fallback: in-slab y/z stencil (independent of the halos ->
+        # overlaps them), then the x-direction via the extended slab.
         y = 6.0 * u
         zeros = jnp.zeros_like(u[:, :1])
         y = y - jnp.concatenate([u[:, 1:], zeros], axis=1)
@@ -306,7 +316,6 @@ def _poisson_halo_matvec(m: int, mp: int, axis: str, num: int):
         zeros = jnp.zeros_like(u[:, :, :1])
         y = y - jnp.concatenate([u[:, :, 1:], zeros], axis=2)
         y = y - jnp.concatenate([zeros, u[:, :, :-1]], axis=2)
-        # x-direction needs the halos.
         u_ext = jnp.concatenate([halo_lo, u, halo_hi], axis=0)  # (mp+2, m, m)
         y = y - u_ext[2:] - u_ext[:-2]
         return y.reshape(-1)
