@@ -14,6 +14,12 @@
 //     -> number of float tokens, or -1 if the file cannot be read.
 //   long long fastio_parse_floats(const char* path, float* out, long long cap);
 //     -> number of floats written (at most cap), or -1 on read failure.
+//   long long fastio_parse_floats_range(const char* path, long long skip,
+//                                       float* out, long long count);
+//     -> parse tokens [skip, skip+count) only — the host-sharded loading
+//        primitive: each shard reads its own row block instead of rank 0
+//        materializing the whole matrix (the reference's scalability
+//        ceiling, parallel_cg.c:100-108). Returns floats written or -1.
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC, pthreads)
 
@@ -129,9 +135,62 @@ std::vector<int64_t> count_chunks(const char* data,
   return counts;
 }
 
+// Like scan(), but skip the first `skip` tokens of the range without storing.
+int64_t scan_skip(const char* begin, const char* end, int64_t skip,
+                  float* out, int64_t cap) {
+  int64_t seen = 0, written = 0;
+  const char* p = begin;
+  while (p < end && written < cap) {
+    if (!is_token_start(*p)) { ++p; continue; }
+    const char* q = (*p == '+') ? p + 1 : p;
+    float v = 0.0f;
+    auto res = std::from_chars(q, end, v);
+    if (res.ptr == q) { ++p; continue; }
+    if (res.ec == std::errc::result_out_of_range) {
+      char* tok_end = nullptr;
+      v = std::strtof(q, &tok_end);
+    }
+    if (seen >= skip) out[written++] = v;
+    ++seen;
+    p = res.ptr;
+  }
+  return written;
+}
+
 }  // namespace
 
 extern "C" {
+
+long long fastio_parse_floats_range(const char* path, long long skip,
+                                    float* out, long long count) {
+  if (skip < 0 || count < 0) return -1;
+  Buffer buf;
+  if (!read_all(path, &buf)) return -1;
+  auto bounds = chunk_bounds(buf.data, buf.len, pick_threads(buf.len));
+  int n = static_cast<int>(bounds.size()) - 1;
+  auto counts = count_chunks(buf.data, bounds);
+  std::vector<int64_t> cum(n + 1, 0);
+  for (int t = 0; t < n; ++t) cum[t + 1] = cum[t] + counts[t];
+
+  int64_t lo = skip, hi = skip + count;
+  std::vector<std::thread> threads;
+  std::vector<int64_t> written(n, 0);
+  for (int t = 0; t < n; ++t) {
+    if (cum[t + 1] <= lo || cum[t] >= hi) continue;  // chunk outside range
+    int64_t local_skip = std::max<int64_t>(0, lo - cum[t]);
+    int64_t first_global = cum[t] + local_skip;
+    int64_t take = std::min<int64_t>(cum[t + 1], hi) - first_global;
+    float* dst = out + (first_global - lo);
+    threads.emplace_back([&, t, local_skip, take, dst] {
+      written[t] = scan_skip(buf.data + bounds[t], buf.data + bounds[t + 1],
+                             local_skip, dst, take);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t w : written) total += w;
+  return total;
+}
 
 long long fastio_count_floats(const char* path) {
   Buffer buf;

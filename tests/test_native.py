@@ -83,3 +83,44 @@ def test_textio_uses_native_path(native_lib, tmp_path):
     save_array(str(pb), b, fmt="%r")
     np.testing.assert_array_equal(load_matrix(str(pa)), A)
     np.testing.assert_array_equal(load_vector(str(pb), n=2), b)
+
+
+def test_parse_range(native_lib, tmp_path):
+    rng = np.random.default_rng(3)
+    vals = rng.random(10_000).astype(np.float32)
+    p = tmp_path / "rng.txt"
+    save_array(str(p), vals, fmt="%r")
+    out = _native.parse_floats_range(str(p), 1234, 567)
+    np.testing.assert_array_equal(out, vals[1234:1234 + 567])
+    np.testing.assert_array_equal(
+        _native.parse_floats_range(str(p), 0, 10), vals[:10]
+    )
+    np.testing.assert_array_equal(
+        _native.parse_floats_range(str(p), 9_990, 10), vals[-10:]
+    )
+    with pytest.raises(ValueError, match="yielded"):
+        _native.parse_floats_range(str(p), 9_999, 5)
+
+
+def test_parse_range_multithreaded(native_lib, tmp_path):
+    rng = np.random.default_rng(4)
+    vals = rng.random(300_000).astype(np.float32)
+    p = tmp_path / "big_rng.txt"
+    save_array(str(p), vals, fmt="%.8f")
+    assert os.path.getsize(str(p)) > (1 << 20)
+    ref = _python_parse(str(p))
+    out = _native.parse_floats_range(str(p), 100_001, 123_456)
+    np.testing.assert_array_equal(out, ref[100_001:100_001 + 123_456])
+
+
+def test_load_matrix_rows(native_lib, tmp_path):
+    from tpucg.io.textio import load_matrix, load_matrix_rows
+
+    rng = np.random.default_rng(5)
+    n = 40
+    A = rng.random((n, n)).astype(np.float32)
+    p = tmp_path / "A.txt"
+    save_array(str(p), A, fmt="%r")
+    np.testing.assert_array_equal(load_matrix_rows(str(p), 7, 23, n), A[7:23])
+    np.testing.assert_array_equal(load_matrix_rows(str(p), 0, n, n), A)
+    np.testing.assert_array_equal(load_matrix(str(p)), A)

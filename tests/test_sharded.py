@@ -75,3 +75,32 @@ def test_smaller_mesh():
     A, b, _ = generate_spd_system(n, seed=11)
     res = sharded_cg_solve(A, b, mesh=mesh2, strategy="overlap")
     np.testing.assert_allclose(A @ np.asarray(res.x), b, atol=1e-4)
+
+
+def test_load_system_sharded_end_to_end(tmp_path):
+    """Host-sharded loading: per-shard row reads -> sharded solve matches the
+    all-at-once path (SURVEY.md §7 hard part d)."""
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.textio import save_array
+    from tpucg.solver.sharded import load_system_sharded
+
+    n = 72  # not divisible by 8: exercises the identity-tail pad rows too
+    A, b, x0 = tpucg.generate_spd_system(n, seed=8)
+    pa, pb, px = (str(tmp_path / f) for f in ("A.txt", "b.txt", "x0.txt"))
+    save_array(pa, A, fmt="%r")
+    save_array(pb, b, fmt="%r")
+    save_array(px, x0, fmt="%r")
+
+    mesh = tpucg.make_mesh()
+    Ad, bd, x0d, n_logical = load_system_sharded(pa, pb, px, mesh=mesh)
+    assert n_logical == n
+    assert Ad.shape[0] % mesh.devices.size == 0
+    res = tpucg.sharded_cg_solve(Ad, bd, x0d, mesh=mesh, n=n_logical)
+    ref = tpucg.cg_solve(A, b, x0)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )

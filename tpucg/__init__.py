@@ -20,7 +20,11 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 from tpucg.config import CGConfig
 from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
 from tpucg.solver.checkpoint import cg_solve_checkpointed
-from tpucg.solver.sharded import sharded_cg_solve, sharded_operator_cg_solve
+from tpucg.solver.sharded import (
+    load_system_sharded,
+    sharded_cg_solve,
+    sharded_operator_cg_solve,
+)
 from tpucg.solver.operators import (
     BsrOperator,
     DenseOperator,
@@ -29,7 +33,7 @@ from tpucg.solver.operators import (
     LinearOperator,
     PoissonOperator,
 )
-from tpucg.io.textio import load_matrix, load_vector, save_array
+from tpucg.io.textio import load_matrix, load_system, load_vector, save_array
 from tpucg.io.generator import generate_spd_system, poisson3d_csr
 from tpucg.comm.mesh import make_mesh, make_mesh2d
 
@@ -43,6 +47,7 @@ __all__ = [
     "cg_solve_checkpointed",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",
+    "load_system_sharded",
     "LinearOperator",
     "BsrOperator",
     "DenseOperator",
@@ -50,6 +55,7 @@ __all__ = [
     "EllOperator",
     "PoissonOperator",
     "load_matrix",
+    "load_system",
     "load_vector",
     "save_array",
     "generate_spd_system",

@@ -74,18 +74,42 @@ def _solve_args(args, A, b, x0):
 
 
 def cmd_solve(args) -> int:
+    import jax
     import numpy as np
 
     from tpucg.io.textio import load_system, save_array
 
     t_total0 = time.perf_counter()
     t0 = time.perf_counter()
-    A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
-    load_s = time.perf_counter() - t0
-    res, solve_s = _solve_args(args, A, b, x0)
-    total_s = time.perf_counter() - t_total0
+    if args.strategy != "serial":
+        # Host-sharded loading: each shard's callback parses only its rows
+        # (the reference's rank 0 reads everything, parallel_cg.c:100-108).
+        import tpucg
+        from tpucg.solver.sharded import load_system_sharded
 
-    n = A.shape[0]
+        if args.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        mesh = tpucg.make_mesh(args.devices)
+        A, b, x0, n = load_system_sharded(
+            args.matrix, args.rhs, args.x0, mesh=mesh, kernel=args.kernel
+        )
+        load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = tpucg.sharded_cg_solve(
+            A, b, x0, mesh=mesh, n=n,
+            tol=args.tol if args.tol is not None else 1.0e-6,
+            maxiter=args.maxiter, kernel=args.kernel,
+            strategy=args.strategy, method=args.method,
+            precondition=args.precondition,
+        )
+        jax.block_until_ready(res.x)
+        solve_s = time.perf_counter() - t0
+    else:
+        A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+        n = A.shape[0]
+        load_s = time.perf_counter() - t0
+        res, solve_s = _solve_args(args, A, b, x0)
+    total_s = time.perf_counter() - t_total0
     # The reference's rank-0 report block (parallel_cg.c:331-336), plus
     # convergence facts it never printed.
     print(f"system size          : {n} x {n}")

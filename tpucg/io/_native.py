@@ -71,10 +71,46 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_longlong,
         ]
+        try:
+            lib.fastio_parse_floats_range.restype = ctypes.c_longlong
+            lib.fastio_parse_floats_range.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong,
+            ]
+        except AttributeError:  # stale pre-range .so on disk
+            pass
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
+
+
+def parse_floats_range(
+    path: str, start: int, count: int
+) -> Optional[np.ndarray]:
+    """Parse float tokens [start, start+count) of ``path``, or None if the
+    native library (with range support) is unavailable. The host-sharded
+    loading primitive: a shard reads only its rows."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fastio_parse_floats_range"):
+        return None
+    out = np.empty(count, dtype=np.float32)
+    got = lib.fastio_parse_floats_range(
+        os.fsencode(path),
+        int(start),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(count),
+    )
+    if got < 0:
+        raise IOError(f"native parser failed to open {path!r}")
+    if got != count:
+        raise ValueError(
+            f"{path!r}: requested tokens [{start}, {start + count}), "
+            f"file only yielded {got}"
+        )
+    return out
 
 
 def parse_floats(path: str) -> Optional[np.ndarray]:

@@ -80,6 +80,39 @@ def load_matrix(
     return vals.reshape(n, n)
 
 
+def load_matrix_rows(
+    path: str,
+    row_start: int,
+    row_stop: int,
+    n: int,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Load rows [row_start, row_stop) of an n x n reference-format matrix.
+
+    Host-sharded loading: each shard parses only its own row block instead of
+    one host materializing all of A (the reference's rank-0 ``initialize()``
+    reads everything — its scalability ceiling, ``parallel_cg.c:100-108``;
+    SURVEY.md §7 hard part (d)). Uses the native range parser when built; the
+    portable fallback parses the whole file and slices.
+    """
+    if not 0 <= row_start <= row_stop <= n:
+        raise ValueError(
+            f"invalid row range [{row_start}, {row_stop}) for n={n}"
+        )
+    count = (row_stop - row_start) * n
+    if count == 0:
+        return np.empty((0, n), dtype)
+    arr = _native.parse_floats_range(path, row_start * n, count)
+    if arr is None:
+        full = _parse_floats(path, np.dtype(dtype))
+        if full.size != n * n:
+            raise ValueError(
+                f"{path!r}: expected {n * n} values, found {full.size}"
+            )
+        arr = full[row_start * n:row_stop * n]
+    return arr.astype(dtype, copy=False).reshape(row_stop - row_start, n)
+
+
 def save_array(path: str, arr: np.ndarray, fmt: str = "%.4f") -> None:
     """Write an array in the reference one-value-per-line row-major format.
 

@@ -497,12 +497,74 @@ def distribute_system(
     )
 
 
+def load_system_sharded(
+    matrix_path: str,
+    rhs_path: str,
+    x0_path: Optional[str] = None,
+    mesh: Optional[Mesh] = None,
+    kernel: str = "auto",
+):
+    """Host-sharded loading: place (A, b, x0) row-block-sharded on the mesh
+    with each shard's host callback parsing ONLY its own rows of the matrix
+    file (``tpucg.io.textio.load_matrix_rows`` + the native range parser).
+
+    The reference's rank 0 fscanf-s the entire matrix before scattering
+    (``parallel_cg.c:100-108``) — its scalability ceiling (SURVEY.md §7 hard
+    part d). Here no host ever materializes all of A: under multi-process
+    JAX, ``jax.make_array_from_callback`` only invokes the callback for
+    locally-addressable shards. Returns (A, b, x0, n) — pre-padded device
+    arrays accepted directly by ``sharded_cg_solve(..., n=n)`` (same
+    mesh/kernel), plus the logical system size.
+    """
+    from tpucg.io.textio import load_matrix_rows, load_vector
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    backend = resolve_backend(kernel)
+    b_host = load_vector(rhs_path)
+    n = int(b_host.size)
+    align = 256 if backend == "pallas" else 8  # must match sharded_cg_solve
+    part = RowPartition(n=n, num_shards=num, align=align)
+    npad = part.n_padded
+
+    def a_shard(index):
+        rows = index[0]
+        r0 = rows.start or 0
+        r1 = rows.stop if rows.stop is not None else npad
+        block = np.zeros((r1 - r0, npad), np.float32)
+        ur1 = min(r1, n)
+        if ur1 > r0:
+            block[: ur1 - r0, :n] = load_matrix_rows(matrix_path, r0, ur1, n)
+        for i in range(max(r0, n), r1):  # identity pad tail
+            block[i - r0, i] = 1.0
+        return block
+
+    A = jax.make_array_from_callback(
+        (npad, npad), NamedSharding(mesh, P(axis, None)), a_shard
+    )
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = b_host
+    x0p = np.zeros(npad, np.float32)
+    if x0_path is not None:
+        x0p[:n] = load_vector(x0_path, n=n)
+    shard1 = NamedSharding(mesh, P(axis))
+    return (
+        A,
+        jax.device_put(bp, shard1),
+        jax.device_put(x0p, shard1),
+        n,
+    )
+
+
 def sharded_cg_solve(
     A,
     b,
     x0=None,
     mesh: Optional[Mesh] = None,
     config: Optional[CGConfig] = None,
+    n: Optional[int] = None,
     **overrides,
 ) -> CGResult:
     """Solve A x = b with A row-block-sharded across the mesh.
@@ -510,7 +572,9 @@ def sharded_cg_solve(
     Accepts host (NumPy) arrays — they are padded so every shard has equal
     static shape (lifting the reference's ``ROWS % P == 0`` restriction,
     ``parallel_cg.c:86-90``) and distributed; or pre-sharded device arrays of
-    already-padded shape (then padding/placement are skipped).
+    already-padded shape (then padding/placement are skipped; pass ``n`` to
+    trim the solution back to the logical size, e.g. after
+    ``load_system_sharded``).
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -520,12 +584,15 @@ def sharded_cg_solve(
         mesh = make_mesh()
     backend = resolve_backend(config.kernel)
     if mesh.devices.ndim == 2:
+        if n is not None:
+            raise ValueError("n override is for pre-padded 1-D inputs")
         return _sharded2d_solve(A, b, x0, mesh, config, backend)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
 
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
-    n = A.shape[0]
+    n_logical = n
+    n = A.shape[0] if n_logical is None else n_logical
     align = 256 if backend == "pallas" else 8
     part = RowPartition(n=n, num_shards=num, align=align)
     if isinstance(A, jax.Array) and A.shape[0] == part.n_padded:
