@@ -104,6 +104,7 @@ def main():
         from tpucg.sparse.formats import csr_to_dia
 
         n = m ** 3
+        nnz = 7 * n - 6 * m * m  # exact Dirichlet 7-point count
         v = jax.numpy.ones(n, jax.numpy.float32)
         variants = [
             ("stencil-pallas", PoissonOperator(m=m), 512),
@@ -120,11 +121,11 @@ def main():
             )
             sparse_rows.append(dict(
                 m=m, n=n, op=label, matvec_us=s * 1e6,
-                gnnz_per_s=7 * n / s / 1e9,
+                gnnz_per_s=nnz / s / 1e9,
                 eff_gbps=8 * n / s / 1e9,
             ))
             print(f"m={m} {label}: {s*1e6:.1f} us, "
-                  f"{7*n/s/1e9:.1f} Gnnz/s", flush=True)
+                  f"{nnz/s/1e9:.1f} Gnnz/s", flush=True)
 
     lines = [
         "# RESULTS — tpucg vs reference (dense serial CG)",

@@ -97,3 +97,30 @@ def test_golden_through_checkpointing(golden_4x4):
     np.testing.assert_allclose(
         np.asarray(res.x), g["x_star"], atol=2e-3
     )
+
+
+def test_checkpoint_survives_maxiter_cap(system, tmp_path):
+    """A maxiter-capped (non-converged) exit must LEAVE the checkpoint on
+    disk so the solve can be resumed — only convergence cleans it up."""
+    A, b, x0 = system
+    ck = str(tmp_path / "cg.npz")
+    partial = cg_solve_checkpointed(
+        A, b, x0, segment_iters=3, maxiter=6, checkpoint_path=ck
+    )
+    assert not bool(partial.converged)
+    assert os.path.exists(ck), "capped exit must not delete the checkpoint"
+    full = cg_solve_checkpointed(A, b, x0, segment_iters=3, checkpoint_path=ck)
+    assert bool(full.converged)
+    assert not os.path.exists(ck)
+    ref = tpucg.cg_solve(A, b, x0)
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(ref.x))
+
+
+def test_checkpoint_rejects_pipelined_and_f64(system):
+    A, b, x0 = system
+    with pytest.raises(ValueError, match="pipelined"):
+        cg_solve_checkpointed(A, b, x0, method="pipelined")
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="float32"):
+        cg_solve_checkpointed(A, b, x0, dtype=jnp.float64)

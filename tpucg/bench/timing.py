@@ -213,6 +213,7 @@ class BenchReport:
     iters_per_s: Optional[float] = None
     nnz: Optional[int] = None          # sparse operators: nonzeros per matvec
     nnz_per_s: Optional[float] = None
+    padded_n: Optional[int] = None     # device-side size the matvec streams
     strategy: str = "serial"
     backend: str = "xla"
     device_kind: str = ""
@@ -221,7 +222,8 @@ class BenchReport:
         if self.solve_s and self.iterations:
             self.iters_per_s = self.iterations / self.solve_s
         if self.matvec_s and self.n:
-            bytes_moved = 4 * self.n * self.n  # stream A once per matvec
+            np_ = self.padded_n or self.n
+            bytes_moved = 4 * np_ * np_  # stream padded A once per matvec
             self.matvec_gbps = bytes_moved / self.matvec_s / 1e9
             self.roofline_frac = (
                 bytes_moved / self.matvec_s / hbm_peak_bytes_per_s()

@@ -50,25 +50,21 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _solve_args(args, A, b, x0):
+    """Serial-only solve helper (the sharded flow lives in cmd_solve, which
+    routes it through host-sharded loading)."""
     import jax
 
     import tpucg
 
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
-    kw = dict(
+    t0 = time.perf_counter()
+    res = tpucg.cg_solve(
+        A, b, x0,
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
     )
-    t0 = time.perf_counter()
-    if args.strategy == "serial":
-        res = tpucg.cg_solve(A, b, x0, **kw)
-    else:
-        mesh = tpucg.make_mesh(args.devices)
-        res = tpucg.sharded_cg_solve(
-            A, b, x0, mesh=mesh, strategy=args.strategy, **kw
-        )
     jax.block_until_ready(res.x)
     return res, time.perf_counter() - t0
 
@@ -93,6 +89,10 @@ def cmd_solve(args) -> int:
         A, b, x0, n = load_system_sharded(
             args.matrix, args.rhs, args.x0, mesh=mesh, kernel=args.kernel
         )
+        if args.n is not None and n != args.n:
+            raise ValueError(
+                f"--n {args.n} does not match the {n} values in {args.rhs!r}"
+            )
         load_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = tpucg.sharded_cg_solve(
@@ -211,7 +211,7 @@ def cmd_selftest(args) -> int:
 
 
 def _build_bench_system(args, backend):
-    """Returns (label, operator-or-A, b, x0, n, nnz_per_row or None)."""
+    """Returns (label, operator-or-A, b, x0, n, nnz or None)."""
     import numpy as np
 
     import tpucg
@@ -231,22 +231,23 @@ def _build_bench_system(args, backend):
     n = m ** 3
     rng = np.random.default_rng(0)
     x_true = rng.standard_normal(n).astype(np.float32)
+    nnz = 7 * n - 6 * m * m  # Dirichlet 7-point Laplacian's exact count
     if args.operator == "poisson-free":
         op = PoissonOperator(m=m)
         import jax.numpy as jnp
 
         b = np.asarray(op.matvec(jnp.asarray(x_true)))
-        return f"poisson-free m={m}", op, b, None, n, 7
+        return f"poisson-free m={m}", op, b, None, n, nnz
     csr = poisson3d_csr(m)
     b = csr.matvec(x_true)
     if args.operator == "poisson-bsr":
         bs = 8 if n % 8 == 0 else 4
-        return f"poisson-bsr m={m}", csr_to_bsr(csr, bs), b, None, n, 7
+        return f"poisson-bsr m={m}", csr_to_bsr(csr, bs), b, None, n, csr.nnz
     if args.operator == "poisson-dia":
         from tpucg.sparse.formats import csr_to_dia
 
-        return f"poisson-dia m={m}", csr_to_dia(csr), b, None, n, 7
-    return f"poisson-ell m={m}", csr, b, None, n, 7
+        return f"poisson-dia m={m}", csr_to_dia(csr), b, None, n, csr.nnz
+    return f"poisson-ell m={m}", csr, b, None, n, csr.nnz
 
 
 def _bench_one(args, strategy, backend):
@@ -260,7 +261,7 @@ def _bench_one(args, strategy, backend):
     from tpucg.solver.operators import DenseOperator, as_operator
 
     t_total0 = time.perf_counter()
-    label, A, b, x0, n, nnz_per_row = _build_bench_system(args, backend)
+    label, A, b, x0, n, nnz = _build_bench_system(args, backend)
 
     profile_cm = (
         jax.profiler.trace(args.profile)
@@ -321,7 +322,8 @@ def _bench_one(args, strategy, backend):
         solve_s=solve_s,
         total_s=time.perf_counter() - t_total0,
         matvec_s=matvec_s,
-        nnz=(nnz_per_row * n if nnz_per_row else None),
+        nnz=nnz,
+        padded_n=(op.padded_n if strategy == "serial" else None),
         strategy=f"{strategy}/{label}/{args.method}",
         backend=backend,
     ).finalize()

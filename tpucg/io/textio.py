@@ -104,6 +104,16 @@ def load_matrix_rows(
         return np.empty((0, n), dtype)
     arr = _native.parse_floats_range(path, row_start * n, count)
     if arr is None:
+        import warnings
+
+        warnings.warn(
+            "native range parser unavailable: load_matrix_rows is falling "
+            "back to parsing the WHOLE matrix file and slicing — the "
+            "host-sharded-loading memory guarantee does not hold on this "
+            "host (build native/libfastio.so to restore it)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         full = _parse_floats(path, np.dtype(dtype))
         if full.size != n * n:
             raise ValueError(

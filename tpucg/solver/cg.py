@@ -327,9 +327,8 @@ def cg_solve_multi(
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg":
         raise ValueError("cg_solve_multi supports method='cg' only")
-    backend = resolve_backend(config.kernel)
     # The Pallas GEMV is single-vector; under vmap the XLA GEMM path is the
-    # right kernel anyway (MXU, HIGHEST precision).
+    # right kernel regardless of config.kernel (MXU, HIGHEST precision).
     op = as_operator(A, backend="xla")
     n, npad = op.n, op.padded_n
     B = jnp.asarray(B, jnp.float32)

@@ -126,6 +126,16 @@ def cg_solve_checkpointed(
         config = dataclasses_replace(config, **overrides)
     if segment_iters < 1:
         raise ValueError("segment_iters must be >= 1")
+    if config.method != "cg":
+        raise ValueError(
+            "cg_solve_checkpointed supports method='cg' only (the pipelined "
+            "state is not checkpointable)"
+        )
+    if jnp.dtype(config.dtype) != jnp.float32:
+        raise ValueError(
+            "cg_solve_checkpointed is float32-only (checkpoints store f32 "
+            "state exactly)"
+        )
     backend = resolve_backend(config.kernel)
     op = as_operator(A, backend=backend)
     n, npad = op.n, op.padded_n
@@ -178,9 +188,12 @@ def cg_solve_checkpointed(
         if checkpoint_path is not None:
             save_checkpoint(checkpoint_path, state, n, tol)
 
+    # Remove the checkpoint only on CONVERGENCE: a maxiter-capped exit must
+    # leave the state on disk so a later call can resume the remaining laps.
     if (
         checkpoint_path is not None
         and not keep_checkpoint
+        and bool(state.done)
         and os.path.exists(checkpoint_path)
     ):
         os.remove(checkpoint_path)
