@@ -31,28 +31,45 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
 
 struct Buffer {
-  char* data = nullptr;
+  const char* data = nullptr;
   size_t len = 0;
-  ~Buffer() { std::free(data); }
+  void* map_base = nullptr;
+  size_t map_len = 0;
+  ~Buffer() {
+    if (map_base) munmap(map_base, map_len);
+  }
 };
 
-// Read the whole file plus a trailing NUL so strtof never runs off the end.
+// mmap the file read-only: repeated shard reads of the same matrix file share
+// the OS page cache instead of each call malloc+fread-ing the whole file
+// (host-sharded loading calls this once per shard).
 bool read_all(const char* path, Buffer* buf) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
-  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return false; }
-  long size = std::ftell(f);
-  if (size < 0) { std::fclose(f); return false; }
-  std::rewind(f);
-  buf->data = static_cast<char*>(std::malloc(static_cast<size_t>(size) + 1));
-  if (!buf->data) { std::fclose(f); return false; }
-  size_t got = std::fread(buf->data, 1, static_cast<size_t>(size), f);
-  std::fclose(f);
-  buf->len = got;
-  buf->data[got] = '\0';
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return false; }
+  size_t size = static_cast<size_t>(st.st_size);
+  if (size == 0) {
+    close(fd);
+    buf->data = "";
+    buf->len = 0;
+    return true;
+  }
+  void* base = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (base == MAP_FAILED) return false;
+  buf->map_base = base;
+  buf->map_len = size;
+  buf->data = static_cast<const char*>(base);
+  buf->len = size;
   return true;
 }
 
@@ -79,8 +96,13 @@ int64_t scan(const char* begin, const char* end, float* out, int64_t cap) {
     auto res = std::from_chars(q, end, v);
     if (res.ptr == q) { ++p; continue; }  // lone '+'/'-'/'.'
     if (res.ec == std::errc::result_out_of_range) {
-      char* tok_end = nullptr;
-      v = std::strtof(q, &tok_end);  // saturating semantics for huge exponents
+      // Saturating semantics for huge exponents. Copy the token: the mmap'd
+      // buffer has no trailing NUL for strtof to stop at.
+      char tok[64];
+      size_t tlen = std::min<size_t>(res.ptr - q, sizeof(tok) - 1);
+      std::memcpy(tok, q, tlen);
+      tok[tlen] = '\0';
+      v = std::strtof(tok, nullptr);
     }
     if (out) {
       if (count >= cap) break;
@@ -147,8 +169,11 @@ int64_t scan_skip(const char* begin, const char* end, int64_t skip,
     auto res = std::from_chars(q, end, v);
     if (res.ptr == q) { ++p; continue; }
     if (res.ec == std::errc::result_out_of_range) {
-      char* tok_end = nullptr;
-      v = std::strtof(q, &tok_end);
+      char tok[64];
+      size_t tlen = std::min<size_t>(res.ptr - q, sizeof(tok) - 1);
+      std::memcpy(tok, q, tlen);
+      tok[tlen] = '\0';
+      v = std::strtof(tok, nullptr);
     }
     if (seen >= skip) out[written++] = v;
     ++seen;
