@@ -69,9 +69,26 @@ def test_2d_golden(golden_4x4):
     np.testing.assert_allclose(np.asarray(r.x), g["x_star"], atol=2e-3)
 
 
-def test_2d_rejects_jacobi():
-    A, b, x0 = tpucg.generate_spd_system(16, seed=0)
-    with pytest.raises(ValueError, match="2-D"):
-        tpucg.sharded_cg_solve(
-            A, b, x0, mesh=make_mesh2d(2, 2), precondition="jacobi"
-        )
+def test_2d_jacobi_matches_serial():
+    # Badly diag-scaled system: Jacobi must help on the 2-D path exactly as
+    # it does serially.
+    n = 96
+    rng = np.random.default_rng(6)
+    R = rng.random((n, n))
+    A0 = 0.5 * (R + R.T) + n * np.eye(n)
+    d = 10.0 ** rng.uniform(-2, 2, n)
+    A = ((A0 * d).T * d).astype(np.float32)
+    x_true = rng.standard_normal(n)
+    b = (A @ x_true).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(A, b, tol=tol, precondition="jacobi", maxiter=960)
+    sh = tpucg.sharded_cg_solve(
+        A, b, mesh=make_mesh2d(2, 4), precondition="jacobi",
+        tol=tol, maxiter=960,
+    )
+    assert bool(sh.converged)
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 2
+    r = b.astype(np.float64) - A.astype(np.float64) @ np.asarray(
+        sh.x, np.float64
+    )
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4

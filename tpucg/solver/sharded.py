@@ -195,10 +195,12 @@ def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
+        "precondition",
     ),
 )
 def _sharded2d_cg_jit(
-    A, b, x0, *, mesh, backend, tol, maxiter, safe_alpha, method="cg"
+    A, b, x0, minv, *, mesh, backend, tol, maxiter, safe_alpha, method="cg",
+    precondition="none",
 ):
     """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
     (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
@@ -208,7 +210,7 @@ def _sharded2d_cg_jit(
     O(n/C + n/R) comm instead of the 1-D allgather's O(n)."""
     r_ax, c_ax = mesh.axis_names
 
-    def solve(A_blk, b_blk, x_blk):
+    def solve(A_blk, b_blk, x_blk, minv_blk):
         def mv(p_blk):
             p_cols = jax.lax.all_gather(p_blk, r_ax, tiled=True)  # (n/C,)
             partial = matvec(A_blk, p_cols, backend=backend)      # (n/R,)
@@ -218,6 +220,13 @@ def _sharded2d_cg_jit(
 
         def dot(u, v):
             return jax.lax.psum(dot_xla(u, v), (r_ax, c_ax))
+
+        precond = None
+        if precondition == "jacobi":
+            # The diagonal is computed on the host (distribute step) and
+            # sharded exactly like the vectors, so the preconditioner is a
+            # local elementwise multiply.
+            precond = lambda r: minv_blk * r
 
         if method == "pipelined":
             def dot2(u1, v1, u2, v2):
@@ -240,7 +249,7 @@ def _sharded2d_cg_jit(
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
-            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
         )
         return s.x, s.k, jnp.sqrt(s.rslast), s.done
 
@@ -248,10 +257,10 @@ def _sharded2d_cg_jit(
     return jax.shard_map(
         solve,
         mesh=mesh,
-        in_specs=(P(r_ax, c_ax), vec, vec),
+        in_specs=(P(r_ax, c_ax), vec, vec, vec),
         out_specs=(vec, P(), P(), P()),
         check_vma=False,
-    )(A, b, x0)
+    )(A, b, x0, minv)
 
 
 def distribute_system_2d(
@@ -633,10 +642,6 @@ def sharded_cg_solve(
 
 
 def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
-    if config.precondition != "none":
-        raise ValueError(
-            "the 2-D block decomposition does not support preconditioning yet"
-        )
     A = np.asarray(A, np.float32)
     n = A.shape[0]
     align = 128 if backend == "pallas" else 1
@@ -647,15 +652,28 @@ def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
         mesh,
         align=align,
     )
+    # Jacobi diagonal computed on the host from the UN-permuted matrix
+    # (identity pad tail -> 1.0), sharded like the vectors.
+    if config.precondition == "jacobi":
+        d = np.ones(npad, np.float32)
+        d[:n] = np.diag(A).astype(np.float32)
+        minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
+    else:
+        minv_host = np.ones(npad, np.float32)
+    r_ax, c_ax = mesh.axis_names
+    minv = jax.device_put(
+        minv_host, NamedSharding(mesh, P((r_ax, c_ax),))
+    )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done = _sharded2d_cg_jit(
-        Ad, bd, x0d,
+        Ad, bd, x0d, minv,
         mesh=mesh,
         backend=backend,
         tol=float(config.tol),
         maxiter=int(maxiter),
         safe_alpha=bool(config.safe_alpha),
         method=config.method,
+        precondition=config.precondition,
     )
     if npad != n:
         x = x[:n]
