@@ -67,11 +67,12 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         A, b, x0, segment_iters=1, maxiter=1,
         checkpoint_path=ck, keep_checkpoint=True,
     )
-    state, n_ck, tol = load_checkpoint(ck)
+    state, n_ck, tol, fp = load_checkpoint(ck)
+    assert fp  # fingerprint recorded
     assert n_ck == n and tol == 1.0e-6
     assert int(state.k) == 1
     save_checkpoint(ck, state, n_ck, tol)
-    state2, _, _ = load_checkpoint(ck)
+    state2, _, _, _ = load_checkpoint(ck)
     np.testing.assert_array_equal(np.asarray(state.x), np.asarray(state2.x))
     np.testing.assert_array_equal(np.asarray(state.p), np.asarray(state2.p))
 
@@ -124,3 +125,17 @@ def test_checkpoint_rejects_pipelined_and_f64(system):
 
     with pytest.raises(ValueError, match="float32"):
         cg_solve_checkpointed(A, b, x0, dtype=jnp.float64)
+
+
+def test_stale_checkpoint_from_other_system_rejected(system, tmp_path):
+    A, b, x0 = system
+    ck = str(tmp_path / "cg.npz")
+    cg_solve_checkpointed(A, b, x0, segment_iters=3, maxiter=3,
+                          checkpoint_path=ck)
+    # Same n, same tol, DIFFERENT system: must refuse to resume.
+    A2 = A + np.float32(0.5) * np.eye(A.shape[0], dtype=np.float32)
+    with pytest.raises(ValueError, match="fingerprint"):
+        cg_solve_checkpointed(A2, b, x0, checkpoint_path=ck)
+    b2 = b + 1.0
+    with pytest.raises(ValueError, match="fingerprint"):
+        cg_solve_checkpointed(A, b2, x0, checkpoint_path=ck)

@@ -180,13 +180,13 @@ def time_matvec_loop(
 
     import jax.numpy as jnp
 
+    from tpucg.kernels.blas1 import dot_xla
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def loop(operand, v, k):
         def body(_, u):
             y = apply(operand, u)
-            return y * jax.lax.rsqrt(
-                jnp.dot(y, y, preferred_element_type=jnp.float32) + 1e-30
-            )
+            return y * jax.lax.rsqrt(dot_xla(y, y) + 1e-30)
 
         return jax.lax.fori_loop(0, k, body, v)
 

@@ -292,10 +292,24 @@ def _bench_one(args, strategy, backend):
     else:
         if args.operator != "dense":
             raise SystemExit("sharded bench currently runs the dense operator")
+        from tpucg.io.partitioner import RowPartition
+        from tpucg.solver.sharded import distribute_system, row_align
+
         mesh = tpucg.make_mesh(args.devices)
+        part = RowPartition(
+            n=n, num_shards=mesh.devices.size, align=row_align(backend)
+        )
+        # Pad + place once, INSIDE the distribution phase (the reference's
+        # MPI_Scatter fence) — not re-paid inside every timed solve.
+        Ad, bd, x0d = distribute_system(
+            np.asarray(A, np.float32), np.asarray(b, np.float32),
+            None if x0 is None else np.asarray(x0, np.float32), mesh, part,
+        )
+        jax.block_until_ready(Ad)
         distribute_s = time.perf_counter() - t0
         solve = lambda: tpucg.sharded_cg_solve(
-            A, b, x0, mesh=mesh, strategy=strategy, maxiter=4 * n, **kw
+            Ad, bd, x0d, mesh=mesh, strategy=strategy, n=n,
+            maxiter=4 * n, **kw
         )
 
     with profile_cm:

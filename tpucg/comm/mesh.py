@@ -43,7 +43,9 @@ def init_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e):
+        # jax raises "distributed.initialize should only be called once."
+        msg = str(e)
+        if "already" not in msg and "once" not in msg:
             raise
 
 

@@ -48,6 +48,24 @@ class RowPartition:
         return shard * self.block_rows, (shard + 1) * self.block_rows
 
 
+def pad_identity_tail(A: np.ndarray, npad: int) -> np.ndarray:
+    """Embed n x n ``A`` into npad x npad with a decoupled identity tail.
+
+    The single source of the padding invariant: pad rows solve 1*x_pad = 0,
+    stay at zero residual from lap 0, and contribute nothing to any dot
+    product, so the padded solve is exactly the original solve plus inert
+    coordinates.
+    """
+    n = A.shape[0]
+    if npad == n:
+        return A
+    Ap = np.zeros((npad, npad), dtype=A.dtype)
+    Ap[:n, :n] = A
+    idx = np.arange(n, npad)
+    Ap[idx, idx] = 1.0
+    return Ap
+
+
 def pad_system(
     A: np.ndarray,
     b: np.ndarray,
@@ -68,10 +86,7 @@ def pad_system(
     if npad == n:
         x0p = np.zeros(n, A.dtype) if x0 is None else x0
         return A, b, x0p
-    Ap = np.zeros((npad, npad), dtype=A.dtype)
-    Ap[:n, :n] = A
-    pad_idx = np.arange(n, npad)
-    Ap[pad_idx, pad_idx] = 1.0
+    Ap = pad_identity_tail(A, npad)
     bp = np.zeros(npad, dtype=b.dtype)
     bp[:n] = b
     x0p = np.zeros(npad, dtype=A.dtype)

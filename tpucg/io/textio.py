@@ -36,9 +36,13 @@ def _parse_floats(path: str, dtype: np.dtype) -> np.ndarray:
             f"input file {path!r} does not exist (the reference would continue "
             "with uninitialized memory here; tpucg fails loudly instead)"
         )
-    arr = _native.parse_floats(path)
-    if arr is not None:
-        return arr.astype(dtype, copy=False)
+    if np.dtype(dtype) == np.float32:
+        # The native parser emits float32; for wider dtypes (f64 extension)
+        # fall through to the Python tokenizer so no precision is silently
+        # lost to an f32 round-trip.
+        arr = _native.parse_floats(path)
+        if arr is not None:
+            return arr
     with open(path, "rb") as f:
         data = f.read()
     tokens = _FLOAT_RE.findall(data)
@@ -102,7 +106,11 @@ def load_matrix_rows(
     count = (row_stop - row_start) * n
     if count == 0:
         return np.empty((0, n), dtype)
-    arr = _native.parse_floats_range(path, row_start * n, count)
+    arr = (
+        _native.parse_floats_range(path, row_start * n, count)
+        if np.dtype(dtype) == np.float32  # native parser is f32-only
+        else None
+    )
     if arr is None:
         import warnings
 

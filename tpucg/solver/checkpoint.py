@@ -39,10 +39,27 @@ from tpucg.solver.cg import (
 )
 from tpucg.solver.operators import as_operator
 
-_META_KEYS = ("n", "tol", "k", "done")
+def system_fingerprint(op, b: jnp.ndarray) -> str:
+    """Cheap identity check for (A, b): hash of A applied to a fixed
+    pseudorandom probe vector, plus b. A stale checkpoint from a DIFFERENT
+    system of the same size would otherwise resume silently and 'converge'
+    to a solution of neither system."""
+    import hashlib
+
+    npad = b.shape[0]
+    probe = np.random.default_rng(0xC6).standard_normal(npad).astype(
+        np.float32
+    )
+    y = np.asarray(op.matvec(jnp.asarray(probe)))
+    h = hashlib.sha256()
+    h.update(y.tobytes())
+    h.update(np.asarray(b, np.float32).tobytes())
+    return h.hexdigest()[:16]
 
 
-def save_checkpoint(path: str, state: _State, n: int, tol: float) -> None:
+def save_checkpoint(
+    path: str, state: _State, n: int, tol: float, fingerprint: str = ""
+) -> None:
     """Write the CG state (padded device vectors + scalars) as an .npz.
 
     Atomic: writes to ``path + '.tmp'`` then renames, so a crash mid-write
@@ -60,6 +77,7 @@ def save_checkpoint(path: str, state: _State, n: int, tol: float) -> None:
         done=np.asarray(state.done),
         n=np.int64(n),
         tol=np.float64(tol),
+        fingerprint=np.bytes_(fingerprint.encode()),
     )
     # np.savez appends .npz to paths without it.
     tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
@@ -67,7 +85,7 @@ def save_checkpoint(path: str, state: _State, n: int, tol: float) -> None:
 
 
 def load_checkpoint(path: str):
-    """Read a checkpoint -> (state, n, tol)."""
+    """Read a checkpoint -> (state, n, tol, fingerprint)."""
     with np.load(path) as z:
         state = _State(
             k=jnp.asarray(z["k"]),
@@ -78,7 +96,8 @@ def load_checkpoint(path: str):
             rslast=jnp.asarray(z["rslast"]),
             done=jnp.asarray(z["done"]),
         )
-        return state, int(z["n"]), float(z["tol"])
+        fp = bytes(z["fingerprint"]).decode() if "fingerprint" in z else ""
+        return state, int(z["n"]), float(z["tol"]), fp
 
 
 def _precond(minv):
@@ -147,9 +166,10 @@ def cg_solve_checkpointed(
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
 
+    fp = ""
     state = None
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck = load_checkpoint(checkpoint_path)
+        state, n_ck, tol_ck, fp_ck = load_checkpoint(checkpoint_path)
         if n_ck != n or state.x.shape != (npad,):
             raise ValueError(
                 f"checkpoint {checkpoint_path!r} is for n={n_ck} "
@@ -159,6 +179,15 @@ def cg_solve_checkpointed(
         if tol_ck != tol:
             raise ValueError(
                 f"checkpoint tol {tol_ck} != requested tol {tol}"
+            )
+        bj_fp = jnp.asarray(b, jnp.float32)
+        if npad != n:
+            bj_fp = jnp.pad(bj_fp, (0, npad - n))
+        fp = system_fingerprint(op, bj_fp)
+        if fp_ck and fp_ck != fp:
+            raise ValueError(
+                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
+                "system (A/b fingerprint mismatch); refusing to resume"
             )
     if state is None:
         bj = jnp.asarray(b, jnp.float32)
@@ -186,7 +215,12 @@ def cg_solve_checkpointed(
             )
         )
         if checkpoint_path is not None:
-            save_checkpoint(checkpoint_path, state, n, tol)
+            if not fp:
+                bj_fp = jnp.asarray(b, jnp.float32)
+                if npad != n:
+                    bj_fp = jnp.pad(bj_fp, (0, npad - n))
+                fp = system_fingerprint(op, bj_fp)
+            save_checkpoint(checkpoint_path, state, n, tol, fingerprint=fp)
 
     # Remove the checkpoint only on CONVERGENCE: a maxiter-capped exit must
     # leave the state on disk so a later call can resume the remaining laps.

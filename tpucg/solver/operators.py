@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpucg.io.partitioner import round_up
+from tpucg.io.partitioner import pad_identity_tail, round_up
 from tpucg.kernels.matvec import MATVEC_ALIGN, matvec
 from tpucg.kernels.spmv import bsr_ell_spmv, dia_spmv, ell_spmv
 from tpucg.sparse.formats import (
@@ -80,11 +80,7 @@ class DenseOperator(LinearOperator):
         if backend == "pallas" and dtype not in (jnp.float32, jnp.bfloat16):
             backend = "xla"
         npad = round_up(n, np.lcm(*MATVEC_ALIGN)) if backend == "pallas" else n
-        if npad != n:
-            Ap = np.zeros((npad, npad), dtype=host_dtype)
-            Ap[:n, :n] = A
-            Ap[np.arange(n, npad), np.arange(n, npad)] = 1.0
-            A = Ap
+        A = pad_identity_tail(A, npad)
         return cls(A=jnp.asarray(A, dtype=dtype), n=n, backend=backend)
 
     @property

@@ -49,6 +49,47 @@ from tpucg.solver.cg import (
 )
 
 
+def row_align(backend: str) -> int:
+    """Per-shard row alignment: the Pallas GEMV needs 128-row/col tiles per
+    shard (x2 safety for tile picking); XLA just needs the f32 sublane."""
+    return 256 if backend == "pallas" else 8
+
+
+def _make_reductions(axes):
+    """The psum-backed scalar closures every decomposition shares: ``dot``
+    (vecVec + MPI_Allreduce, ``parallel_cg.c:286-287``), ``dot2`` (the
+    pipelined method's single fused two-scalar reduction), and the classic
+    ``update``. ``axes`` is the mesh axis (or tuple of axes) to reduce over.
+    """
+
+    def dot(u, v):
+        return jax.lax.psum(dot_xla(u, v), axes)
+
+    def dot2(u1, v1, u2, v2):
+        part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
+        tot = jax.lax.psum(part, axes)
+        return tot[0], tot[1]
+
+    def update(x, r, p, ap, alpha):
+        xn = x + alpha * p
+        rn = r - alpha * ap
+        return xn, rn, dot(rn, rn)
+
+    return dot, dot2, update
+
+
+def _run_pipelined(mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha):
+    """Pipelined loop + the honest convergence epilogue (the loop tests one
+    lap late; on a cap exit recompute the true r.r for reporting)."""
+    s = pipelined_cg_loop(
+        mv, dot2, b_blk, x_blk,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
+    rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
+    done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
+    return s.x, s.k, jnp.sqrt(rr), done
+
+
 def _ring_perm(num: int) -> list:
     """ppermute pairs: device j receives the block held by j+1 (mod P), i.e.
     blocks flow one step down the ring each lap."""
@@ -123,33 +164,12 @@ def _sharded_cg_jit(
             minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
             precond = lambda r: minv * r
 
-        def dot(u, v):
-            # Partial local dot + psum — the reference's vecVec+MPI_Allreduce
-            # pair (``parallel_cg.c:286-287``) as one fused collective.
-            return jax.lax.psum(dot_xla(u, v), axis)
-
+        dot, dot2, update = _make_reductions(axis)
         if method == "pipelined":
-            def dot2(u1, v1, u2, v2):
-                # ONE psum for both scalars — the whole point of the
-                # pipelined method: a single fused (2,)-vector allreduce per
-                # lap, overlappable with the q = A w matvec.
-                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
-                tot = jax.lax.psum(part, axis)
-                return tot[0], tot[1]
-
-            s = pipelined_cg_loop(
-                mv, dot2, b_blk, x_blk,
-                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            # ONE fused (2,)-psum per lap, overlappable with q = A w.
+            return _run_pipelined(
+                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
             )
-            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
-            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
-            return s.x, s.k, jnp.sqrt(rr), done
-
-        def update(x, r, p, ap, alpha):
-            xn = x + alpha * p
-            rn = r - alpha * ap
-            beta = dot(rn, rn)
-            return xn, rn, beta
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
@@ -218,8 +238,7 @@ def _sharded2d_cg_jit(
                 partial, c_ax, scatter_dimension=0, tiled=True
             )  # (n/(R*C),)
 
-        def dot(u, v):
-            return jax.lax.psum(dot_xla(u, v), (r_ax, c_ax))
+        dot, dot2, update = _make_reductions((r_ax, c_ax))
 
         precond = None
         if precondition == "jacobi":
@@ -229,23 +248,9 @@ def _sharded2d_cg_jit(
             precond = lambda r: minv_blk * r
 
         if method == "pipelined":
-            def dot2(u1, v1, u2, v2):
-                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
-                tot = jax.lax.psum(part, (r_ax, c_ax))
-                return tot[0], tot[1]
-
-            s = pipelined_cg_loop(
-                mv, dot2, b_blk, x_blk,
-                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            return _run_pipelined(
+                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
             )
-            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
-            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
-            return s.x, s.k, jnp.sqrt(rr), done
-
-        def update(x, r, p, ap, alpha):
-            xn = x + alpha * p
-            rn = r - alpha * ap
-            return xn, rn, dot(rn, rn)
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
@@ -364,27 +369,11 @@ def _sharded_operator_cg_jit(
             values_blk, indices_blk = op_blk
             mv = _ell_allgather_matvec(values_blk, indices_blk, axis)
 
-        def dot(u, v):
-            return jax.lax.psum(dot_xla(u, v), axis)
-
+        dot, dot2, update = _make_reductions(axis)
         if method == "pipelined":
-            def dot2(u1, v1, u2, v2):
-                part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
-                tot = jax.lax.psum(part, axis)
-                return tot[0], tot[1]
-
-            s = pipelined_cg_loop(
-                mv, dot2, b_blk, x_blk,
-                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            return _run_pipelined(
+                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
             )
-            rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
-            done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
-            return s.x, s.k, jnp.sqrt(rr), done
-
-        def update(x, r, p, ap, alpha):
-            xn = x + alpha * p
-            rn = r - alpha * ap
-            return xn, rn, dot(rn, rn)
 
         precond = None
         if precondition == "jacobi":
@@ -534,7 +523,7 @@ def load_system_sharded(
     backend = resolve_backend(kernel)
     b_host = load_vector(rhs_path)
     n = int(b_host.size)
-    align = 256 if backend == "pallas" else 8  # must match sharded_cg_solve
+    align = row_align(backend)
     part = RowPartition(n=n, num_shards=num, align=align)
     npad = part.n_padded
 
@@ -602,7 +591,7 @@ def sharded_cg_solve(
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
     n_logical = n
     n = A.shape[0] if n_logical is None else n_logical
-    align = 256 if backend == "pallas" else 8
+    align = row_align(backend)
     part = RowPartition(n=n, num_shards=num, align=align)
     if isinstance(A, jax.Array) and A.shape[0] == part.n_padded:
         Ad, bd, x0d = (
