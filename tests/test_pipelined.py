@@ -78,6 +78,45 @@ def test_pipelined_maxiter_cap_reports_honestly():
     assert float(r.residual_norm) > 1e-6
 
 
-def test_pipelined_rejects_preconditioner():
-    with pytest.raises(ValueError, match="pipelined"):
-        tpucg.CGConfig(method="pipelined", precondition="jacobi")
+def test_pipelined_jacobi_beats_plain_pipelined():
+    """Preconditioned pipelined CG (GV's p-PCG): the recurrence maintains
+    u = M^-1 r and q = M^-1 s so all three lap scalars (r.u, w.u, r.r) still
+    fuse into ONE reduction."""
+    n = 96
+    rng = np.random.default_rng(12)
+    R = rng.random((n, n))
+    A0 = 0.5 * (R + R.T) + n * np.eye(n)
+    d = 10.0 ** rng.uniform(-2, 2, n)
+    A = ((A0 * d).T * d).astype(np.float32)
+    x_true = rng.standard_normal(n)
+    b = (A @ x_true).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    plain = tpucg.cg_solve(A, b, tol=tol, method="pipelined", maxiter=10 * n)
+    jac = tpucg.cg_solve(A, b, tol=tol, method="pipelined",
+                         precondition="jacobi", maxiter=10 * n)
+    assert bool(jac.converged)
+    assert int(jac.iterations) < int(plain.iterations)
+    # Matches classic PCG's iterate count (same Krylov space).
+    classic = tpucg.cg_solve(A, b, tol=tol, precondition="jacobi",
+                             maxiter=10 * n)
+    assert abs(int(jac.iterations) - int(classic.iterations)) <= 2
+    resid = np.linalg.norm(
+        b.astype(np.float64) - A.astype(np.float64)
+        @ np.asarray(jac.x, np.float64)
+    )
+    assert resid / np.linalg.norm(b) < 1e-4
+
+
+def test_pipelined_jacobi_sharded():
+    n = 128
+    A, b, x0 = tpucg.generate_spd_system(n, seed=3)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(A, b, x0, tol=tol, method="pipelined",
+                         precondition="jacobi")
+    for strategy in ("allgather", "overlap"):
+        sh = tpucg.sharded_cg_solve(
+            A, b, x0, tol=tol, method="pipelined", precondition="jacobi",
+            strategy=strategy,
+        )
+        assert bool(sh.converged), strategy
+        assert abs(int(sh.iterations) - int(ser.iterations)) <= 1

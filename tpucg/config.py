@@ -62,10 +62,6 @@ class CGConfig:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.method not in ("cg", "pipelined"):
             raise ValueError(f"unknown method {self.method!r}")
-        if self.method == "pipelined" and self.precondition != "none":
-            raise ValueError(
-                "method='pipelined' currently supports precondition='none'"
-            )
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
         if self.precondition not in ("none", "jacobi"):

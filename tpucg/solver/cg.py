@@ -160,61 +160,75 @@ class _PipeState(NamedTuple):
     k: jax.Array
     x: jax.Array
     r: jax.Array
-    w: jax.Array       # A r (recurrence-maintained)
+    w: jax.Array       # A M^-1 r (recurrence-maintained)
     p: jax.Array
     s: jax.Array       # A p
-    z: jax.Array       # A s
-    gamma: jax.Array   # r.r of the previous lap
+    z: jax.Array       # A M^-1 s
+    gamma: jax.Array   # r.u of the previous lap (u = M^-1 r; = r.r when M=I)
     alpha: jax.Array
     rslast: jax.Array
     done: jax.Array
+    u: Optional[jax.Array] = None  # M^-1 r (preconditioned variant only)
+    q: Optional[jax.Array] = None  # M^-1 s (preconditioned variant only)
 
 
 def pipelined_cg_loop(
     matvec: Callable,
-    dot2: Callable,
+    dots: Callable,
     b: jax.Array,
     x0: jax.Array,
     *,
     tol: float,
     maxiter,
     safe_alpha: bool = True,
+    precond: Optional[Callable] = None,
 ) -> _PipeState:
-    """Pipelined (communication-hiding) CG — Ghysels & Vanroose 2014.
+    """Pipelined (communication-hiding) CG/PCG — Ghysels & Vanroose 2014.
 
-    Mathematically the same Krylov iterates as classic CG, but the two scalar
-    reductions per lap are FUSED into one (``dot2`` returns (r.r, w.r) in a
-    single psum), and that reduction is dataflow-independent of the lap's
-    matvec (q = A w) — so on a real mesh XLA can overlap the collective's ICI
-    latency with the GEMV. The price is three extra recurrence-maintained
-    vectors (w, s, z) ~ 3n more HBM traffic per lap, and slightly earlier
+    Mathematically the same Krylov iterates as classic (P)CG, but ALL scalar
+    reductions per lap are FUSED into one: ``dots(pairs)`` reduces a list of
+    dot-product pairs in a single psum. That reduction is
+    dataflow-independent of the lap's matvec (and preconditioner apply) — so
+    on a real mesh XLA can overlap the collective's ICI latency with the
+    GEMV. The price is extra recurrence-maintained vectors (w, s, z — plus
+    u, q when preconditioned) of HBM traffic per lap, and slightly earlier
     f32 rounding drift — worth it when the psum latency, not bandwidth,
     bounds the iteration (strong-scaled small n/P). Extension beyond the
     reference (its two MPI_Allreduce calls per lap are the analogous cost,
     ``parallel_cg.c:294,313``).
 
-    Stopping contract: same quantity as classic CG (``sqrt(r.r) < tol``),
-    evaluated at the top of the next lap; ``k`` counts completed x-updates, so
-    iteration counts match the classic loop exactly.
+    Stopping contract: same quantity as classic CG (``sqrt(r.r) < tol`` on
+    the TRUE residual), evaluated at the top of the next lap; ``k`` counts
+    completed x-updates, so iteration counts match the classic loop.
     """
     r0 = b - matvec(x0)
     tol2 = jnp.asarray(tol, r0.dtype) ** 2
-    w0 = matvec(r0)
+    u0 = None if precond is None else precond(r0)
+    w0 = matvec(r0 if precond is None else u0)
     zeros = jnp.zeros_like(r0)
     one = jnp.ones((), r0.dtype)
     state = _PipeState(
         k=jnp.int32(0), x=x0, r=r0, w=w0, p=zeros, s=zeros, z=zeros,
         gamma=one, alpha=one, rslast=one,
         done=jnp.zeros((), jnp.bool_),
+        u=u0, q=None if precond is None else zeros,
     )
 
     def cond(st: _PipeState):
         return jnp.logical_and(st.k < maxiter, jnp.logical_not(st.done))
 
     def body(st: _PipeState):
-        gamma, delta = dot2(st.r, st.r, st.w, st.r)
-        done = gamma < tol2
-        q = matvec(st.w)  # independent of (gamma, delta): overlaps the psum
+        if precond is None:
+            gamma, delta = dots([(st.r, st.r), (st.w, st.r)])
+            rr = gamma
+        else:
+            gamma, delta, rr = dots(
+                [(st.r, st.u), (st.w, st.u), (st.r, st.r)]
+            )
+        done = rr < tol2
+        # Independent of the fused reduction: overlaps the psum.
+        m = st.w if precond is None else precond(st.w)
+        nv = matvec(m)
         first = st.k == 0
         beta = jnp.where(first, jnp.zeros_like(gamma), gamma / st.gamma)
         denom = delta - beta * gamma / st.alpha
@@ -222,19 +236,26 @@ def pipelined_cg_loop(
             alpha = jnp.where(denom != 0, gamma / denom, jnp.zeros_like(gamma))
         else:
             alpha = gamma / denom
-        p = st.r + beta * st.p
+        ubase = st.r if precond is None else st.u
+        p = ubase + beta * st.p
         s = st.w + beta * st.s
-        z = q + beta * st.z
+        z = nv + beta * st.z
         x = st.x + alpha * p
         r = st.r - alpha * s
         w = st.w - alpha * z
         keep = lambda new, old: jnp.where(done, old, new)
+        if precond is None:
+            u = q = None
+        else:
+            q = m + beta * st.q
+            u = st.u - alpha * q
+            u, q = keep(u, st.u), keep(q, st.q)
         return _PipeState(
             k=jnp.where(done, st.k, st.k + 1),
             x=keep(x, st.x), r=keep(r, st.r), w=keep(w, st.w),
             p=keep(p, st.p), s=keep(s, st.s), z=keep(z, st.z),
             gamma=keep(gamma, st.gamma), alpha=keep(alpha, st.alpha),
-            rslast=gamma, done=done,
+            rslast=rr, done=done, u=u, q=q,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -251,10 +272,11 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
     matvec = op.matvec
     dot = dot_xla
     if method == "pipelined":
-        dot2 = lambda u1, v1, u2, v2: (dot_xla(u1, v1), dot_xla(u2, v2))
+        dots = lambda pairs: tuple(dot_xla(u, v) for u, v in pairs)
         s = pipelined_cg_loop(
-            matvec, dot2, b, x0,
+            matvec, dots, b, x0,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            precond=None if minv is None else (lambda r: minv * r),
         )
         # The pipelined loop tests convergence one lap late; if it exited on
         # the iteration cap, recompute the final r.r for honest reporting.

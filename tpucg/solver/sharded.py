@@ -65,25 +65,28 @@ def _make_reductions(axes):
     def dot(u, v):
         return jax.lax.psum(dot_xla(u, v), axes)
 
-    def dot2(u1, v1, u2, v2):
-        part = jnp.stack([dot_xla(u1, v1), dot_xla(u2, v2)])
+    def dots(pairs):
+        # ALL of a lap's scalars in ONE fused psum — the pipelined method's
+        # point: a single (k,)-vector allreduce, overlappable with the matvec.
+        part = jnp.stack([dot_xla(u, v) for u, v in pairs])
         tot = jax.lax.psum(part, axes)
-        return tot[0], tot[1]
+        return tuple(tot[i] for i in range(len(pairs)))
 
     def update(x, r, p, ap, alpha):
         xn = x + alpha * p
         rn = r - alpha * ap
         return xn, rn, dot(rn, rn)
 
-    return dot, dot2, update
+    return dot, dots, update
 
 
-def _run_pipelined(mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha):
+def _run_pipelined(mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
+                   precond=None):
     """Pipelined loop + the honest convergence epilogue (the loop tests one
     lap late; on a cap exit recompute the true r.r for reporting)."""
     s = pipelined_cg_loop(
-        mv, dot2, b_blk, x_blk,
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        mv, dots, b_blk, x_blk,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     rr = jnp.where(s.done, s.rslast, dot(s.r, s.r))
     done = jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2)
@@ -164,11 +167,12 @@ def _sharded_cg_jit(
             minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
             precond = lambda r: minv * r
 
-        dot, dot2, update = _make_reductions(axis)
+        dot, dots, update = _make_reductions(axis)
         if method == "pipelined":
             # ONE fused (2,)-psum per lap, overlappable with q = A w.
             return _run_pipelined(
-                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
+                mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
+                precond=precond,
             )
 
         s = cg_loop(
@@ -238,7 +242,7 @@ def _sharded2d_cg_jit(
                 partial, c_ax, scatter_dimension=0, tiled=True
             )  # (n/(R*C),)
 
-        dot, dot2, update = _make_reductions((r_ax, c_ax))
+        dot, dots, update = _make_reductions((r_ax, c_ax))
 
         precond = None
         if precondition == "jacobi":
@@ -249,7 +253,8 @@ def _sharded2d_cg_jit(
 
         if method == "pipelined":
             return _run_pipelined(
-                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
+                mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
+                precond=precond,
             )
 
         s = cg_loop(
@@ -369,15 +374,16 @@ def _sharded_operator_cg_jit(
             values_blk, indices_blk = op_blk
             mv = _ell_allgather_matvec(values_blk, indices_blk, axis)
 
-        dot, dot2, update = _make_reductions(axis)
-        if method == "pipelined":
-            return _run_pipelined(
-                mv, dot, dot2, b_blk, x_blk, tol, maxiter, safe_alpha
-            )
-
+        dot, dots, update = _make_reductions(axis)
         precond = None
         if precondition == "jacobi":
             precond = lambda r: minv_blk * r
+        if method == "pipelined":
+            return _run_pipelined(
+                mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
+                precond=precond,
+            )
+
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
