@@ -68,3 +68,24 @@ def test_reference_shipped_files(golden_2x2, golden_4x4):
     # initialguess1.txt has the BOM; must parse as [1, 0]
     v = load_vector(f"{REF}/initialguess1.txt", n=2)
     np.testing.assert_allclose(v, [1.0, 0.0])
+
+
+def test_f64_load_preserves_precision(tmp_path):
+    """The native parser is f32-only; dtype=float64 loads must take the
+    Python tokenizer so >7-significant-digit values survive intact."""
+    import numpy as np
+
+    from tpucg.io.textio import load_vector, save_array
+
+    vals = np.array(
+        [1.000000123456789, 3.141592653589793, -2.718281828459045e-3],
+        np.float64,
+    )
+    p = tmp_path / "v64.txt"
+    save_array(str(p), vals, fmt="%.17g")
+    out = load_vector(str(p), n=3, dtype=np.float64)
+    assert out.dtype == np.float64
+    np.testing.assert_array_equal(out, vals)  # bit-exact through %.17g
+    # And the f32 path still works (native or fallback).
+    out32 = load_vector(str(p), n=3, dtype=np.float32)
+    np.testing.assert_allclose(out32, vals.astype(np.float32), rtol=1e-7)

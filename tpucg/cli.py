@@ -197,6 +197,23 @@ def cmd_selftest(args) -> int:
             and np.allclose(np.asarray(rs.x), x_ref, atol=1e-4),
             f"{int(rs.iterations)} iters",
         )
+    # Pipelined CG's recurrence drift puts its f32 residual floor slightly
+    # above classic CG's; its contract is tested at a ||b||-scaled tolerance
+    # (absolute 1e-6 on an arbitrary-norm system is below that floor).
+    ptol = 1e-5 * float(np.linalg.norm(b))
+    rp = tpucg.cg_solve(A, b, x0, method="pipelined", tol=ptol)
+    check("pipelined", bool(rp.converged)
+          and np.allclose(np.asarray(rp.x), x_ref, atol=1e-3),
+          f"{int(rp.iterations)} iters")
+    rj = tpucg.cg_solve(A, b, x0, precondition="jacobi")
+    check("jacobi", bool(rj.converged)
+          and np.allclose(np.asarray(rj.x), x_ref, atol=1e-4),
+          f"{int(rj.iterations)} iters")
+    B = np.stack([b, 0.5 * b], axis=1).astype(np.float32)
+    rm = tpucg.cg_solve_multi(A, B)
+    check("multi-RHS (k=2)", bool(rm.converged.all())
+          and np.allclose(np.asarray(rm.x[:, 0]), x_ref, atol=1e-4),
+          f"iters {[int(i) for i in rm.iterations]}")
 
     from tpucg.io import _native
 
