@@ -115,3 +115,11 @@ def test_solve_pipelined_jacobi_flags(golden_files, capsys):
     rc = main(["solve", pa, pb, px, "--precondition", "jacobi"])
     assert rc == 0
     assert "converged            : True" in capsys.readouterr().out
+
+
+def test_solve_residual_history_flag(golden_files, capsys):
+    pa, pb, px = golden_files
+    rc = main(["solve", pa, pb, px, "--residual-history"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "||r_0||" in text and "||r_2||" in text

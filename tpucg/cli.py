@@ -58,12 +58,16 @@ def _solve_args(args, A, b, x0):
 
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    record = bool(
+        getattr(args, "residual_history", False) and args.method == "cg"
+    )
     t0 = time.perf_counter()
     res = tpucg.cg_solve(
         A, b, x0,
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
+        record_residuals=record,
     )
     jax.block_until_ready(res.x)
     return res, time.perf_counter() - t0
@@ -120,6 +124,10 @@ def cmd_solve(args) -> int:
     print(f"iterations           : {int(res.iterations)}")
     print(f"final ||r||          : {float(res.residual_norm):.6e}")
     print(f"converged            : {bool(res.converged)}")
+    if res.residual_history is not None:
+        hist = np.asarray(res.residual_history)
+        for i in range(int(res.iterations) + 1):
+            print(f"  ||r_{i}||{' ' * (12 - len(str(i)))}: {hist[i]:.6e}")
     x = np.asarray(res.x)
     if args.print_solution:
         np.set_printoptions(threshold=64, precision=7)
@@ -423,6 +431,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--n", type=int, default=None,
                     help="system size (default: inferred from file)")
     ps.add_argument("--print-solution", action="store_true")
+    ps.add_argument("--residual-history", action="store_true",
+                    help="print per-iteration ||r|| (serial strategy only)")
     ps.add_argument("--output", default=None,
                     help="write the solution vector to this file")
     _add_solver_flags(ps)
