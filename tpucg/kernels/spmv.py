@@ -31,7 +31,7 @@ def dia_spmv(
     ``offsets`` is a static tuple, so each diagonal lowers to a statically
     shifted (pad + slice) multiply-add — pure VPU streaming, no gather. This
     is the fast path for banded matrices on TPU (the scalar-gather ELL SpMV
-    measures ~500x slower for the 7-point Poisson at n=64^3).
+    measures ~240x slower for the 7-point Poisson at n=64^3).
     """
     n = x.shape[0]
     y = jnp.zeros_like(x)

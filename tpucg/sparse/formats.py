@@ -111,7 +111,7 @@ class DIAMatrix:
     ``data`` (ndiag, n) with ``data[d, i] = A[i, i + offsets[d]]`` (entries
     whose column falls outside [0, n) are 0). SpMV needs NO gather — it is a
     shift-and-add over dense rows (``y += data[d] * shift(x, offsets[d])``),
-    pure VPU + streaming, which measures ~500x faster than scalar-gather ELL
+    pure VPU + streaming, which measures ~240x faster than scalar-gather ELL
     on TPU for the 7-point Poisson operator.
     """
 
