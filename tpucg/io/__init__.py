@@ -1,15 +1,27 @@
 """Matrix/vector I/O: reference text format, generators, partitioning."""
 
-from tpucg.io.textio import load_matrix, load_vector, save_array
+from tpucg.io.textio import (
+    load_matrix,
+    load_matrix_rows,
+    load_system,
+    load_vector,
+    save_array,
+)
 from tpucg.io.generator import generate_spd_system, poisson3d_csr
-from tpucg.io.partitioner import RowPartition, pad_system
+from tpucg.io.golden import GOLDEN_2X2, GOLDEN_4X4
+from tpucg.io.partitioner import RowPartition, pad_identity_tail, pad_system
 
 __all__ = [
     "load_matrix",
+    "load_matrix_rows",
+    "load_system",
     "load_vector",
     "save_array",
     "generate_spd_system",
     "poisson3d_csr",
+    "GOLDEN_2X2",
+    "GOLDEN_4X4",
     "RowPartition",
+    "pad_identity_tail",
     "pad_system",
 ]

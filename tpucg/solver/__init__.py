@@ -1,10 +1,17 @@
-"""CG solvers: single-device jitted loop, sharded SPMD loop, NumPy oracle."""
+"""CG solvers: single-device jitted loop, sharded SPMD loops, NumPy oracle."""
 
-from tpucg.solver.cg import CGResult, cg_solve
-from tpucg.solver.sharded import sharded_cg_solve
+from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
+from tpucg.solver.checkpoint import cg_solve_checkpointed
+from tpucg.solver.sharded import (
+    load_system_sharded,
+    sharded_cg_solve,
+    sharded_operator_cg_solve,
+)
 from tpucg.solver.oracle import oracle_cg
 from tpucg.solver.operators import (
+    BsrOperator,
     DenseOperator,
+    DiaOperator,
     EllOperator,
     LinearOperator,
     PoissonOperator,
@@ -13,10 +20,16 @@ from tpucg.solver.operators import (
 __all__ = [
     "CGResult",
     "cg_solve",
+    "cg_solve_multi",
+    "cg_solve_checkpointed",
     "sharded_cg_solve",
+    "sharded_operator_cg_solve",
+    "load_system_sharded",
     "oracle_cg",
     "LinearOperator",
+    "BsrOperator",
     "DenseOperator",
+    "DiaOperator",
     "EllOperator",
     "PoissonOperator",
 ]
