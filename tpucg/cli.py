@@ -43,7 +43,9 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--method", default="cg", choices=("cg", "pipelined"),
                    help="pipelined = Ghysels-Vanroose single-reduction CG")
     p.add_argument("--precondition", default="none",
-                   choices=("none", "jacobi"))
+                   choices=("none", "jacobi", "poly"))
+    p.add_argument("--poly-degree", type=int, default=3,
+                   help="degree for --precondition poly (truncated Neumann)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the reference's informal "
                         "determinism/NaN checking, made a real tool)")
@@ -67,6 +69,7 @@ def _solve_args(args, A, b, x0):
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
+        poly_degree=args.poly_degree,
         record_residuals=record,
     )
     jax.block_until_ready(res.x)
@@ -105,6 +108,7 @@ def cmd_solve(args) -> int:
             maxiter=args.maxiter, kernel=args.kernel,
             strategy=args.strategy, method=args.method,
             precondition=args.precondition,
+            poly_degree=args.poly_degree,
         )
         jax.block_until_ready(res.x)
         solve_s = time.perf_counter() - t0
@@ -302,7 +306,8 @@ def _bench_one(args, strategy, backend):
         # floor (O(eps * kappa * ||b||)) and would spin to the iteration cap.
         tol = 1.0e-5 * float(np.linalg.norm(b))
     kw = dict(tol=tol, method=args.method,
-              precondition=args.precondition, kernel=args.kernel)
+              precondition=args.precondition, poly_degree=args.poly_degree,
+              kernel=args.kernel)
     t0 = time.perf_counter()
     if strategy == "serial":
         op = as_operator(A, backend=backend)

@@ -38,10 +38,14 @@ class CGConfig:
         denominator (exact initial guess). The reference would produce NaN here;
         tpucg treats it as converged instead (SURVEY.md §3.5 mandates failing
         loudly / robustly rather than replicating reference bugs).
-      precondition: ``"none"`` (the reference's unpreconditioned CG) or
-        ``"jacobi"`` (z = r / diag(A); an extension — cuts iterations on badly
-        diagonally-scaled systems at one extra O(n) multiply per lap). The
-        stopping test stays on the true residual either way.
+      precondition: ``"none"`` (the reference's unpreconditioned CG),
+        ``"jacobi"`` (z = r / diag(A); cuts iterations on badly
+        diagonally-scaled systems at one extra O(n) multiply per lap), or
+        ``"poly"`` (truncated-Neumann polynomial of degree ``poly_degree`` —
+        ``poly_degree - 1`` extra matvecs per lap, no triangular solves; the
+        TPU-idiomatic strong preconditioner). The stopping test stays on the
+        true residual in every case.
+      poly_degree: polynomial degree for ``precondition="poly"`` (>= 1).
       method: ``"cg"`` (the reference recurrence) or ``"pipelined"``
         (Ghysels-Vanroose communication-hiding CG: ONE fused scalar reduction
         per lap, overlappable with the matvec — an extension for
@@ -55,6 +59,7 @@ class CGConfig:
     kernel: str = "auto"
     safe_alpha: bool = True
     precondition: str = "none"
+    poly_degree: int = 3
     method: str = "cg"
 
     def __post_init__(self):
@@ -64,8 +69,10 @@ class CGConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
-        if self.precondition not in ("none", "jacobi"):
+        if self.precondition not in ("none", "jacobi", "poly"):
             raise ValueError(f"unknown preconditioner {self.precondition!r}")
+        if self.poly_degree < 1:
+            raise ValueError("poly_degree must be >= 1")
         if self.tol <= 0:
             raise ValueError("tol must be positive")
         if jnp.dtype(self.dtype) not in (jnp.float32, jnp.float64):

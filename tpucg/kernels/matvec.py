@@ -48,10 +48,13 @@ def matvec_xla(A: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def _pick_tiles(rows: int, cols: int) -> tuple[int, int]:
-    """Largest aligned tiles that divide (rows, cols) and fit VMEM comfortably.
+    """Aligned tiles that divide (rows, cols) and fit VMEM comfortably.
 
-    Budget: A tile <= 2 MB so double-buffered HBM->VMEM streaming (2 tiles in
-    flight) plus x/y blocks stay well under the ~16 MB/core VMEM.
+    On-chip autotune at n=8192 (v5e): wide K-tiles win — (256, 4096) streams
+    at 93% of HBM roofline vs 90% for (512, 1024); longer contiguous rows per
+    DMA beat taller blocks. Budget: A tile <= 4 MB so double-buffered
+    HBM->VMEM streaming (2 tiles in flight) plus x/y blocks stay well under
+    the ~16 MB/core VMEM floor.
     """
 
     def divisors_down(n: int, start: int, step: int):
@@ -62,6 +65,10 @@ def _pick_tiles(rows: int, cols: int) -> tuple[int, int]:
                 yield t
             t -= step
 
+    for tk in divisors_down(cols, 4096, 128):
+        for tm in (256, 128, 512, 384):
+            if rows % tm == 0 and tm * tk * 4 <= 4 * 1024 * 1024:
+                return tm, tk
     for tm in divisors_down(rows, 512, 128):
         for tk in divisors_down(cols, 1024, 128):
             if tm * tk * 4 <= 2 * 1024 * 1024:

@@ -57,6 +57,41 @@ class _State(NamedTuple):
     hist: Optional[jax.Array] = None
 
 
+def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
+                      degree: int, power_iters: int = 12) -> Callable:
+    """Truncated-Neumann polynomial preconditioner: M^-1 = w * sum_{i<d} (I - wA)^i.
+
+    SPD for any degree when 0 < w*lambda_max < 1, so w is set from a
+    fixed-iteration power-method estimate of lambda_max (computed INSIDE the
+    jitted solve with the same matvec/dot closures, so it works unchanged
+    under every decomposition — the distributed matvec and psum dots just
+    come along). Each preconditioner application costs ``degree - 1`` extra
+    matvecs per lap — pure MXU/VPU + collectives, no TPU-hostile triangular
+    solves — and typically cuts iteration counts ~2-3x on stencil-conditioned
+    systems (an extension; the reference is unpreconditioned).
+    """
+    if degree < 1:
+        raise ValueError("poly degree must be >= 1")
+
+    def power_body(_, v):
+        y = matvec(v)
+        return y * jax.lax.rsqrt(dot(y, y) + jnp.asarray(1e-30, y.dtype))
+
+    # b+1 breaks accidental orthogonality to the dominant eigenvector.
+    v0 = b + jnp.ones_like(b)
+    v = jax.lax.fori_loop(0, power_iters, power_body, v0)
+    lam = dot(v, matvec(v)) / (dot(v, v) + jnp.asarray(1e-30, b.dtype))
+    w = jnp.asarray(0.95, b.dtype) / lam  # safety margin keeps w*lam < 1
+
+    def precond(r):
+        z = w * r
+        for _ in range(degree - 1):
+            z = z + w * r - w * matvec(z)
+        return z
+
+    return precond
+
+
 def init_state(matvec: Callable, dot: Callable, b: jax.Array,
                x0: jax.Array, tol: float,
                precond: Optional[Callable] = None,
@@ -265,18 +300,25 @@ def pipelined_cg_loop(
     jax.jit,
     static_argnames=(
         "tol", "maxiter", "blas_backend", "safe_alpha", "method", "record",
+        "poly_degree",
     ),
 )
 def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
-            method="cg", record=False):
+            method="cg", record=False, poly_degree=0):
     matvec = op.matvec
     dot = dot_xla
+    if poly_degree:
+        precond = make_poly_precond(matvec, dot, b, poly_degree)
+    elif minv is not None:
+        precond = lambda r: minv * r
+    else:
+        precond = None
     if method == "pipelined":
         dots = lambda pairs: tuple(dot_xla(u, v) for u, v in pairs)
         s = pipelined_cg_loop(
             matvec, dots, b, x0,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
-            precond=None if minv is None else (lambda r: minv * r),
+            precond=precond,
         )
         # The pipelined loop tests convergence one lap late; if it exited on
         # the iteration cap, recompute the final r.r for honest reporting.
@@ -288,7 +330,6 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
             converged=jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2),
         )
     update = functools.partial(fused_update, backend=blas_backend)
-    precond = None if minv is None else (lambda r: minv * r)
     s = cg_loop(
         matvec, dot, update, b, x0,
         tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
@@ -304,16 +345,19 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha")
+    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "poly_degree")
 )
-def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha):
+def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha, poly_degree=0):
     def one(b, x0):
         def update(x, r, p, ap, alpha):
             xn = x + alpha * p
             rn = r - alpha * ap
             return xn, rn, dot_xla(rn, rn)
 
-        precond = None if minv is None else (lambda r: minv * r)
+        if poly_degree:
+            precond = make_poly_precond(op.matvec, dot_xla, b, poly_degree)
+        else:
+            precond = None if minv is None else (lambda r: minv * r)
         s = cg_loop(
             op.matvec, dot_xla, update, b, x0,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
@@ -375,6 +419,7 @@ def cg_solve_multi(
     res = _cg_multi_jit(
         op, B, X0, minv, float(config.tol), int(maxiter),
         bool(config.safe_alpha),
+        config.poly_degree if config.precondition == "poly" else 0,
     )
     if npad != n:
         res = res._replace(x=res.x[:n])
@@ -438,6 +483,7 @@ def cg_solve(
     res = _cg_jit(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
         bool(config.safe_alpha), config.method, bool(record_residuals),
+        config.poly_degree if config.precondition == "poly" else 0,
     )
     if npad != n:
         res = res._replace(x=res.x[:n])

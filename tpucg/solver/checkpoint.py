@@ -150,6 +150,12 @@ def cg_solve_checkpointed(
             "cg_solve_checkpointed supports method='cg' only (the pipelined "
             "state is not checkpointable)"
         )
+    if config.precondition == "poly":
+        raise ValueError(
+            "cg_solve_checkpointed supports precondition='none'/'jacobi' "
+            "(a resumed poly preconditioner would re-estimate lambda_max and "
+            "diverge from the saved trajectory)"
+        )
     if jnp.dtype(config.dtype) != jnp.float32:
         raise ValueError(
             "cg_solve_checkpointed is float32-only (checkpoints store f32 "

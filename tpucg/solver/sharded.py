@@ -45,6 +45,7 @@ from tpucg.solver.cg import (
     CGResult,
     cg_loop,
     dataclasses_replace,
+    make_poly_precond,
     pipelined_cg_loop,
 )
 
@@ -141,12 +142,12 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     jax.jit,
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
-        "precondition", "method",
+        "precondition", "method", "poly_degree",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
-    precondition="none", method="cg",
+    precondition="none", method="cg", poly_degree=0,
 ):
     num = mesh.devices.size
 
@@ -168,8 +169,10 @@ def _sharded_cg_jit(
             precond = lambda r: minv * r
 
         dot, dots, update = _make_reductions(axis)
+        if precondition == "poly":
+            precond = make_poly_precond(mv, dot, b_blk, poly_degree)
         if method == "pipelined":
-            # ONE fused (2,)-psum per lap, overlappable with q = A w.
+            # ONE fused psum per lap, overlappable with q = A w.
             return _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
@@ -219,12 +222,12 @@ def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
-        "precondition",
+        "precondition", "poly_degree",
     ),
 )
 def _sharded2d_cg_jit(
     A, b, x0, minv, *, mesh, backend, tol, maxiter, safe_alpha, method="cg",
-    precondition="none",
+    precondition="none", poly_degree=0,
 ):
     """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
     (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
@@ -250,6 +253,8 @@ def _sharded2d_cg_jit(
             # sharded exactly like the vectors, so the preconditioner is a
             # local elementwise multiply.
             precond = lambda r: minv_blk * r
+        elif precondition == "poly":
+            precond = make_poly_precond(mv, dot, b_blk, poly_degree)
 
         if method == "pipelined":
             return _run_pipelined(
@@ -358,12 +363,12 @@ def _ell_allgather_matvec(values_blk, indices_blk, axis: str):
     jax.jit,
     static_argnames=(
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
-        "precondition",
+        "precondition", "poly_degree",
     ),
 )
 def _sharded_operator_cg_jit(
     op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
-    method="cg", kind="ell", m=None, precondition="none",
+    method="cg", kind="ell", m=None, precondition="none", poly_degree=0,
 ):
     num = mesh.devices.size
 
@@ -378,6 +383,8 @@ def _sharded_operator_cg_jit(
         precond = None
         if precondition == "jacobi":
             precond = lambda r: minv_blk * r
+        elif precondition == "poly":
+            precond = make_poly_precond(mv, dot, b_blk, poly_degree)
         if method == "pipelined":
             return _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
@@ -473,6 +480,9 @@ def sharded_operator_cg_solve(
         kind=kind,
         m=m_static,
         precondition=config.precondition,
+        poly_degree=(
+            config.poly_degree if config.precondition == "poly" else 0
+        ),
     )
     return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
 
@@ -630,6 +640,9 @@ def sharded_cg_solve(
         axis=axis,
         precondition=config.precondition,
         method=config.method,
+        poly_degree=(
+            config.poly_degree if config.precondition == "poly" else 0
+        ),
     )
     if part.n_padded != n:
         x = x[:n]
@@ -669,6 +682,9 @@ def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
         safe_alpha=bool(config.safe_alpha),
         method=config.method,
         precondition=config.precondition,
+        poly_degree=(
+            config.poly_degree if config.precondition == "poly" else 0
+        ),
     )
     if npad != n:
         x = x[:n]
