@@ -75,6 +75,92 @@ def bench_config(n, storage_dtype, repeats):
     )
 
 
+def bench_ir(n, repeats):
+    """Mixed-precision IR vs plain f32 on a CONDITIONED system (~20-30 CG
+    iterations, where iteration bandwidth dominates and bf16 inner solves pay
+    off; the diag-dominant default converges in 4 laps and cannot amortize
+    IR's per-round f32 residual matvec). Both arms solve to the same
+    reachable tolerance (1e-5 * ||b||) and both report the TRUE f32 residual.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import (
+        hbm_peak_bytes_per_s,
+        time_fn,
+        time_solve_chain,
+    )
+    from tpucg.kernels.dispatch import resolve_backend
+    from tpucg.solver.ir import _ir_jit
+    from tpucg.solver.operators import DenseOperator
+
+    backend = resolve_backend("auto")
+    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+    # Shrink the diagonal shift n -> n/32: kappa ~ 20, ~25 CG laps, still
+    # safely SPD (the symmetric-noise spectral radius is ~0.6*sqrt(n)).
+    A = (A - (n - n / 32.0) * np.eye(n, dtype=np.float32)).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    op16 = DenseOperator.create(A, backend=backend, dtype=jnp.bfloat16)
+    op32 = DenseOperator.create(A, backend=backend, dtype=jnp.float32)
+    del A
+    npad = op32.padded_n
+    bj = jnp.pad(jnp.asarray(b), (0, npad - n)) if npad != n else jnp.asarray(b)
+    xj = (
+        jnp.pad(jnp.asarray(x0), (0, npad - n)) if npad != n
+        else jnp.asarray(x0)
+    )
+    jax.tree_util.tree_map(jax.block_until_ready, (op16.A, op32.A, bj))
+
+    # Arm 1: plain f32 CG on the conditioned system.
+    res32 = tpucg.cg_solve(op32, bj[:n] if npad != n else bj, tol=tol,
+                           maxiter=4 * n)
+    it32 = int(res32.iterations)
+    est32 = it32 * 4.0 * npad * npad / hbm_peak_bytes_per_s()
+    s32 = time_solve_chain(op32, bj, xj, tol=tol, maxiter=4 * n,
+                           blas_backend=backend, iters=repeats,
+                           est_solve_s=est32)
+
+    # Arm 2: IR (bf16 inner).
+    run_args = (tol, 3.0e-2, n, 6, backend)
+    res = _ir_jit(op16, op32, bj, xj, *run_args)
+    iters = int(res.iterations)
+    rnorm = float(res.residual_norm)
+    conv = bool(res.converged)
+
+    # Operators are ARGUMENTS, not closure captures — captured device arrays
+    # become compile-payload constants (observed: HTTP 413 on the tunnel's
+    # remote-compile endpoint from 400 MB of inlined matrix).
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(op16, op32, b, x0_, eps, k):
+        def body(_, carry):
+            x, = carry
+            r = _ir_jit(op16, op32, b + eps * x, x0_, *run_args)
+            return (r.x,)
+
+        return jax.lax.fori_loop(0, k, body, (x0_,))[0]
+
+    eps = jnp.float32(0.0)
+    est = iters * 2.0 * npad * npad / hbm_peak_bytes_per_s()
+    khi = 1 + int(min(max(0.05 / max(est, 1e-6), 8), 256))
+    t_lo = time_fn(chain, op16, op32, bj, xj, eps, 1, warmup=1, iters=repeats)
+    t_hi = time_fn(chain, op16, op32, bj, xj, eps, khi,
+                   warmup=1, iters=repeats)
+    solve_s = max((t_hi - t_lo) / (khi - 1), 1e-9)
+    nanrow = dict(matvec_ms=float("nan"), gbps=float("nan"),
+                  roofline=float("nan"))
+    return [
+        dict(n=n, dtype="f32 (kappa~20)", iters=it32,
+             rnorm=float(res32.residual_norm), converged=bool(res32.converged),
+             solve_ms=s32 * 1e3, **nanrow),
+        dict(n=n, dtype="bf16+IR (kappa~20)", iters=iters, rnorm=rnorm,
+             converged=conv, solve_ms=solve_s * 1e3, **nanrow),
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
@@ -90,6 +176,13 @@ def main():
               f"conv {r['converged']}), matvec {r['matvec_ms']:.3f} ms "
               f"{r['gbps']:.0f} GB/s ({100*r['roofline']:.0f}%) "
               f"[{time.time()-t0:.0f}s]", flush=True)
+    t0 = time.time()
+    for r in bench_ir(8192, args.repeats):
+        rows.append(r)
+        print(f"n=8192 {r['dtype']}: solve {r['solve_ms']:.3f} ms "
+              f"({r['iters']} iters, conv {r['converged']}, "
+              f"true ||r||={r['rnorm']:.2e}) [{time.time()-t0:.0f}s]",
+              flush=True)
 
     lines = [
         MARK,
@@ -97,17 +190,32 @@ def main():
         "Marked extensions — the reference is float32-only and tops out at "
         "its compile-time n=8192. bf16 rows store A in bfloat16 with f32 "
         "accumulation (the solve still satisfies the f32 stopping contract "
-        "on the bf16-rounded system); GB/s is physical bytes streamed.",
+        "on the bf16-rounded system); GB/s is physical bytes streamed. "
+        "The `kappa~20` rows compare plain f32 CG with mixed-precision "
+        "iterative refinement (`tpucg.cg_solve_ir`: bf16-rate inner solves, "
+        "f32 true-residual refinement) on a conditioned system at the same "
+        "reachable tolerance. Honest verdict: IR reaches true-residual "
+        "targets that raw bf16 storage cannot, but on the reference's "
+        "well-conditioned families its per-round f32 residual matvecs "
+        "outweigh the bandwidth saving — it pays only on high-iteration "
+        "(kappa >> 100) solves.",
         "",
         "| n | A storage | CG (ms/solve) | iters | converged | matVec (ms) "
         "| GB/s | % roofline |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    import math
+
     for r in rows:
+        if math.isnan(r["matvec_ms"]):
+            mv, gb, roof = "—", "—", "—"
+        else:
+            mv = f"{r['matvec_ms']:.3f}"
+            gb = f"{r['gbps']:.0f}"
+            roof = f"{100*r['roofline']:.0f}%"
         lines.append(
             f"| {r['n']} | {r['dtype']} | {r['solve_ms']:.3f} | {r['iters']} "
-            f"| {r['converged']} | {r['matvec_ms']:.3f} | {r['gbps']:.0f} "
-            f"| {100*r['roofline']:.0f}% |"
+            f"| {r['converged']} | {mv} | {gb} | {roof} |"
         )
     section = "\n".join(lines) + "\n"
 

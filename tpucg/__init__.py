@@ -20,6 +20,7 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 from tpucg.config import CGConfig
 from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
 from tpucg.solver.checkpoint import cg_solve_checkpointed
+from tpucg.solver.ir import cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
@@ -45,6 +46,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_multi",
     "cg_solve_checkpointed",
+    "cg_solve_ir",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",
     "load_system_sharded",

@@ -2,6 +2,7 @@
 
 from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
 from tpucg.solver.checkpoint import cg_solve_checkpointed
+from tpucg.solver.ir import cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
@@ -22,6 +23,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_multi",
     "cg_solve_checkpointed",
+    "cg_solve_ir",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",
     "load_system_sharded",
