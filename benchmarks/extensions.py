@@ -131,25 +131,16 @@ def bench_ir(n, repeats):
     rnorm = float(res.residual_norm)
     conv = bool(res.converged)
 
-    # Operators are ARGUMENTS, not closure captures — captured device arrays
-    # become compile-payload constants (observed: HTTP 413 on the tunnel's
-    # remote-compile endpoint from 400 MB of inlined matrix).
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain(op16, op32, b, x0_, eps, k):
-        def body(_, carry):
-            x, = carry
-            r = _ir_jit(op16, op32, b + eps * x, x0_, *run_args)
-            return (r.x,)
+    def ir_run(operands, bb, x0_):
+        o16, o32 = operands
+        return _ir_jit(o16, o32, bb, x0_, *run_args).x
 
-        return jax.lax.fori_loop(0, k, body, (x0_,))[0]
+    from tpucg.bench.timing import time_run_chain
 
-    eps = jnp.float32(0.0)
     est = iters * 2.0 * npad * npad / hbm_peak_bytes_per_s()
-    khi = 1 + int(min(max(0.05 / max(est, 1e-6), 8), 256))
-    t_lo = time_fn(chain, op16, op32, bj, xj, eps, 1, warmup=1, iters=repeats)
-    t_hi = time_fn(chain, op16, op32, bj, xj, eps, khi,
-                   warmup=1, iters=repeats)
-    solve_s = max((t_hi - t_lo) / (khi - 1), 1e-9)
+    solve_s = time_run_chain(
+        ir_run, (op16, op32), bj, xj, iters=repeats, est_solve_s=est
+    )
     nanrow = dict(matvec_ms=float("nan"), gbps=float("nan"),
                   roofline=float("nan"))
     return [

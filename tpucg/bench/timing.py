@@ -83,6 +83,48 @@ def time_fn(
     raise ValueError(f"unknown reduce {reduce!r}")
 
 
+def time_run_chain(
+    run: Callable,
+    operands: tuple,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    klo: int = 1,
+    khi: Optional[int] = None,
+    iters: int = 5,
+    est_solve_s: Optional[float] = None,
+    target_s: float = 0.05,
+) -> float:
+    """Generic chained-differencing timer for any solve ``run(operands, b, x0)
+    -> x``-like callable: chains K data-dependent repetitions (a traced
+    runtime zero defeats CSE) inside one jitted program and differences two
+    chain lengths, cancelling dispatch/RTT/fetch overheads. ``operands`` are
+    real arguments, NEVER closure captures — captured device arrays become
+    compile-payload constants (observed as an HTTP 413 from the tunnel's
+    remote-compile endpoint)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    if khi is None:
+        if est_solve_s and est_solve_s > 0:
+            khi = klo + int(min(max(target_s / est_solve_s, 8), 256))
+        else:
+            khi = klo + 8
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(operands, b, x0, eps, k):
+        def body(_, x):
+            return run(operands, b + eps * x, x0)
+
+        return jax.lax.fori_loop(0, k, body, x0)
+
+    eps = jnp.float32(0.0)
+    t_lo = time_fn(chain, operands, b, x0, eps, klo, warmup=1, iters=iters)
+    t_hi = time_fn(chain, operands, b, x0, eps, khi, warmup=1, iters=iters)
+    return max((t_hi - t_lo) / (khi - klo), 1e-9)
+
+
 def time_solve_chain(
     op,
     b: jax.Array,
@@ -118,31 +160,21 @@ def time_solve_chain(
             khi = klo + 8
     import functools
 
-    import jax.numpy as jnp
-
     from tpucg.kernels.blas1 import dot_xla, fused_update
     from tpucg.solver.cg import cg_loop
 
-    @functools.partial(jax.jit, static_argnames=("k", "maxiter"))
-    def chain(op, b, x0, eps, k, maxiter):
+    def run(operands, bj, x0_):
+        (op,) = operands
         update = functools.partial(fused_update, backend=blas_backend)
+        s = cg_loop(op.matvec, dot_xla, update, bj, x0_,
+                    tol=tol, maxiter=maxiter)
+        return s.x
 
-        def body(_, carry):
-            x, acc = carry
-            bj = b + eps * x  # eps == 0 at runtime; traced -> no CSE
-            s = cg_loop(op.matvec, dot_xla, update, bj, x0,
-                        tol=tol, maxiter=maxiter)
-            return s.x, acc + s.k
-
-        x, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
-        return x
-
-    eps = jnp.float32(0.0)
-    t_lo = time_fn(chain, op, b, x0, eps, klo, maxiter,
-                   warmup=1, iters=iters)
-    t_hi = time_fn(chain, op, b, x0, eps, khi, maxiter,
-                   warmup=1, iters=iters)
-    return max((t_hi - t_lo) / (khi - klo), 1e-9)
+    return time_run_chain(
+        run, (op,), b, x0,
+        klo=klo, khi=khi, iters=iters, est_solve_s=est_solve_s,
+        target_s=target_s,
+    )
 
 
 def auto_steps(n: int, target_s: float = 0.05, peak=None) -> int:

@@ -63,6 +63,9 @@ def _solve_args(args, A, b, x0):
     record = bool(
         getattr(args, "residual_history", False) and args.method == "cg"
     )
+    if getattr(args, "residual_history", False) and not record:
+        print("note: --residual-history requires --method cg; "
+              "no history will be recorded")
     t0 = time.perf_counter()
     res = tpucg.cg_solve(
         A, b, x0,

@@ -77,10 +77,17 @@ def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
         y = matvec(v)
         return y * jax.lax.rsqrt(dot(y, y) + jnp.asarray(1e-30, y.dtype))
 
-    # b+1 breaks accidental orthogonality to the dominant eigenvector.
-    v0 = b + jnp.ones_like(b)
+    # Seed with a fixed generic oscillation, NOT anything derived from b:
+    # b-based seeds can vanish (b = -1 made b+1 exactly zero -> lam = 0 ->
+    # w = inf -> NaN solve) or live in the identity-tail pad subspace and
+    # estimate lam ~ 1 instead of lambda_max(A), breaking the SPD condition.
+    nloc = b.shape[0]
+    v0 = jnp.cos(
+        jnp.arange(nloc, dtype=b.dtype) * jnp.asarray(0.7, b.dtype)
+    ) + jnp.asarray(0.1, b.dtype)
     v = jax.lax.fori_loop(0, power_iters, power_body, v0)
     lam = dot(v, matvec(v)) / (dot(v, v) + jnp.asarray(1e-30, b.dtype))
+    lam = jnp.maximum(lam, jnp.asarray(1e-30, b.dtype))
     w = jnp.asarray(0.95, b.dtype) / lam  # safety margin keeps w*lam < 1
 
     def precond(r):

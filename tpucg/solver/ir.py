@@ -38,7 +38,8 @@ from tpucg.solver.operators import DenseOperator
 class _IRState(NamedTuple):
     j: jax.Array        # refinement rounds completed
     x: jax.Array
-    rr: jax.Array       # true-residual r.r at the last check
+    r: jax.Array        # true residual b - A_f32 x (carried: one op32 matvec
+    rr: jax.Array       # per round, not two)
     inner_total: jax.Array
     done: jax.Array
     stalled: jax.Array  # refinement stopped contracting: f32 floor reached
@@ -61,7 +62,7 @@ def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
 
     r0, rr0 = true_rr(x0)
     state = _IRState(
-        j=jnp.int32(0), x=x0, rr=rr0, inner_total=jnp.int32(0),
+        j=jnp.int32(0), x=x0, r=r0, rr=rr0, inner_total=jnp.int32(0),
         done=rr0 < tol2, stalled=jnp.zeros((), jnp.bool_),
     )
 
@@ -72,28 +73,28 @@ def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
         )
 
     def body(s: _IRState):
-        r, rr = true_rr(s.x)
-        nrm = jnp.sqrt(rr) + jnp.float32(1e-30)
+        nrm = jnp.sqrt(s.rr) + jnp.float32(1e-30)
         # Inner solve on the normalized residual: the static inner tolerance
         # becomes a RELATIVE tolerance, so one executable serves every round.
         inner = cg_loop(
             op16.matvec, dot_xla, update,
-            r / nrm, jnp.zeros_like(r),
+            s.r / nrm, jnp.zeros_like(s.r),
             tol=inner_rtol, maxiter=inner_maxiter,
         )
         x_new = s.x + nrm * inner.x
-        _, rr_new = true_rr(x_new)
+        r_new, rr_new = true_rr(x_new)  # the round's ONE op32 matvec
         # A refinement round should contract ||r||^2 by >> 4x; anything less
         # means the f32 true-residual evaluation floor has been reached —
         # stop (and keep the better iterate) rather than burn more rounds.
-        stalled = rr_new > 0.25 * rr
-        better = rr_new < rr
+        stalled = rr_new > 0.25 * s.rr
+        better = rr_new < s.rr
         return _IRState(
             j=s.j + 1,
             x=jnp.where(better, x_new, s.x),
-            rr=jnp.where(better, rr_new, rr),
+            r=jnp.where(better, r_new, s.r),
+            rr=jnp.where(better, rr_new, s.rr),
             inner_total=s.inner_total + inner.k,
-            done=jnp.minimum(rr_new, rr) < tol2,
+            done=jnp.minimum(rr_new, s.rr) < tol2,
             stalled=stalled,
         )
 
@@ -132,6 +133,11 @@ def cg_solve_ir(
         raise ValueError(
             "cg_solve_ir supports method='cg', precondition='none'"
         )
+    if jnp.dtype(config.dtype) != jnp.float32:
+        raise ValueError(
+            "cg_solve_ir is the f32-contract mixed-precision path; for f64 "
+            "use cg_solve(dtype=float64)"
+        )
     backend = resolve_backend(config.kernel)
     A = np.asarray(A, np.float32)
     n = A.shape[0]
@@ -152,7 +158,14 @@ def cg_solve_ir(
         b = jnp.pad(b, (0, npad - n))
         x0 = jnp.pad(x0, (0, npad - n))
     blas_backend = backend if npad % 128 == 0 else "xla"
-    inner_cap = inner_maxiter if inner_maxiter is not None else n
+    # config.maxiter caps the INNER solves (the analog of the reference's
+    # per-solve ROWS cap); an explicit inner_maxiter overrides it.
+    if inner_maxiter is not None:
+        inner_cap = inner_maxiter
+    elif config.maxiter is not None:
+        inner_cap = config.maxiter
+    else:
+        inner_cap = n
     res = _ir_jit(
         op16, op32, b, x0,
         float(config.tol), float(inner_rtol), int(inner_cap),
