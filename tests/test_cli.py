@@ -123,3 +123,12 @@ def test_solve_residual_history_flag(golden_files, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "||r_0||" in text and "||r_2||" in text
+
+
+def test_bench_poisson_dia(capsys):
+    rc = main(["bench", "--operator", "poisson-dia", "--m", "8",
+               "--repeats", "1", "--json"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n"] == 512
+    assert rep["nnz_per_s"] is None or rep["nnz_per_s"] > 0

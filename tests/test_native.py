@@ -124,3 +124,27 @@ def test_load_matrix_rows(native_lib, tmp_path):
     np.testing.assert_array_equal(load_matrix_rows(str(p), 7, 23, n), A[7:23])
     np.testing.assert_array_equal(load_matrix_rows(str(p), 0, n, n), A)
     np.testing.assert_array_equal(load_matrix(str(p)), A)
+
+
+def test_huge_exponents_saturate(native_lib, tmp_path):
+    """Tokens overflowing f32 exercise the strtof fallback inside the mmap'd
+    scanner (from_chars reports out_of_range; the token is copied to a local
+    buffer because the mapping has no trailing NUL)."""
+    p = tmp_path / "huge.txt"
+    p.write_bytes(b"1e9999\n-1e9999\n1e-9999\n2.5\n")
+    out = _native.parse_floats(str(p))
+    assert out.size == 4
+    assert np.isinf(out[0]) and out[0] > 0
+    assert np.isinf(out[1]) and out[1] < 0
+    assert out[2] == 0.0  # underflow saturates to zero
+    assert out[3] == np.float32(2.5)
+
+
+def test_plus_signs_and_exponent_forms(native_lib, tmp_path):
+    p = tmp_path / "forms.txt"
+    p.write_bytes(b"+1.5\n+2e3\n.5\n-.25\n3.\n")
+    out = _native.parse_floats(str(p))
+    np.testing.assert_array_equal(
+        out, np.array([1.5, 2000.0, 0.5, -0.25, 3.0], np.float32)
+    )
+    np.testing.assert_array_equal(out, _python_parse(str(p)))

@@ -143,3 +143,34 @@ def test_dia_rejects_unbanded():
     )
     with pytest.raises(ValueError, match="diagonals"):
         csr_to_dia(coo.to_csr(), max_diags=8)
+
+
+def test_random_banded_dia_round_trip():
+    """Property: random banded SPD matrices survive CSR<->DIA<->dense and
+    agree on SpMV."""
+    from tpucg.sparse.formats import COOMatrix, csr_to_bsr, csr_to_dia
+
+    rng = np.random.default_rng(3)
+    n, bw = 48, 5
+    rows, cols, vals = [], [], []
+    for off in range(-bw, bw + 1):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        rows.append(idx)
+        cols.append(idx + off)
+        v = rng.random(idx.size).astype(np.float32)
+        if off == 0:
+            v += 4 * bw  # diagonal dominance
+        vals.append(v)
+    coo = COOMatrix(
+        row=np.concatenate(rows), col=np.concatenate(cols),
+        data=np.concatenate(vals), shape=(n, n),
+    )
+    csr = coo.to_csr()
+    dia = csr_to_dia(csr)
+    np.testing.assert_allclose(dia.to_dense(), csr.to_dense(), rtol=1e-6)
+    x = rng.standard_normal(n).astype(np.float32)
+    np.testing.assert_allclose(dia.matvec(x), csr.matvec(x), rtol=1e-5,
+                               atol=1e-5)
+    bsr = csr_to_bsr(csr, blocksize=4)
+    np.testing.assert_allclose(bsr.matvec(x), csr.matvec(x), rtol=1e-5,
+                               atol=1e-5)
