@@ -28,6 +28,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -74,12 +75,25 @@ bool read_all(const char* path, Buffer* buf) {
 }
 
 inline bool is_token_char(char c) {
-  return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' ||
-         c == 'e' || c == 'E';
+  // Digits, signs, decimal point, exponent markers, and the letters of
+  // inf/infinity/nan (any case) — so chunk boundaries never split a token.
+  switch (c) {
+    case '+': case '-': case '.':
+    case 'e': case 'E':
+    case 'i': case 'I': case 'n': case 'N': case 'f': case 'F':
+    case 'a': case 'A': case 't': case 'T': case 'y': case 'Y':
+      return true;
+    default:
+      return c >= '0' && c <= '9';
+  }
 }
 
 inline bool is_token_start(char c) {
-  return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.';
+  // The reference's fscanf("%f") accepts inf/nan (signed or bare); starting
+  // a parse attempt at 'i'/'n' lets from_chars handle them (a failed attempt
+  // just advances one byte).
+  return (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' ||
+         c == 'i' || c == 'I' || c == 'n' || c == 'N';
 }
 
 // Tokenize [begin, end): std::from_chars at every token start (~5-10x faster
@@ -96,13 +110,12 @@ int64_t scan(const char* begin, const char* end, float* out, int64_t cap) {
     auto res = std::from_chars(q, end, v);
     if (res.ptr == q) { ++p; continue; }  // lone '+'/'-'/'.'
     if (res.ec == std::errc::result_out_of_range) {
-      // Saturating semantics for huge exponents. Copy the token: the mmap'd
-      // buffer has no trailing NUL for strtof to stop at.
-      char tok[64];
-      size_t tlen = std::min<size_t>(res.ptr - q, sizeof(tok) - 1);
-      std::memcpy(tok, q, tlen);
-      tok[tlen] = '\0';
-      v = std::strtof(tok, nullptr);
+      // Saturating semantics for huge exponents. Copy the FULL token (the
+      // mmap'd buffer has no trailing NUL for strtof to stop at; a fixed
+      // 64-byte buffer would drop the exponent of long tokens and parse
+      // 0.000...01e400 as 0 instead of inf).
+      std::string tok(q, res.ptr);
+      v = std::strtof(tok.c_str(), nullptr);
     }
     if (out) {
       if (count >= cap) break;
@@ -169,11 +182,8 @@ int64_t scan_skip(const char* begin, const char* end, int64_t skip,
     auto res = std::from_chars(q, end, v);
     if (res.ptr == q) { ++p; continue; }
     if (res.ec == std::errc::result_out_of_range) {
-      char tok[64];
-      size_t tlen = std::min<size_t>(res.ptr - q, sizeof(tok) - 1);
-      std::memcpy(tok, q, tlen);
-      tok[tlen] = '\0';
-      v = std::strtof(tok, nullptr);
+      std::string tok(q, res.ptr);  // see scan(): full-token copy
+      v = std::strtof(tok.c_str(), nullptr);
     }
     if (seen >= skip) out[written++] = v;
     ++seen;

@@ -71,3 +71,18 @@ def test_bf16_pallas_kernel_accumulates_f32():
 def test_bf16_solve_dtype_rejected():
     with pytest.raises(ValueError, match="solve dtype"):
         tpucg.CGConfig(dtype=jnp.bfloat16)
+
+
+def test_f64_poisson_takes_xla_stencil():
+    """The Pallas stencil is f32-only; f64 Poisson solves must route to the
+    dtype-generic XLA form instead of crashing in the kernel."""
+    from tpucg.solver.operators import PoissonOperator
+
+    m = 16  # lane-tileable: would pick the Pallas kernel for f32
+    op = PoissonOperator(m=m)
+    with jax.enable_x64():
+        u = jnp.ones(m ** 3, jnp.float64)
+        y = op.matvec(u)
+        assert y.dtype == jnp.float64
+        ref = PoissonOperator(m=m, kernel="xla").matvec(u)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))

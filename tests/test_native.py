@@ -148,3 +148,45 @@ def test_plus_signs_and_exponent_forms(native_lib, tmp_path):
         out, np.array([1.5, 2000.0, 0.5, -0.25, 3.0], np.float32)
     )
     np.testing.assert_array_equal(out, _python_parse(str(p)))
+
+
+def test_long_token_saturation(native_lib, tmp_path):
+    """Tokens longer than any fixed fallback buffer must still saturate
+    correctly (a 64-byte truncation once parsed 0.00...01e400 as 0)."""
+    p = tmp_path / "long.txt"
+    p.write_bytes(
+        b"0." + b"0" * 70 + b"1e400\n"     # ~1e329 -> +inf
+        + b"1" + b"0" * 70 + b"e-400\n"    # ~1e-330 -> 0
+        + b"7.0\n"
+    )
+    out = _native.parse_floats(str(p))
+    assert out.size == 3
+    assert np.isinf(out[0]) and out[0] > 0
+    assert out[1] == 0.0
+    assert out[2] == np.float32(7.0)
+
+
+def test_inf_nan_tokens(native_lib, tmp_path):
+    """fscanf %f accepts inf/nan in both signed and bare forms; dropping the
+    bare ones would shift every later value one slot (silent corruption)."""
+    p = tmp_path / "infnan.txt"
+    p.write_bytes(b"inf\n-inf\nnan\n-nan\n1.0\nInfinity\n2.0\n")
+    out = _native.parse_floats(str(p))
+    assert out.size == 7
+    assert np.isinf(out[0]) and out[0] > 0
+    assert np.isinf(out[1]) and out[1] < 0
+    assert np.isnan(out[2]) and np.isnan(out[3])
+    assert out[4] == np.float32(1.0)
+    assert np.isinf(out[5]) and out[5] > 0
+    assert out[6] == np.float32(2.0)
+
+
+def test_python_fallback_matches_native_on_infnan(native_lib, tmp_path):
+    p = tmp_path / "mix.txt"
+    p.write_bytes(b"1.5\ninf\n-nan\n2.5\n")
+    nat = _native.parse_floats(str(p))
+    ref = _python_parse(str(p))
+    assert nat.size == ref.size == 4
+    np.testing.assert_array_equal(np.isnan(nat), np.isnan(ref))
+    mask = ~np.isnan(ref)
+    np.testing.assert_array_equal(nat[mask], ref[mask])

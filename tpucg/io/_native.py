@@ -57,8 +57,11 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path) and not _try_build():
-        return None
+    # Always attempt the build: make's fastio.cpp dependency is a no-op when
+    # the .so is fresh and transparently rebuilds a STALE one (a pre-range
+    # library would otherwise be loaded forever and silently degrade
+    # host-sharded loading to the slow path).
+    _try_build()
     if not os.path.exists(path):
         return None
     try:
@@ -114,18 +117,28 @@ def parse_floats_range(
 
 
 def parse_floats(path: str) -> Optional[np.ndarray]:
-    """Parse all float tokens in ``path`` via the native library, or None."""
+    """Parse all float tokens in ``path`` via the native library, or None.
+
+    Allocates an upper-bound buffer (a token needs >= 2 bytes incl. its
+    separator, so cap = size // 2 + 1) instead of paying a separate counting
+    pass over the whole file — the parse call already tokenizes once for its
+    per-chunk offsets, so this keeps the total at two passes, not three.
+    """
     lib = _load()
     if lib is None:
         return None
     cpath = os.fsencode(path)
-    count = lib.fastio_count_floats(cpath)
-    if count < 0:
+    try:
+        size = os.path.getsize(path)
+    except OSError:
         raise IOError(f"native parser failed to open {path!r}")
-    out = np.empty(count, dtype=np.float32)
+    cap = size // 2 + 1
+    out = np.empty(cap, dtype=np.float32)
     got = lib.fastio_parse_floats(
-        cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count
+        cpath, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap
     )
-    if got != count:
-        raise IOError(f"native parser: expected {count} floats, parsed {got}")
-    return out
+    if got < 0:
+        raise IOError(f"native parser failed to open {path!r}")
+    result = out[:got].copy()
+    del out
+    return result

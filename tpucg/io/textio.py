@@ -21,11 +21,13 @@ import numpy as np
 
 from tpucg.io import _native
 
-# One float token: optional sign, digits, optional fraction/exponent. The
-# reference's %f accepts the same family. Anything else on a line is separator
-# noise (BOMs, CRs) and is skipped, matching %*c tolerance.
+# One float token: optional sign, digits, optional fraction/exponent — or
+# inf/infinity/nan in any case (fscanf %f accepts those too; the native
+# parser matches). Anything else on a line is separator noise (BOMs, CRs)
+# and is skipped, matching %*c tolerance.
 _FLOAT_RE = re.compile(
     rb"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+    rb"|(?i:[-+]?(?:inf(?:inity)?|nan))"
 )
 
 

@@ -19,7 +19,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from tpucg.kernels.dispatch import interpret_mode
 
@@ -65,13 +64,11 @@ def _pick_tiles(rows: int, cols: int) -> tuple[int, int]:
                 yield t
             t -= step
 
+    # Given the MATVEC_ALIGN precondition (rows/cols % 128 == 0), the first
+    # tk always admits tm=256 (4 MB at tk=4096) or tm=128 (2 MB).
     for tk in divisors_down(cols, 4096, 128):
-        for tm in (256, 128, 512, 384):
+        for tm in (256, 128):
             if rows % tm == 0 and tm * tk * 4 <= 4 * 1024 * 1024:
-                return tm, tk
-    for tm in divisors_down(rows, 512, 128):
-        for tk in divisors_down(cols, 1024, 128):
-            if tm * tk * 4 <= 2 * 1024 * 1024:
                 return tm, tk
     raise ValueError(f"no aligned tiling for shape ({rows}, {cols})")
 

@@ -237,12 +237,18 @@ class PoissonOperator(LinearOperator):
     def matvec(self, x: jax.Array) -> jax.Array:
         from tpucg.kernels.stencil import poisson3d_pallas, stencil_supported
 
-        if self.kernel in ("auto", "pallas") and stencil_supported(self.m):
+        # The Pallas kernel is float32-only; f64 (and any other dtype) takes
+        # the XLA form, which is dtype-generic.
+        if (
+            self.kernel in ("auto", "pallas")
+            and stencil_supported(self.m)
+            and x.dtype == jnp.float32
+        ):
             return poisson3d_pallas(x, self.m)
         if self.kernel == "pallas":
             raise ValueError(
-                f"pallas stencil unsupported for m={self.m} "
-                "(needs (m*m) % 128 == 0)"
+                f"pallas stencil unsupported for m={self.m}/dtype={x.dtype} "
+                "(needs (m*m) % 128 == 0 and float32)"
             )
         return self._matvec_xla(x)
 
