@@ -89,3 +89,56 @@ def test_f64_load_preserves_precision(tmp_path):
     # And the f32 path still works (native or fallback).
     out32 = load_vector(str(p), n=3, dtype=np.float32)
     np.testing.assert_allclose(out32, vals.astype(np.float32), rtol=1e-7)
+
+
+def test_npy_binary_io(tmp_path):
+    """Binary .npy loads (the production format) through every loader,
+    including mmap'd row-range reads."""
+    import numpy as np
+
+    from tpucg.io.textio import load_matrix, load_matrix_rows, load_vector
+
+    rng = np.random.default_rng(7)
+    n = 24
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    pa, pb = str(tmp_path / "A.npy"), str(tmp_path / "b.npy")
+    np.save(pa, A)
+    np.save(pb, b)
+    np.testing.assert_array_equal(load_matrix(pa), A)
+    np.testing.assert_array_equal(load_vector(pb, n=n), b)
+    np.testing.assert_array_equal(load_matrix_rows(pa, 5, 17, n), A[5:17])
+
+
+def test_cli_convert_round_trip(tmp_path):
+    import numpy as np
+
+    from tpucg.cli import main
+    from tpucg.io.textio import load_matrix, save_array
+
+    rng = np.random.default_rng(8)
+    A = rng.standard_normal((12, 12)).astype(np.float32)
+    pt = str(tmp_path / "A.txt")
+    pn = str(tmp_path / "A.npy")
+    pt2 = str(tmp_path / "A2.txt")
+    save_array(pt, A, fmt="%r")
+    assert main(["convert", pt, pn]) == 0
+    np.testing.assert_array_equal(np.load(pn), A)
+    assert main(["convert", pn, pt2]) == 0
+    np.testing.assert_array_equal(load_matrix(pt2), A)
+
+
+def test_cli_solve_from_npy(tmp_path):
+    import numpy as np
+
+    import tpucg
+    from tpucg.cli import main
+    from tpucg.io.golden import GOLDEN_2X2
+
+    g = GOLDEN_2X2
+    pa, pb = str(tmp_path / "A.npy"), str(tmp_path / "b.npy")
+    np.save(pa, g["A"])
+    np.save(pb, g["b"])
+    assert main(["solve", pa, pb]) == 0
+    # sharded strategy uses the host-sharded loader over mmap'd npy
+    assert main(["solve", pa, pb, "--strategy", "allgather"]) == 0

@@ -166,6 +166,30 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Text <-> binary conversion. Binary .npy loads skip parsing entirely
+    (the reference's dominant cost) and support memory-mapped row reads for
+    host-sharded loading."""
+    import numpy as np
+
+    from tpucg.io.textio import load_matrix, load_vector, save_array
+
+    src, dst = args.src, args.dst
+    if dst.endswith(".npy"):
+        if args.kind == "matrix":
+            arr = load_matrix(src, n=args.n)
+        else:
+            arr = load_vector(src, n=args.n)
+        np.save(dst, arr)
+    elif src.endswith(".npy"):
+        arr = np.load(src)
+        save_array(dst, arr, fmt=args.fmt)
+    else:
+        raise SystemExit("one of src/dst must be a .npy file")
+    print(f"wrote {dst} ({arr.size} values, shape {arr.shape})")
+    return 0
+
+
 def cmd_selftest(args) -> int:
     import jax
     import numpy as np
@@ -452,6 +476,19 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--out-dir", default=".")
     pg.set_defaults(fn=cmd_generate)
+
+    pc = sub.add_parser(
+        "convert",
+        help="convert between reference text and binary .npy (binary loads "
+             "skip parsing — the production path)",
+    )
+    pc.add_argument("src")
+    pc.add_argument("dst")
+    pc.add_argument("--kind", default="matrix", choices=("matrix", "vector"))
+    pc.add_argument("--n", type=int, default=None)
+    pc.add_argument("--fmt", default="%r",
+                    help="text format when converting npy -> text")
+    pc.set_defaults(fn=cmd_convert)
 
     pt = sub.add_parser("selftest", help="golden + oracle + sharded checks")
     pt.add_argument("--n", type=int, default=256)

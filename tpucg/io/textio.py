@@ -51,12 +51,23 @@ def _parse_floats(path: str, dtype: np.dtype) -> np.ndarray:
     return np.array([float(t) for t in tokens], dtype=dtype)
 
 
+def _is_npy(path: str) -> bool:
+    return path.endswith(".npy")
+
+
 def load_vector(path: str, n: Optional[int] = None, dtype=np.float32) -> np.ndarray:
-    """Load a length-n vector from the reference text format.
+    """Load a length-n vector from the reference text format, or from a
+    binary ``.npy`` file (no parsing at all — the production format; convert
+    with ``python -m tpucg convert``).
 
     If ``n`` is given, the file must contain exactly n values (the reference
     silently reads garbage on short files; we check).
     """
+    if _is_npy(path):
+        vals = np.load(path).reshape(-1).astype(dtype, copy=False)
+        if n is not None and vals.size != n:
+            raise ValueError(f"{path!r}: expected {n} values, found {vals.size}")
+        return vals
     vals = _parse_floats(path, np.dtype(dtype))
     if n is not None and vals.size != n:
         raise ValueError(f"{path!r}: expected {n} values, found {vals.size}")
@@ -72,9 +83,13 @@ def load_matrix(
 
     Without ``n``, the size is inferred: the file must hold a perfect-square
     number of values (the reference instead hard-codes ROWS/COLS at compile
-    time, ``serialConjugate.c:29-30``).
+    time, ``serialConjugate.c:29-30``). ``.npy`` files load binary, no
+    parsing.
     """
-    vals = _parse_floats(path, np.dtype(dtype))
+    if _is_npy(path):
+        vals = np.load(path).reshape(-1).astype(dtype, copy=False)
+    else:
+        vals = _parse_floats(path, np.dtype(dtype))
     if n is None:
         n = int(round(np.sqrt(vals.size)))
         if n * n != vals.size:
@@ -108,6 +123,16 @@ def load_matrix_rows(
     count = (row_stop - row_start) * n
     if count == 0:
         return np.empty((0, n), dtype)
+    if _is_npy(path):
+        # Memory-mapped: the OS pages in only the requested rows.
+        mm = np.load(path, mmap_mode="r")
+        if mm.size != n * n:
+            raise ValueError(
+                f"{path!r}: expected {n * n} values, found {mm.size}"
+            )
+        block = np.array(mm.reshape(n, n)[row_start:row_stop], dtype=dtype)
+        del mm
+        return block
     arr = (
         _native.parse_floats_range(path, row_start * n, count)
         if np.dtype(dtype) == np.float32  # native parser is f32-only
