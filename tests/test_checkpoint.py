@@ -67,8 +67,8 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         A, b, x0, segment_iters=1, maxiter=1,
         checkpoint_path=ck, keep_checkpoint=True,
     )
-    state, n_ck, tol, fp = load_checkpoint(ck)
-    assert fp  # fingerprint recorded
+    state, n_ck, tol, sig = load_checkpoint(ck)
+    assert sig.size  # system signature recorded
     assert n_ck == n and tol == 1.0e-6
     assert int(state.k) == 1
     save_checkpoint(ck, state, n_ck, tol)
@@ -134,8 +134,24 @@ def test_stale_checkpoint_from_other_system_rejected(system, tmp_path):
                           checkpoint_path=ck)
     # Same n, same tol, DIFFERENT system: must refuse to resume.
     A2 = A + np.float32(0.5) * np.eye(A.shape[0], dtype=np.float32)
-    with pytest.raises(ValueError, match="fingerprint"):
+    with pytest.raises(ValueError, match="signature"):
         cg_solve_checkpointed(A2, b, x0, checkpoint_path=ck)
     b2 = b + 1.0
-    with pytest.raises(ValueError, match="fingerprint"):
+    with pytest.raises(ValueError, match="signature"):
         cg_solve_checkpointed(A, b2, x0, checkpoint_path=ck)
+
+
+def test_checkpoint_resumes_across_kernel_backends(tmp_path):
+    """The identity guard is tolerance-based: the SAME system probed through a
+    different kernel backend (different f32 reduction order) must resume, not
+    be misreported as a different system (ADVICE.md round 1). n=128 so the
+    padded size matches across backends (pallas pads to 128-multiples)."""
+    n = 128
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = A - (n - n / 8.0) * np.eye(n, dtype=np.float32)
+    ck = str(tmp_path / "cg.npz")
+    cg_solve_checkpointed(A, b, x0, segment_iters=3, maxiter=3,
+                          checkpoint_path=ck, kernel="xla")
+    res = cg_solve_checkpointed(A, b, x0, segment_iters=64,
+                                checkpoint_path=ck, kernel="pallas")
+    assert bool(res.converged)

@@ -253,15 +253,17 @@ class BenchReport:
     def finalize(self) -> "BenchReport":
         if self.solve_s and self.iterations:
             self.iters_per_s = self.iterations / self.solve_s
-        if self.matvec_s and self.n:
+        if self.matvec_s and self.nnz:
+            # Sparse operator: dense n^2-bytes roofline accounting does not
+            # apply — report nnz/s only (GB/s fields stay None).
+            self.nnz_per_s = self.nnz / self.matvec_s
+        elif self.matvec_s and self.n:
             np_ = self.padded_n or self.n
             bytes_moved = 4 * np_ * np_  # stream padded A once per matvec
             self.matvec_gbps = bytes_moved / self.matvec_s / 1e9
             self.roofline_frac = (
                 bytes_moved / self.matvec_s / hbm_peak_bytes_per_s()
             )
-        if self.matvec_s and self.nnz:
-            self.nnz_per_s = self.nnz / self.matvec_s
         if not self.device_kind:
             self.device_kind = getattr(jax.devices()[0], "device_kind", "?")
         return self

@@ -398,10 +398,6 @@ def _bench_one(args, strategy, backend):
         strategy=f"{strategy}/{label}/{args.method}",
         backend=backend,
     ).finalize()
-    if args.operator != "dense":
-        # Dense roofline accounting (n^2 bytes) does not apply to sparse ops.
-        report.matvec_gbps = None
-        report.roofline_frac = None
     return report
 
 

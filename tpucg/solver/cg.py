@@ -401,8 +401,15 @@ def cg_solve_multi(
     if config.method != "cg":
         raise ValueError("cg_solve_multi supports method='cg' only")
     # The Pallas GEMV is single-vector; under vmap the XLA GEMM path is the
-    # right kernel regardless of config.kernel (MXU, HIGHEST precision).
+    # right kernel regardless of config.kernel (MXU, HIGHEST precision) — a
+    # vmapped Pallas GEMV would re-stream A once per RHS lane, silently
+    # defeating the k-fold bandwidth amortization. Pre-built Pallas
+    # DenseOperators are rebuilt on XLA reusing their already-padded A.
+    from tpucg.solver.operators import DenseOperator
+
     op = as_operator(A, backend="xla")
+    if isinstance(op, DenseOperator) and op.backend == "pallas":
+        op = DenseOperator(A=op.A, n=op.n, backend="xla")
     n, npad = op.n, op.padded_n
     B = jnp.asarray(B, jnp.float32)
     if B.ndim != 2 or B.shape[0] != n:

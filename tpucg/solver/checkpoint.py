@@ -39,26 +39,41 @@ from tpucg.solver.cg import (
 )
 from tpucg.solver.operators import as_operator
 
-def system_fingerprint(op, b: jnp.ndarray) -> str:
-    """Cheap identity check for (A, b): hash of A applied to a fixed
-    pseudorandom probe vector, plus b. A stale checkpoint from a DIFFERENT
-    system of the same size would otherwise resume silently and 'converge'
-    to a solution of neither system."""
-    import hashlib
+def system_signature(op, b: jnp.ndarray) -> np.ndarray:
+    """Cheap identity check for (A, b): random projections of A applied to a
+    fixed pseudorandom probe vector, plus projections of b. A stale checkpoint
+    from a DIFFERENT system of the same size would otherwise resume silently
+    and 'converge' to a solution of neither system.
 
+    Compared with a RELATIVE tolerance on resume (``signatures_match``), not
+    hashed bit-exactly: a kernel-backend change (pallas vs xla) or different
+    hardware reduction order perturbs the probe response at ~1e-7 relative,
+    which must not be mistaken for a different system (O(1) relative).
+    """
     npad = b.shape[0]
-    probe = np.random.default_rng(0xC6).standard_normal(npad).astype(
-        np.float32
-    )
-    y = np.asarray(op.matvec(jnp.asarray(probe)))
-    h = hashlib.sha256()
-    h.update(y.tobytes())
-    h.update(np.asarray(b, np.float32).tobytes())
-    return h.hexdigest()[:16]
+    rng = np.random.default_rng(0xC6)
+    probe = rng.standard_normal(npad).astype(np.float32)
+    y = np.asarray(op.matvec(jnp.asarray(probe)), dtype=np.float64)
+    R = rng.standard_normal((4, npad))
+    return np.concatenate([R @ y, R @ np.asarray(b, np.float64)])
+
+
+def signatures_match(
+    a: np.ndarray, b: np.ndarray, rtol: float = 1e-4
+) -> bool:
+    a, b = np.asarray(a), np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    scale = float(np.max(np.maximum(np.abs(a), np.abs(b)))) + 1e-30
+    return bool(np.all(np.abs(a - b) <= rtol * scale))
 
 
 def save_checkpoint(
-    path: str, state: _State, n: int, tol: float, fingerprint: str = ""
+    path: str,
+    state: _State,
+    n: int,
+    tol: float,
+    signature: Optional[np.ndarray] = None,
 ) -> None:
     """Write the CG state (padded device vectors + scalars) as an .npz.
 
@@ -77,7 +92,9 @@ def save_checkpoint(
         done=np.asarray(state.done),
         n=np.int64(n),
         tol=np.float64(tol),
-        fingerprint=np.bytes_(fingerprint.encode()),
+        signature=(
+            np.zeros(0) if signature is None else np.asarray(signature)
+        ),
     )
     # np.savez appends .npz to paths without it.
     tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
@@ -85,7 +102,7 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str):
-    """Read a checkpoint -> (state, n, tol, fingerprint)."""
+    """Read a checkpoint -> (state, n, tol, signature)."""
     with np.load(path) as z:
         state = _State(
             k=jnp.asarray(z["k"]),
@@ -96,8 +113,8 @@ def load_checkpoint(path: str):
             rslast=jnp.asarray(z["rslast"]),
             done=jnp.asarray(z["done"]),
         )
-        fp = bytes(z["fingerprint"]).decode() if "fingerprint" in z else ""
-        return state, int(z["n"]), float(z["tol"]), fp
+        sig = z["signature"] if "signature" in z else np.zeros(0)
+        return state, int(z["n"]), float(z["tol"]), sig
 
 
 def _precond(minv):
@@ -172,10 +189,10 @@ def cg_solve_checkpointed(
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
 
-    fp = ""
+    sig = None
     state = None
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck, fp_ck = load_checkpoint(checkpoint_path)
+        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
         if n_ck != n or state.x.shape != (npad,):
             raise ValueError(
                 f"checkpoint {checkpoint_path!r} is for n={n_ck} "
@@ -189,11 +206,12 @@ def cg_solve_checkpointed(
         bj_fp = jnp.asarray(b, jnp.float32)
         if npad != n:
             bj_fp = jnp.pad(bj_fp, (0, npad - n))
-        fp = system_fingerprint(op, bj_fp)
-        if fp_ck and fp_ck != fp:
+        sig = system_signature(op, bj_fp)
+        if sig_ck.size and not signatures_match(sig_ck, sig):
             raise ValueError(
                 f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
-                "system (A/b fingerprint mismatch); refusing to resume"
+                "system (A/b probe-signature mismatch beyond tolerance); "
+                "refusing to resume"
             )
     if state is None:
         bj = jnp.asarray(b, jnp.float32)
@@ -221,12 +239,12 @@ def cg_solve_checkpointed(
             )
         )
         if checkpoint_path is not None:
-            if not fp:
+            if sig is None:
                 bj_fp = jnp.asarray(b, jnp.float32)
                 if npad != n:
                     bj_fp = jnp.pad(bj_fp, (0, npad - n))
-                fp = system_fingerprint(op, bj_fp)
-            save_checkpoint(checkpoint_path, state, n, tol, fingerprint=fp)
+                sig = system_signature(op, bj_fp)
+            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
 
     # Remove the checkpoint only on CONVERGENCE: a maxiter-capped exit must
     # leave the state on disk so a later call can resume the remaining laps.
