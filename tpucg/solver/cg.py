@@ -85,6 +85,10 @@ def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
     v0 = jnp.cos(
         jnp.arange(nloc, dtype=b.dtype) * jnp.asarray(0.7, b.dtype)
     ) + jnp.asarray(0.1, b.dtype)
+    # + 0*b changes nothing numerically but marks v0 as device-varying under
+    # shard_map's VMA tracking (the iota seed alone is unvarying, while the
+    # loop body's matvec output is varying — a carry-type mismatch).
+    v0 = v0 + jnp.zeros_like(b)
     v = jax.lax.fori_loop(0, power_iters, power_body, v0)
     lam = dot(v, matvec(v)) / (dot(v, v) + jnp.asarray(1e-30, b.dtype))
     lam = jnp.maximum(lam, jnp.asarray(1e-30, b.dtype))

@@ -189,10 +189,12 @@ def _sharded_cg_jit(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P()),
-        # pallas_call outputs carry no varying-mesh-axes annotation, which
-        # trips shard_map's VMA verifier when the Pallas kernels run inside;
-        # replication of the scalar outputs is guaranteed by psum instead.
-        check_vma=False,
+        # VMA checking is scoped to the XLA arms: pallas_call outputs carry
+        # no varying-mesh-axes annotation (and the interpret-mode lowering's
+        # internal while_loop rejects vma-annotated out_shapes outright), so
+        # the Pallas arms would trip the verifier; there, replication of the
+        # scalar outputs is guaranteed by psum instead.
+        check_vma=(backend != "pallas"),
     )(A, b, x0)
 
 
@@ -274,7 +276,8 @@ def _sharded2d_cg_jit(
         mesh=mesh,
         in_specs=(P(r_ax, c_ax), vec, vec, vec),
         out_specs=(vec, P(), P(), P()),
-        check_vma=False,
+        # See _sharded_cg_jit: VMA checking on except under Pallas kernels.
+        check_vma=(backend != "pallas"),
     )(A, b, x0, minv)
 
 
@@ -401,12 +404,18 @@ def _sharded_operator_cg_jit(
     op_specs = (
         P(axis) if kind == "poisson" else (P(axis, None), P(axis, None))
     )
+    # The Poisson slab arm runs the fused Pallas slab kernel when supported
+    # (see _poisson_halo_matvec) — only then must the VMA verifier stand down
+    # (see _sharded_cg_jit).
+    from tpucg.kernels.stencil import slab_supported
+
+    uses_pallas = kind == "poisson" and slab_supported(m, m // num)
     return jax.shard_map(
         solve,
         mesh=mesh,
         in_specs=(op_specs, vec, vec, vec),
         out_specs=(vec, P(), P(), P()),
-        check_vma=False,
+        check_vma=not uses_pallas,
     )(op_arrays, b, x0, minv)
 
 
