@@ -44,42 +44,56 @@ def generate_spd_system(
     return A.astype(dtype), b.astype(dtype), x
 
 
-def poisson3d_csr(m: int, dtype=np.float32) -> CSRMatrix:
-    """7-point Laplacian on an m*m*m grid with Dirichlet boundaries, as CSR.
-
-    Row i=(ix,iy,iz) has diagonal 6 and -1 for each in-grid neighbor; SPD.
-    Built vectorized (no Python-per-row loop) so m=128 (n=2M rows) is fast.
-    """
+def _poisson3d_deltas_masks(m: int):
+    """The 7-point stencil's column deltas (ascending) and per-row validity
+    masks — shared by the CSR and DIA constructors."""
     n = m * m * m
     idx = np.arange(n, dtype=np.int64)
     ix, rem = np.divmod(idx, m * m)
     iy, iz = np.divmod(rem, m)
+    deltas = (-m * m, -m, -1, 0, 1, m, m * m)
+    masks = (
+        ix > 0, iy > 0, iz > 0, np.ones(n, dtype=bool),
+        iz < m - 1, iy < m - 1, ix < m - 1,
+    )
+    return n, idx, deltas, masks
 
-    offsets = []  # (col_delta, validity mask)
-    offsets.append((-m * m, ix > 0))
-    offsets.append((-m, iy > 0))
-    offsets.append((-1, iz > 0))
-    offsets.append((0, np.ones(n, dtype=bool)))
-    offsets.append((1, iz < m - 1))
-    offsets.append((m, iy < m - 1))
-    offsets.append((m * m, ix < m - 1))
 
-    cols_parts = []
-    vals_parts = []
-    rows_parts = []
-    for delta, mask in offsets:
-        rows_parts.append(idx[mask])
-        cols_parts.append(idx[mask] + delta)
-        v = np.full(mask.sum(), -1.0 if delta != 0 else 6.0, dtype=dtype)
-        vals_parts.append(v)
-    rows = np.concatenate(rows_parts)
-    cols = np.concatenate(cols_parts)
-    vals = np.concatenate(vals_parts)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
+def poisson3d_csr(m: int, dtype=np.float32) -> CSRMatrix:
+    """7-point Laplacian on an m*m*m grid with Dirichlet boundaries, as CSR.
+
+    Row i=(ix,iy,iz) has diagonal 6 and -1 for each in-grid neighbor; SPD.
+    Built vectorized AND pre-sorted: within a row the 7 candidate columns are
+    laid out in ascending-delta order, so flattening the (n, 7) candidate
+    grid row-major is already CSR order — no lexsort (which dominated the
+    m=128 build at ~10 s for 14.6M triples).
+    """
+    n, idx, deltas, masks = _poisson3d_deltas_masks(m)
+    mask2 = np.stack(masks, axis=1)                      # (n, 7)
+    cols2 = idx[:, None] + np.asarray(deltas)            # (n, 7)
+    vals_row = np.asarray([-1, -1, -1, 6, -1, -1, -1], dtype=dtype)
+    keep = mask2.reshape(-1)
+    cols = cols2.reshape(-1)[keep]
+    vals = np.broadcast_to(vals_row, (n, 7)).reshape(-1)[keep]
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, rows + 1, 1)
-    indptr = np.cumsum(indptr)
+    np.cumsum(mask2.sum(axis=1), out=indptr[1:])
     return CSRMatrix(
         indptr=indptr, indices=cols.astype(np.int32), data=vals, shape=(n, n)
+    )
+
+
+def poisson3d_dia(m: int, dtype=np.float32):
+    """7-point Laplacian directly in DIA form (no CSR intermediate).
+
+    ``data[d, i] = A[i, i + offsets[d]]`` with out-of-grid neighbors zero —
+    the analytic form of ``csr_to_dia(poisson3d_csr(m))``, built in O(n).
+    """
+    from tpucg.sparse.formats import DIAMatrix
+
+    n, idx, deltas, masks = _poisson3d_deltas_masks(m)
+    data = np.zeros((7, n), dtype=dtype)
+    for d, (delta, mask) in enumerate(zip(deltas, masks)):
+        data[d, mask] = -1.0 if delta != 0 else 6.0
+    return DIAMatrix(
+        offsets=np.asarray(deltas, dtype=np.int64), data=data, shape=(n, n)
     )

@@ -164,7 +164,15 @@ def csr_to_dia(csr: CSRMatrix, max_diags: int = 256) -> DIAMatrix:
     n = csr.shape[0]
     data = np.zeros((uniq.size, n), dtype=csr.data.dtype)
     dpos = np.searchsorted(uniq, offs)
-    np.add.at(data, (dpos, coo.row), coo.data)
+    # Fancy assignment beats np.add.at's unbuffered scatter ~10x at m=128's
+    # 14.6M entries — valid when (row, col) pairs are unique. CSRMatrix
+    # permits duplicates (to_csr does not merge), so detect them (CSR order
+    # makes duplicates adjacent) and fall back to the summing scatter.
+    key = dpos.astype(np.int64) * n + coo.row
+    if key.size > 1 and np.any(key[1:] == key[:-1]):
+        np.add.at(data, (dpos, coo.row), coo.data)
+    else:
+        data[dpos, coo.row] = coo.data
     return DIAMatrix(offsets=uniq.astype(np.int64), data=data, shape=csr.shape)
 
 
