@@ -70,11 +70,122 @@ def test_poisson_halo_matvec_exact():
     )
 
 
-def test_poisson_requires_divisible_grid():
-    with pytest.raises(ValueError, match="divisible"):
-        sharded_operator_cg_solve(
-            PoissonOperator(m=9), np.ones(729, np.float32)
-        )
+def test_poisson_non_divisible_grid_padded():
+    """m=9 over 8 devices: the grid is plane-padded to 16 (the pad planes a
+    decoupled identity block) instead of inheriting the reference's
+    ROWS %% P == 0 restriction (parallel_cg.c:86-90; SURVEY.md §7c)."""
+    m = 9
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(6)
+    x_true = rng.standard_normal(m ** 3).astype(np.float32)
+    b = np.asarray(op.matvec(jnp.asarray(x_true)))
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    sh = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    assert bool(sh.converged)
+    assert int(sh.iterations) == int(ser.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ell_non_divisible_padded():
+    """n = 7^3 = 343 (not divisible by 8): rows identity-padded."""
+    csr = poisson3d_csr(7)
+    n = csr.shape[0]
+    rng = np.random.default_rng(8)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    op = EllOperator.from_csr(csr)
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n)
+    sh = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * n)
+    assert bool(sh.converged)
+    assert int(sh.iterations) == int(ser.iterations)
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+def test_dia_sharded_band_halo(kernel):
+    """Row-block-sharded DIA with the ppermute BAND-halo exchange (O(band)
+    comm per lap) — both the XLA and fused-Pallas per-shard kernels — vs the
+    serial solve. m=16 -> n=4096 = 8 x 512-row blocks, band reach 256."""
+    from tpucg.io.generator import poisson3d_dia
+
+    m = 16
+    n = m ** 3
+    dia = poisson3d_dia(m)
+    rng = np.random.default_rng(9)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = dia.matvec(x_true).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(PoissonOperator(m=m), b, tol=tol, maxiter=4 * n)
+    sh = sharded_operator_cg_solve(
+        dia, b, tol=tol, maxiter=4 * n, kernel=kernel
+    )
+    assert bool(sh.converged)
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dia_sharded_non_divisible_and_jacobi():
+    """General banded (non-Poisson), n not divisible by P*128, Jacobi."""
+    from tpucg.sparse.formats import COOMatrix, csr_to_dia
+
+    rng = np.random.default_rng(11)
+    n, bw = 1000, 3  # pads to 1024 over 8 shards
+    rows, cols, vals = [], [], []
+    for off in range(-bw, bw + 1):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        rows.append(idx)
+        cols.append(idx + off)
+        v = rng.random(idx.size).astype(np.float32)
+        if off == 0:
+            v += 4 * bw
+        vals.append(v)
+    coo = COOMatrix(
+        row=np.concatenate(rows), col=np.concatenate(cols),
+        data=np.concatenate(vals), shape=(n, n),
+    )
+    csr = coo.to_csr()
+    dia = csr_to_dia(csr)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    sh = sharded_operator_cg_solve(
+        dia, b, tol=tol, maxiter=4 * n, precondition="jacobi"
+    )
+    assert bool(sh.converged)
+    np.testing.assert_allclose(np.asarray(sh.x), x_true, atol=1e-3)
+
+
+def test_bsr_sharded_matches_serial():
+    """Block-row-sharded BSR (identity-padded to P) vs the serial solve."""
+    from tpucg.sparse.formats import csr_to_bsr
+
+    csr = poisson3d_csr(6)  # n=216, bs=4 -> nbr=54, pads to 56 block rows
+    n = csr.shape[0]
+    bsr = csr_to_bsr(csr, blocksize=4)
+    rng = np.random.default_rng(12)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(bsr, b, tol=tol, maxiter=4 * n)
+    sh = sharded_operator_cg_solve(bsr, b, tol=tol, maxiter=4 * n)
+    assert bool(sh.converged)
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-4
+    )
+    sh_j = sharded_operator_cg_solve(
+        bsr, b, tol=tol, maxiter=4 * n, precondition="jacobi"
+    )
+    assert bool(sh_j.converged)
+    np.testing.assert_allclose(np.asarray(sh_j.x), x_true, atol=1e-3)
 
 
 def test_ell_sharded_matches_serial():

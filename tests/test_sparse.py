@@ -272,3 +272,72 @@ def test_dia_pallas_padded_solve():
     r = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n)
     assert bool(r.converged)
     np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-3)
+
+
+def test_best_sparse_operator_promotion():
+    """Auto-promotion picks DIA for banded, BSR for blocky-unbanded, ELL for
+    scattered; solves work through each choice end-to-end."""
+    import tpucg
+    from tpucg.solver.operators import (
+        BsrOperator,
+        DiaOperator,
+        EllOperator,
+        best_sparse_operator,
+    )
+
+    # Banded (Poisson) -> DIA.
+    csr = poisson3d_csr(6)
+    op = best_sparse_operator(csr)
+    assert isinstance(op, DiaOperator)
+    n = csr.shape[0]
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    r = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-3)
+
+    # Block-dense but diagonal-scattered -> BSR (n=100 also exercises the
+    # identity pad to the blocksize).
+    nb, bs = 100, 8
+    npad_b = 13 * bs  # 104
+    rng2 = np.random.default_rng(4)
+    A = np.zeros((nb, nb), np.float32)
+    # random dense 8x8 blocks scattered off a block-diagonal spine
+    for br in range(nb // bs):
+        A[br*bs:(br+1)*bs, br*bs:(br+1)*bs] = rng2.random((bs, bs))
+        bc = int(rng2.integers(0, nb // bs))
+        A[br*bs:(br+1)*bs, bc*bs:(bc+1)*bs] = rng2.random((bs, bs))
+    A = 0.5 * (A + A.T) + nb * np.eye(nb, dtype=np.float32)
+    from tpucg.sparse.formats import COOMatrix
+
+    rr, cc = np.nonzero(A)
+    csr2 = COOMatrix(row=rr, col=cc, data=A[rr, cc], shape=A.shape).to_csr()
+    op2 = best_sparse_operator(csr2, max_diags=8)
+    assert isinstance(op2, BsrOperator)
+    assert op2.n == nb and op2.padded_n == npad_b
+    b2 = rng2.random(nb).astype(np.float32)
+    r2 = tpucg.cg_solve(op2, b2, maxiter=4 * nb)
+    assert bool(r2.converged)
+    np.testing.assert_allclose(A @ np.asarray(r2.x), b2, atol=1e-4 * nb)
+
+    # Scattered scalars -> ELL.
+    n3 = 96
+    rng3 = np.random.default_rng(5)
+    rows = rng3.integers(0, n3, 300)
+    cols = rng3.integers(0, n3, 300)
+    vals = rng3.random(300).astype(np.float32)
+    M = np.zeros((n3, n3), np.float32)
+    np.add.at(M, (rows, cols), vals)
+    M = 0.5 * (M + M.T) + n3 * np.eye(n3, dtype=np.float32)
+    rr3, cc3 = np.nonzero(M)
+    csr3 = COOMatrix(
+        row=rr3, col=cc3, data=M[rr3, cc3], shape=M.shape
+    ).to_csr()
+    op3 = best_sparse_operator(csr3, max_diags=8, bsr_fill_cap=1.2)
+    assert isinstance(op3, EllOperator)
+    b3 = rng3.random(n3).astype(np.float32)
+    r3 = tpucg.cg_solve(op3, b3, maxiter=4 * n3)
+    assert bool(r3.converged)
+    np.testing.assert_allclose(M @ np.asarray(r3.x), b3, atol=1e-4 * n3)

@@ -141,7 +141,16 @@ def _shift_flat(x: jax.Array, off: int) -> jax.Array:
     return jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
 
 
-def _dia_kernel(offsets, block_rows, pad_rows, data_ref, x_ref, y_ref, xp_ref):
+def _dia_kernel(offsets, block_rows, pad_rows, *refs):
+    """Shared body for the zero-guard and halo-guard variants: with 4 refs
+    (data, x, y, scratch) the guards are zeros (serial operator); with 6 the
+    guard rows come from halo inputs (the distributed band exchange,
+    ``dia_spmv_halo_pallas``)."""
+    if len(refs) == 4:
+        data_ref, x_ref, y_ref, xp_ref = refs
+        lo_ref = hi_ref = None
+    else:
+        data_ref, x_ref, lo_ref, hi_ref, y_ref, xp_ref = refs
     i = pl.program_id(0)
     rows = x_ref.shape[0]
 
@@ -150,10 +159,16 @@ def _dia_kernel(offsets, block_rows, pad_rows, data_ref, x_ref, y_ref, xp_ref):
     @pl.when(i == 0)
     def _():
         if pad_rows:
-            xp_ref[0:pad_rows, :] = jnp.zeros((pad_rows, LANE), jnp.float32)
-            xp_ref[pl.ds(pad_rows + rows, pad_rows), :] = jnp.zeros(
-                (pad_rows, LANE), jnp.float32
-            )
+            if lo_ref is None:
+                xp_ref[0:pad_rows, :] = jnp.zeros(
+                    (pad_rows, LANE), jnp.float32
+                )
+                xp_ref[pl.ds(pad_rows + rows, pad_rows), :] = jnp.zeros(
+                    (pad_rows, LANE), jnp.float32
+                )
+            else:
+                xp_ref[0:pad_rows, :] = lo_ref[...]
+                xp_ref[pl.ds(pad_rows + rows, pad_rows), :] = hi_ref[...]
         xp_ref[pl.ds(pad_rows, rows), :] = x_ref[...]
 
     acc = jnp.zeros((block_rows, LANE), jnp.float32)
@@ -237,6 +252,95 @@ def dia_spmv_pallas(
         interpret=interpret_mode(),
     )(data_il, x.reshape(rows, LANE))
     return y2.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def dia_spmv_halo_pallas(
+    data_il: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    halo_lo: jax.Array,
+    halo_hi: jax.Array,
+) -> jax.Array:
+    """Row-block DIA SpMV with NEIGHBOR halos in the guard rows.
+
+    The distributed-banded building block (``solver.sharded``): device d's
+    block needs only ``pad_rows*128`` trailing elements of block d-1
+    (``halo_lo``) and leading elements of block d+1 (``halo_hi``) — exchanged
+    as a ppermute ring, O(bandwidth) per lap instead of the all_gather's
+    O(n). Halos are flat (pad_rows*128,) arrays; pass zeros at the ends of
+    the chain (the identity-tail padding keeps out-of-matrix entries inert).
+    """
+    rows = data_il.shape[0]
+    ndiag = data_il.shape[1] // LANE
+    n = rows * LANE
+    if not dia_supported(n, offsets):
+        raise ValueError(
+            f"pallas DIA unsupported for block n={n}, offsets={offsets}"
+        )
+    maxo = max(abs(int(o)) for o in offsets)
+    pad_rows = max(1, -(-maxo // LANE))
+    if halo_lo.size != pad_rows * LANE or halo_hi.size != pad_rows * LANE:
+        raise ValueError(
+            f"halos must be {pad_rows * LANE} elements, got "
+            f"{halo_lo.size}/{halo_hi.size}"
+        )
+    block_rows = _dia_block_rows(rows, ndiag)
+    grid = (rows // block_rows,)
+    y2 = pl.pallas_call(
+        functools.partial(_dia_kernel, tuple(int(o) for o in offsets),
+                          block_rows, pad_rows),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, ndiag * LANE), lambda i: (i, 0)),
+            pl.BlockSpec((rows, LANE), lambda i: (0, 0)),
+            pl.BlockSpec((pad_rows, LANE), lambda i: (0, 0)),
+            pl.BlockSpec((pad_rows, LANE), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANE), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * pad_rows, LANE), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n,
+            bytes_accessed=4 * (ndiag * n + 2 * n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20
+        ),
+        interpret=interpret_mode(),
+    )(
+        data_il,
+        x.reshape(rows, LANE),
+        halo_lo.reshape(pad_rows, LANE),
+        halo_hi.reshape(pad_rows, LANE),
+    )
+    return y2.reshape(n)
+
+
+def dia_spmv_halo_xla(
+    data_il: jax.Array,
+    offsets: tuple,
+    x: jax.Array,
+    halo_lo: jax.Array,
+    halo_hi: jax.Array,
+) -> jax.Array:
+    """XLA fallback with the same halo semantics: extend the block with the
+    neighbor windows once, then one STATIC slice per diagonal."""
+    rows = data_il.shape[0]
+    n = rows * LANE
+    maxo = max(abs(int(o)) for o in offsets)
+    pad = max(1, -(-maxo // LANE)) * LANE
+    x_ext = jnp.concatenate([halo_lo, x, halo_hi])
+    y = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        diag = jax.lax.dynamic_slice(
+            data_il, (0, d * LANE), (rows, LANE)
+        ).reshape(n)
+        y = y + diag * jax.lax.slice(x_ext, (pad + off,), (pad + off + n,))
+    return y
 
 
 def bsr_ell_spmv(
