@@ -1,0 +1,90 @@
+"""Worker for the multi-process distributed test (test_multiprocess.py).
+
+Each OS process is one JAX process (the reference's MPI rank model,
+``parallel_cg.c:76-82``): it initializes ``jax.distributed`` against the
+localhost coordinator, contributes its forced CPU devices to the global
+mesh, loads ONLY its own shards of the matrix file (host-sharded loading),
+runs the sharded CG solve, and process 0 writes the gathered result for the
+parent to check against the serial oracle.
+
+Invoked as:
+    python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir>
+"""
+
+import json
+import os
+import sys
+
+import jax
+
+# sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel); the multi-process
+# test must run on forced CPU devices (XLA_FLAGS is set by the parent).
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    coord, nproc, pid, workdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    from tpucg.comm.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+
+    import numpy as np
+
+    import tpucg
+    import tpucg.io.textio as textio
+    from tpucg.solver.sharded import load_system_sharded, sharded_cg_solve
+
+    # Record which matrix row-ranges THIS process parses: the scalability
+    # claim is that make_array_from_callback only materializes
+    # locally-addressable shards (no rank-0-reads-everything ceiling,
+    # parallel_cg.c:100-108).
+    reads = []
+    orig = textio.load_matrix_rows
+
+    def traced(path, r0, r1, ncols):
+        reads.append([int(r0), int(r1)])
+        return orig(path, r0, r1, ncols)
+
+    textio.load_matrix_rows = traced
+
+    mesh = tpucg.make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    Ad, bd, x0d, n = load_system_sharded(
+        os.path.join(workdir, "A.txt"),
+        os.path.join(workdir, "b.txt"),
+        os.path.join(workdir, "x0.txt"),
+        mesh=mesh,
+    )
+    for strategy in ("allgather", "overlap"):
+        res = sharded_cg_solve(
+            Ad, bd, x0d, mesh=mesh, n=n, strategy=strategy
+        )
+        from jax.experimental import multihost_utils
+
+        x_full = np.asarray(
+            multihost_utils.process_allgather(res.x, tiled=True)
+        )
+        if pid == 0:
+            np.save(os.path.join(workdir, f"x_{strategy}.npy"), x_full)
+            with open(
+                os.path.join(workdir, f"meta_{strategy}.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "iterations": int(res.iterations),
+                        "converged": bool(res.converged),
+                        "residual_norm": float(res.residual_norm),
+                    },
+                    f,
+                )
+    with open(os.path.join(workdir, f"reads_{pid}.json"), "w") as f:
+        json.dump(sorted(reads), f)
+    print(f"worker {pid}/{nproc} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
