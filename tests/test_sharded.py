@@ -137,3 +137,31 @@ def test_load_system_sharded_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(ref.x), rtol=1e-4, atol=1e-6
     )
+
+
+def test_sharded_record_residuals(mesh8):
+    """The per-iteration ||r|| trace composes with the distributed solver
+    and matches the serial trace (psum-reduced global scalars)."""
+    import tpucg
+
+    n = 96
+    A, b, x0 = generate_spd_system(n, seed=13)
+    A = (A - (n - n / 8.0) * np.eye(n)).astype(np.float32)
+    ser = tpucg.cg_solve(A, b, x0, record_residuals=True)
+    sh = sharded_cg_solve(A, b, x0, mesh=mesh8, record_residuals=True)
+    assert sh.residual_history is not None
+    k = int(sh.iterations)
+    assert int(ser.iterations) == k
+    hs = np.asarray(sh.residual_history)[: k + 1]
+    hr = np.asarray(ser.residual_history)[: k + 1]
+    assert np.all(np.isfinite(hs))
+    # Entry 0 is the initial residual (deterministic); later entries drift
+    # by f32 reduction order between the psum and serial sums — compare at
+    # order-of-magnitude resolution, and the converged tail below tol.
+    np.testing.assert_allclose(hs[0], hr[0], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.log10(hs[1:]), np.log10(hr[1:]), atol=0.5
+    )
+    assert hs[-1] < 1.0e-6
+    # Beyond the converged lap the trace is NaN-padded, as in serial.
+    assert np.all(np.isnan(np.asarray(sh.residual_history)[k + 1:]))

@@ -19,7 +19,10 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 
 from tpucg.config import CGConfig
 from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
-from tpucg.solver.checkpoint import cg_solve_checkpointed
+from tpucg.solver.checkpoint import (
+    cg_solve_checkpointed,
+    sharded_cg_solve_checkpointed,
+)
 from tpucg.solver.ir import cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
@@ -28,6 +31,7 @@ from tpucg.solver.sharded import (
 )
 from tpucg.solver.operators import (
     BsrOperator,
+    best_sparse_operator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -46,6 +50,8 @@ __all__ = [
     "cg_solve",
     "cg_solve_multi",
     "cg_solve_checkpointed",
+    "sharded_cg_solve_checkpointed",
+    "best_sparse_operator",
     "cg_solve_ir",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",

@@ -1,7 +1,10 @@
 """CG solvers: single-device jitted loop, sharded SPMD loops, NumPy oracle."""
 
 from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
-from tpucg.solver.checkpoint import cg_solve_checkpointed
+from tpucg.solver.checkpoint import (
+    cg_solve_checkpointed,
+    sharded_cg_solve_checkpointed,
+)
 from tpucg.solver.ir import cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
@@ -11,6 +14,7 @@ from tpucg.solver.sharded import (
 from tpucg.solver.oracle import oracle_cg
 from tpucg.solver.operators import (
     BsrOperator,
+    best_sparse_operator,
     DenseOperator,
     DiaOperator,
     EllOperator,
@@ -23,6 +27,8 @@ __all__ = [
     "cg_solve",
     "cg_solve_multi",
     "cg_solve_checkpointed",
+    "sharded_cg_solve_checkpointed",
+    "best_sparse_operator",
     "cg_solve_ir",
     "sharded_cg_solve",
     "sharded_operator_cg_solve",

@@ -142,12 +142,12 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     jax.jit,
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
-        "precondition", "method", "poly_degree",
+        "precondition", "method", "poly_degree", "record",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
-    precondition="none", method="cg", poly_degree=0,
+    precondition="none", method="cg", poly_degree=0, record=False,
 ):
     num = mesh.devices.size
 
@@ -173,22 +173,26 @@ def _sharded_cg_jit(
             precond = make_poly_precond(mv, dot, b_blk, poly_degree)
         if method == "pipelined":
             # ONE fused psum per lap, overlappable with q = A w.
-            return _run_pipelined(
+            x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
             )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+            hist_len=maxiter if record else None,
         )
-        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+        hist = s.hist if record else jnp.zeros((1,), jnp.float32)
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done, hist
 
     return jax.shard_map(
         solve,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis)),
-        out_specs=(P(axis), P(), P(), P()),
+        # The ||r|| history entries are psum-derived scalars -> replicated.
+        out_specs=(P(axis), P(), P(), P(), P()),
         # VMA checking is scoped to the XLA arms: pallas_call outputs carry
         # no varying-mesh-axes annotation (and the interpret-mode lowering's
         # internal while_loop rejects vma-annotated out_shapes outright), so
@@ -196,6 +200,124 @@ def _sharded_cg_jit(
         # scalar outputs is guaranteed by psum instead.
         check_vma=(backend != "pallas"),
     )(A, b, x0)
+
+
+# --- Segmented (checkpointable) sharded execution -------------------------
+# The CG state is the carried tuple (k, x, r, p, rsold, rslast, done);
+# exposing init / run-one-segment as separate shard_map programs lets a host
+# driver pull the sharded state at segment boundaries, write it to disk, and
+# resume bit-identically (tpucg.solver.checkpoint.sharded_cg_solve_checkpointed).
+
+
+def _state_specs(axis):
+    vec, rep = P(axis), P()
+    return (rep, vec, vec, vec, rep, rep, rep)  # (k, x, r, p, rsold, rslast, done)
+
+
+def _jacobi_minv_blk(A_blk, axis):
+    """Each shard's diagonal entries live in its own column block (see
+    _sharded_cg_jit)."""
+    block_rows = A_blk.shape[0]
+    my = jax.lax.axis_index(axis)
+    col0 = (my * block_rows).astype(jnp.int32)
+    d = jnp.diagonal(jax.lax.dynamic_slice(
+        A_blk, (jnp.int32(0), col0), (block_rows, block_rows)
+    ))
+    return jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "strategy", "backend", "tol", "axis", "precondition",
+    ),
+)
+def _sharded_init_jit(
+    A, b, x0, *, mesh, strategy, backend, tol, axis, precondition="none"
+):
+    num = mesh.devices.size
+
+    def init(A_blk, b_blk, x_blk):
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+        dot, _, _ = _make_reductions(axis)
+        precond = None
+        if precondition == "jacobi":
+            minv = _jacobi_minv_blk(A_blk, axis)
+            precond = lambda r: minv * r
+        from tpucg.solver.cg import init_state
+
+        s = init_state(mv, dot, b_blk, x_blk, tol, precond=precond)
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    return jax.shard_map(
+        init,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=_state_specs(axis),
+        check_vma=(backend != "pallas"),
+    )(A, b, x0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "strategy", "backend", "tol", "safe_alpha", "axis",
+        "precondition",
+    ),
+)
+def _sharded_segment_jit(
+    A, state, k_target, *, mesh, strategy, backend, tol, safe_alpha, axis,
+    precondition="none",
+):
+    """Advance the sharded CG state to cumulative iteration ``k_target`` (a
+    TRACED scalar, so every segment reuses one executable)."""
+    num = mesh.devices.size
+
+    def seg(A_blk, k, x_blk, r_blk, p_blk, rsold, rslast, done, kt):
+        from tpucg.solver.cg import _State
+
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+        dot, _, update = _make_reductions(axis)
+        precond = None
+        if precondition == "jacobi":
+            minv = _jacobi_minv_blk(A_blk, axis)
+            precond = lambda r: minv * r
+        st = _State(k=k, x=x_blk, r=r_blk, p=p_blk, rsold=rsold,
+                    rslast=rslast, done=done)
+        s = cg_loop(
+            mv, dot, update, None, None,
+            tol=tol, maxiter=kt, safe_alpha=safe_alpha, state=st,
+            precond=precond,
+        )
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    return jax.shard_map(
+        seg,
+        mesh=mesh,
+        in_specs=(P(axis, None),) + _state_specs(axis) + (P(),),
+        out_specs=_state_specs(axis),
+        check_vma=(backend != "pallas"),
+    )(A, *state, k_target)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "strategy", "backend", "axis")
+)
+def _sharded_matvec_jit(A, v, *, mesh, strategy, backend, axis):
+    """One distributed matvec (used by the checkpoint identity signature)."""
+    num = mesh.devices.size
+
+    def f(A_blk, v_blk):
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+        return mv(v_blk)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=(backend != "pallas"),
+    )(A, v)
 
 
 def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
@@ -803,6 +925,7 @@ def sharded_cg_solve(
     mesh: Optional[Mesh] = None,
     config: Optional[CGConfig] = None,
     n: Optional[int] = None,
+    record_residuals: bool = False,
     **overrides,
 ) -> CGResult:
     """Solve A x = b with A row-block-sharded across the mesh.
@@ -812,18 +935,27 @@ def sharded_cg_solve(
     ``parallel_cg.c:86-90``) and distributed; or pre-sharded device arrays of
     already-padded shape (then padding/placement are skipped; pass ``n`` to
     trim the solution back to the logical size, e.g. after
-    ``load_system_sharded``).
+    ``load_system_sharded``). ``record_residuals=True`` returns the
+    per-iteration ||r|| trace exactly like the serial ``cg_solve`` (the
+    entries are the psum-reduced global scalars).
     """
     if config is None:
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
+    if record_residuals and config.method != "cg":
+        raise ValueError("record_residuals requires method='cg'")
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(config.kernel)
     if mesh.devices.ndim == 2:
         if n is not None:
             raise ValueError("n override is for pre-padded 1-D inputs")
+        if record_residuals:
+            raise ValueError(
+                "record_residuals is supported on 1-D meshes (the 2-D "
+                "decomposition reports final scalars only)"
+            )
         return _sharded2d_solve(A, b, x0, mesh, config, backend)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
@@ -853,7 +985,7 @@ def sharded_cg_solve(
             axis,
         )
     maxiter = config.maxiter if config.maxiter is not None else n
-    x, k, rnorm, done = _sharded_cg_jit(
+    x, k, rnorm, done, hist = _sharded_cg_jit(
         Ad, bd, x0d,
         mesh=mesh,
         strategy=config.strategy,
@@ -867,10 +999,14 @@ def sharded_cg_solve(
         poly_degree=(
             config.poly_degree if config.precondition == "poly" else 0
         ),
+        record=record_residuals,
     )
     if part.n_padded != n:
         x = x[:n]
-    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
+    return CGResult(
+        x=x, iterations=k, residual_norm=rnorm, converged=done,
+        residual_history=hist if record_residuals else None,
+    )
 
 
 def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
