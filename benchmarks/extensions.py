@@ -34,7 +34,19 @@ def bench_config(n, storage_dtype, repeats):
     from tpucg.solver.operators import DenseOperator
 
     backend = resolve_backend("auto")
-    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+    if n > 16384:
+        # Memory-lean f32 generation (the f64 path peaks ~100 GB at
+        # n=65536); convert to bf16 host-side so the tunnel moves 2 bytes
+        # per element instead of 4.
+        from tpucg.io.generator import generate_spd_system_f32
+
+        A, b, x0 = generate_spd_system_f32(n, seed=0)
+        if storage_dtype in ("bfloat16", jnp.bfloat16):
+            import ml_dtypes
+
+            A = A.astype(ml_dtypes.bfloat16)
+    else:
+        A, b, x0 = tpucg.generate_spd_system(n, seed=0)
     op = DenseOperator.create(A, backend=backend, dtype=storage_dtype)
     del A
     bj = jax.device_put(jnp.asarray(b))
@@ -156,10 +168,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--skip-large", action="store_true",
+        help="skip the n=32768/65536 scale points (minutes of host "
+             "generation + transfer)",
+    )
     args = ap.parse_args()
 
+    configs = [(8192, "float32"), (8192, "bfloat16"), (16384, "float32")]
+    if not args.skip_large:
+        # BASELINE config-4 single-chip stand-ins: the largest dense solves
+        # one v5e holds (f32 4.3 GB; bf16 8.6 GB of 16 GB HBM).
+        configs += [(32768, "float32"), (65536, "bfloat16")]
     rows = []
-    for n, dt in ((8192, "float32"), (8192, "bfloat16"), (16384, "float32")):
+    for n, dt in configs:
         t0 = time.time()
         r = bench_config(n, dt, args.repeats)
         rows.append(r)
@@ -182,6 +204,9 @@ def main():
         "its compile-time n=8192. bf16 rows store A in bfloat16 with f32 "
         "accumulation (the solve still satisfies the f32 stopping contract "
         "on the bf16-rounded system); GB/s is physical bytes streamed. "
+        "n=32768 (f32, 4.3 GB) and n=65536 (bf16, 8.6 GB) are the largest "
+        "dense solves one v5e chip holds — the single-chip stand-ins for "
+        "BASELINE config 4's 8-chip n=65536 row. "
         "The `kappa~20` rows compare plain f32 CG with mixed-precision "
         "iterative refinement (`tpucg.cg_solve_ir`: bf16-rate inner solves, "
         "f32 true-residual refinement) on a conditioned system at the same "

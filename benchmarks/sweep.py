@@ -97,27 +97,48 @@ def main():
 
     # Sparse section: the 3-D 7-point Poisson matvec through each operator
     # family (BASELINE.json config 3: n = m^3 Laplacian on one chip).
+    # dia-pallas/dia-xla A/B the fused interleaved kernel against the
+    # concat lowering; ell (scalar gather) vs bsr (block gather, 8 elements
+    # per index) quantify how wrong the gather primitive is on TPU.
     sparse_rows = []
     for m in grids:
-        from tpucg.io.generator import poisson3d_csr
-        from tpucg.solver.operators import DiaOperator, PoissonOperator
-        from tpucg.sparse.formats import csr_to_dia
+        from tpucg.io.generator import poisson3d_csr, poisson3d_dia
+        from tpucg.solver.operators import (
+            BsrOperator,
+            DiaOperator,
+            EllOperator,
+            PoissonOperator,
+        )
+        from tpucg.sparse.formats import csr_to_bsr
 
         n = m ** 3
         nnz = 7 * n - 6 * m * m  # exact Dirichlet 7-point count
         v = jax.numpy.ones(n, jax.numpy.float32)
+        dia = poisson3d_dia(m)
+        # Chain depth: the differenced signal must dwarf the tunnel's ~25 ms
+        # RTT jitter — a 20 us kernel needs ~2048 steps (~40 ms of chained
+        # work), not 512 (absolute timings otherwise wobble 2x+).
+        fast = 2048 if m <= 64 else 512
         variants = [
-            ("stencil-pallas", PoissonOperator(m=m), 512),
-            ("stencil-xla", PoissonOperator(m=m, kernel="xla"), 256),
+            ("stencil-pallas", PoissonOperator(m=m), fast),
+            ("stencil-xla", PoissonOperator(m=m, kernel="xla"), fast // 2),
+            ("dia-pallas", DiaOperator.from_dia(dia, backend="pallas"), fast),
+            ("dia-xla", DiaOperator.from_dia(dia, backend="xla"), 128),
         ]
-        if m <= 64:  # DIA host conversion at m=128 costs minutes; skip
-            variants.append(
-                ("dia", DiaOperator.from_dia(csr_to_dia(poisson3d_csr(m))),
-                 128),
-            )
+        if m <= 64:  # the gather paths are orders slower; bench at m=64
+            csr = poisson3d_csr(m)
+            variants += [
+                ("bsr-8", BsrOperator.from_bsr(csr_to_bsr(csr, 8)), 64),
+                ("ell", EllOperator.from_csr(csr), 16),
+            ]
         for label, sop, steps in variants:
-            s = time_matvec_loop(
-                lambda o, u: o.matvec(u), sop, v, steps=steps
+            # Best of 3 independent chained measurements: single-run
+            # chained numbers still wobble 2-3x through the tunnel; the
+            # minimum is the honest kernel rate (CLAUDE.md rule 4).
+            s = min(
+                time_matvec_loop(lambda o, u: o.matvec(u), sop, v,
+                                 steps=steps)
+                for _ in range(3)
             )
             sparse_rows.append(dict(
                 m=m, n=n, op=label, matvec_us=s * 1e6,
@@ -177,8 +198,12 @@ def main():
             "",
             "The reference has no sparse support; these are tpucg extensions "
             "(BASELINE.json config 3). `stencil-pallas` is the single-pass "
-            "fused Pallas kernel; `stencil-xla` the concat fallback; `dia` "
-            "the gather-free diagonal-storage SpMV.",
+            "fused matrix-free kernel; `stencil-xla` its concat fallback; "
+            "`dia-pallas` the fused interleaved-slab diagonal kernel vs "
+            "`dia-xla`'s shifted-temporary lowering; `bsr-8` gathers 8 "
+            "elements per index (dense 8x8 tiles), `ell` one — the "
+            "scalar-gather floor that `best_sparse_operator` auto-promotes "
+            "away from.",
             "",
             "| m | n | operator | matVec (us) | Gnnz/s | effective GB/s |",
             "|---|---|---|---|---|---|",
@@ -202,8 +227,24 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
+    # Preserve sections owned by the other bench writers (extensions.py,
+    # ab_ledger.py) across regeneration.
+    preserved = []
+    if os.path.exists(out):
+        old = open(out).read()
+        for header in (
+            "## Extensions (beyond the reference)",
+            "## Distributed A/B ledger (functional, oversubscribed CPU mesh)",
+        ):
+            if header in old:
+                _, _, rest = old.partition(header)
+                idx = rest.find("\n## ")
+                body = rest if idx < 0 else rest[:idx]
+                preserved.append(header + body.rstrip("\n"))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
+        for block in preserved:
+            f.write("\n" + block + "\n")
     with open(out.replace(".md", ".json"), "w") as f:
         json.dump(
             dict(device=device, rows=rows, sparse=sparse_rows), f, indent=1

@@ -4,6 +4,7 @@ reference's four compiled entry points (``serialConjugate.c:43``,
 ``parallel_cg.c:53``, ...) with runtime flags instead of #defines."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -132,3 +133,52 @@ def test_bench_poisson_dia(capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["n"] == 512
     assert rep["nnz_per_s"] is None or rep["nnz_per_s"] > 0
+
+
+def test_cli_solve_checkpointed(tmp_path):
+    """CLI segmented solve: capped run retains the checkpoint, re-run
+    resumes to convergence (serial and sharded strategies)."""
+    import tpucg
+    from tpucg.io.textio import save_array
+
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = (A - (n - n / 8.0) * np.eye(n)).astype(np.float32)
+    pa, pb, px = (str(tmp_path / f) for f in ("A.txt", "b.txt", "x0.txt"))
+    save_array(pa, A, fmt="%r")
+    save_array(pb, b, fmt="%r")
+    save_array(px, x0, fmt="%r")
+    ck = str(tmp_path / "state.npz")
+    out = str(tmp_path / "x.txt")
+    rc = main([
+        "solve", pa, pb, px, "--checkpoint", ck, "--segment-iters", "4",
+        "--maxiter", "8",
+    ])
+    assert rc == 3  # capped, not converged
+    assert os.path.exists(ck)
+    rc = main([
+        "solve", pa, pb, px, "--checkpoint", ck, "--segment-iters", "4",
+        "--output", out,
+    ])
+    assert rc == 0
+    assert not os.path.exists(ck)
+    x = np.loadtxt(out, dtype=np.float32)
+    ref = tpucg.cg_solve(A, b, x0)
+    np.testing.assert_allclose(x, np.asarray(ref.x), rtol=1e-5, atol=1e-6)
+    # Sharded strategy through the same flag.
+    ck2 = str(tmp_path / "state2.npz")
+    rc = main([
+        "solve", pa, pb, px, "--checkpoint", ck2, "--segment-iters", "6",
+        "--strategy", "allgather",
+    ])
+    assert rc == 0
+
+
+def test_cli_bench_poisson_auto(capsys):
+    rc = main([
+        "bench", "--operator", "poisson-auto", "--m", "8", "--repeats", "1",
+        "--json",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "poisson-auto[dia]" in out  # banded -> DIA promotion

@@ -87,6 +87,8 @@ def cmd_solve(args) -> int:
 
     t_total0 = time.perf_counter()
     t0 = time.perf_counter()
+    if args.checkpoint is not None:
+        return _cmd_solve_checkpointed(args, t_total0)
     if args.strategy != "serial":
         # Host-sharded loading: each shard's callback parses only its rows
         # (the reference's rank 0 reads everything, parallel_cg.c:100-108).
@@ -141,6 +143,60 @@ def cmd_solve(args) -> int:
         print(f"x                    : {x}")
     if args.output:
         save_array(args.output, x, fmt="%r")
+        print(f"solution written     : {args.output}")
+    return 0 if bool(res.converged) else 3
+
+
+def _cmd_solve_checkpointed(args, t_total0) -> int:
+    """Segmented solve with on-disk checkpoints: interrupt at any segment
+    boundary and re-run the same command to resume (the reference loses all
+    state on failure — SURVEY.md §5 'Checkpoint / resume: None')."""
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.textio import load_system, save_array
+    from tpucg.solver.checkpoint import (
+        cg_solve_checkpointed,
+        sharded_cg_solve_checkpointed,
+    )
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    t0 = time.perf_counter()
+    A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+    n = A.shape[0]
+    load_s = time.perf_counter() - t0
+    kw = dict(
+        tol=args.tol if args.tol is not None else 1.0e-6,
+        maxiter=args.maxiter, kernel=args.kernel,
+        precondition=args.precondition,
+        segment_iters=args.segment_iters,
+        checkpoint_path=args.checkpoint,
+    )
+    t0 = time.perf_counter()
+    if args.strategy == "serial":
+        res = cg_solve_checkpointed(A, b, x0, **kw)
+    else:
+        res = sharded_cg_solve_checkpointed(
+            A, b, x0, mesh=tpucg.make_mesh(args.devices),
+            strategy=args.strategy, **kw
+        )
+    jax.block_until_ready(res.x)
+    solve_s = time.perf_counter() - t0
+    print(f"system size          : {n} x {n}")
+    print(f"strategy             : {args.strategy} [{args.kernel}] "
+          f"checkpointed every {args.segment_iters} iters")
+    print(f"data load (s)        : {load_s:.6f}")
+    print(f"CG solve (s)         : {solve_s:.6f}  (includes jit compile)")
+    print(f"total (s)            : {time.perf_counter() - t_total0:.6f}")
+    print(f"iterations           : {int(res.iterations)}")
+    print(f"final ||r||          : {float(res.residual_norm):.6e}")
+    print(f"converged            : {bool(res.converged)}")
+    if not bool(res.converged):
+        print(f"checkpoint retained  : {args.checkpoint} (re-run to resume)")
+    if args.output:
+        save_array(args.output, np.asarray(res.x), fmt="%r")
         print(f"solution written     : {args.output}")
     return 0 if bool(res.converged) else 3
 
@@ -279,7 +335,8 @@ def _build_bench_system(args, backend):
         A, b, x0 = tpucg.generate_spd_system(args.n, seed=0)
         return "dense", A, b, x0, args.n, None
     if args.operator not in (
-        "poisson-ell", "poisson-bsr", "poisson-dia", "poisson-free"
+        "poisson-ell", "poisson-bsr", "poisson-dia", "poisson-free",
+        "poisson-auto",
     ):
         raise SystemExit(f"unknown operator {args.operator!r}")
     # Sparse 3-D Poisson workloads (BASELINE.json config: n=m^3 Laplacian).
@@ -296,6 +353,12 @@ def _build_bench_system(args, backend):
         return f"poisson-free m={m}", op, b, None, n, nnz
     csr = poisson3d_csr(m)
     b = csr.matvec(x_true)
+    if args.operator == "poisson-auto":
+        from tpucg.solver.operators import best_sparse_operator
+
+        op = best_sparse_operator(csr)
+        kindname = type(op).__name__.replace("Operator", "").lower()
+        return f"poisson-auto[{kindname}] m={m}", op, b, None, n, csr.nnz
     if args.operator == "poisson-bsr":
         bs = 8 if n % 8 == 0 else 4
         return f"poisson-bsr m={m}", csr_to_bsr(csr, bs), b, None, n, csr.nnz
@@ -461,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--print-solution", action="store_true")
     ps.add_argument("--residual-history", action="store_true",
                     help="print per-iteration ||r|| (serial strategy only)")
+    ps.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="segmented solve with resume-able .npz checkpoints "
+                         "at PATH (serial and sharded strategies)")
+    ps.add_argument("--segment-iters", type=int, default=128,
+                    help="iterations per checkpoint segment")
     ps.add_argument("--output", default=None,
                     help="write the solution vector to this file")
     _add_solver_flags(ps)
@@ -497,7 +565,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Poisson grid edge (n = m^3) for sparse operators")
     pb.add_argument("--operator", default="dense",
                     choices=("dense", "poisson-ell", "poisson-bsr",
-                             "poisson-dia", "poisson-free"))
+                             "poisson-dia", "poisson-free", "poisson-auto"))
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--json", action="store_true")
     pb.add_argument("--compare-strategies", action="store_true",

@@ -59,6 +59,26 @@ def _poisson3d_deltas_masks(m: int):
     return n, idx, deltas, masks
 
 
+def generate_spd_system_f32(
+    n: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Memory-lean float32 variant of ``generate_spd_system`` for large n.
+
+    Same construction (A = 0.5*(R + R^T) + n*I, R/b ~ U[0,1)) but computed
+    in float32 with in-place updates and no dense eye: peak host memory is
+    2 * n^2 * 4 bytes (vs ~3 * n^2 * 8 for the float64 path — 100 GB at
+    n=65536). Draws a different random stream than the f64 version.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.random((n, n), dtype=np.float32)
+    A = A + A.T
+    A *= np.float32(0.5)
+    idx = np.arange(n)
+    A[idx, idx] += np.float32(n)
+    b = rng.random(n, dtype=np.float32)
+    return A, b, np.zeros(n, np.float32)
+
+
 def poisson3d_csr(m: int, dtype=np.float32) -> CSRMatrix:
     """7-point Laplacian on an m*m*m grid with Dirichlet boundaries, as CSR.
 

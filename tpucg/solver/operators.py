@@ -72,8 +72,12 @@ class DenseOperator(LinearOperator):
         contract), bfloat16 (halved HBM traffic, ~2x faster matvec; f32
         accumulation — an extension), or float64 (needs x64 mode)."""
         dtype = jnp.dtype(dtype)
-        host_dtype = np.float32 if dtype == jnp.bfloat16 else dtype
-        A = np.asarray(A, dtype=host_dtype)
+        A = np.asarray(A)
+        if jnp.dtype(A.dtype) != dtype:
+            # bf16 has no native NumPy repr; stage in f32 (ml_dtypes-typed
+            # bf16 input passes through, halving the host->device transfer
+            # for the large-n benchmarks).
+            A = A.astype(np.float32 if dtype == jnp.bfloat16 else dtype)
         n = A.shape[0]
         if A.shape != (n, n):
             raise ValueError(f"A must be square, got {A.shape}")
