@@ -182,7 +182,12 @@ def main():
         "XLA keeps the loop-invariant matrix resident in VMEM across the "
         "solve's while_loop (the single cold-start matvec GB/s column is the "
         "HBM-bound number); at n = 8192 A (268 MB) exceeds VMEM and the "
-        "solve time matches 4 x the HBM-roofline matvec exactly.",
+        "solve time matches 4 x the HBM-roofline matvec exactly. The matVec "
+        "column's sub-80% fractions at n <= 1024 are the ~1.5 us per-call "
+        "kernel-launch floor, not tiling: an in-process tile A/B at n=1024 "
+        "measured tm=128 and tm=256 dead even, and at n=512 every variant "
+        "incl. the XLA dot sits at 2.4-3.1 us vs the 1.3 us streaming ideal "
+        "— irrelevant to solves, which hold A in VMEM (see above).",
         "",
         "Distributed arms (the reference's P in {2,4,8} tables): this "
         "environment exposes ONE physical chip, so the collective/overlap/2-D "

@@ -9,6 +9,7 @@ from tpucg.solver.ir import cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
+    sharded_cg_solve_multi,
     sharded_operator_cg_solve,
 )
 from tpucg.solver.oracle import oracle_cg
@@ -31,6 +32,7 @@ __all__ = [
     "best_sparse_operator",
     "cg_solve_ir",
     "sharded_cg_solve",
+    "sharded_cg_solve_multi",
     "sharded_operator_cg_solve",
     "load_system_sharded",
     "oracle_cg",

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpucg.comm.mesh import ROWS_AXIS, make_mesh
 from tpucg.config import CGConfig
-from tpucg.io.partitioner import RowPartition, pad_system
+from tpucg.io.partitioner import RowPartition, pad_identity_tail, pad_system
 from tpucg.kernels.blas1 import dot_xla
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.kernels.matvec import matvec
@@ -200,6 +200,109 @@ def _sharded_cg_jit(
         # scalar outputs is guaranteed by psum instead.
         check_vma=(backend != "pallas"),
     )(A, b, x0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "safe_alpha", "axis"),
+)
+def _sharded_multi_jit(A, B, X0, *, mesh, tol, maxiter, safe_alpha, axis):
+    """Row-sharded multi-RHS CG: k recurrences in lockstep under vmap INSIDE
+    shard_map. The per-lane all_gathers batch into one collective of the
+    (n/P, k) block and the per-lane GEMVs into one A_blk @ P_full GEMM per
+    lap — A streams once for ALL k systems AND stays row-sharded."""
+
+    def solve(A_blk, B_blk, X_blk):
+        def one(b_blk, x_blk):
+            def mv(p_blk):
+                p_full = jax.lax.all_gather(p_blk, axis, tiled=True)
+                from tpucg.kernels.matvec import matvec_xla
+
+                return matvec_xla(A_blk, p_full)
+
+            dot, _, update = _make_reductions(axis)
+            s = cg_loop(
+                mv, dot, update, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            )
+            return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+        return jax.vmap(one, in_axes=1, out_axes=(1, 0, 0, 0))(B_blk, X_blk)
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(), P(), P()),
+    )(A, B, X0)
+
+
+def sharded_cg_solve_multi(
+    A,
+    B,
+    X0=None,
+    mesh: Optional[Mesh] = None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Solve A X = B for k right-hand sides with A row-block-sharded.
+
+    The distributed composition of ``cg_solve_multi`` (the reference solves
+    one RHS per program run): per lap ONE batched all_gather rebuilds the
+    (n, k) direction block and one (n/P, n) x (n, k) GEMM applies A to all
+    lanes — the k-fold bandwidth amortization survives sharding. Lanes
+    converge independently. Result fields are batched like
+    ``cg_solve_multi``: x is (n, k); iterations/residual_norm/converged are
+    (k,).
+    """
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg" or config.precondition != "none":
+        raise ValueError(
+            "sharded_cg_solve_multi supports method='cg', "
+            "precondition='none'"
+        )
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("sharded_cg_solve_multi runs on 1-D meshes")
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    B = np.asarray(B, np.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    X0 = (
+        np.zeros((n, k), np.float32)
+        if X0 is None
+        else np.asarray(X0, np.float32)
+    )
+    part = RowPartition(n=n, num_shards=num, align=row_align("xla"))
+    npad = part.n_padded
+    Ap = pad_identity_tail(A, npad)
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    X0p = np.zeros((npad, k), np.float32)
+    X0p[:n] = X0
+    shard2 = NamedSharding(mesh, P(axis, None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded_multi_jit(
+        jax.device_put(Ap, shard2),
+        jax.device_put(Bp, shard2),
+        jax.device_put(X0p, shard2),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
 
 
 # --- Segmented (checkpointable) sharded execution -------------------------
