@@ -56,3 +56,40 @@ def test_ir_validation(system):
         cg_solve_ir(A, b, x0, method="pipelined")
     with pytest.raises(ValueError, match="cg_solve_ir"):
         cg_solve_ir(A, b, x0, precondition="jacobi")
+
+
+def test_sharded_ir_matches_serial_ir():
+    """Distributed mixed-precision IR over the 8-device mesh: same f32
+    true-residual contract, agreeing with the serial IR and the plain f32
+    sharded solve."""
+    import tpucg
+
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = (A - (n - n / 32.0) * np.eye(n)).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve_ir(A, b, x0, tol=tol)
+    sh = tpucg.sharded_cg_solve_ir(A, b, x0, tol=tol)
+    assert bool(sh.converged)
+    assert float(sh.residual_norm) < tol
+    # Independent host-side check of the TRUE f32 residual contract (the x
+    # iterates of two converged solves differ by O(tol * kappa); comparing
+    # residuals is the meaningful equivalence).
+    r_host = b - A @ np.asarray(sh.x)
+    assert float(np.linalg.norm(r_host)) < 2 * tol
+    # Inner-lap counts in the same ballpark as the serial IR (reduction
+    # order shifts the trajectory slightly).
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 10
+
+
+def test_sharded_ir_overlap_strategy_and_padding():
+    import tpucg
+
+    n = 50  # pads over 8 shards
+    A, b, x0 = tpucg.generate_spd_system(n, seed=6)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    sh = tpucg.sharded_cg_solve_ir(A, b, x0, tol=tol, strategy="overlap")
+    assert bool(sh.converged)
+    np.testing.assert_allclose(
+        A @ np.asarray(sh.x), b, atol=2 * tol
+    )

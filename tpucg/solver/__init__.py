@@ -5,7 +5,7 @@ from tpucg.solver.checkpoint import (
     cg_solve_checkpointed,
     sharded_cg_solve_checkpointed,
 )
-from tpucg.solver.ir import cg_solve_ir
+from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
@@ -31,6 +31,7 @@ __all__ = [
     "sharded_cg_solve_checkpointed",
     "best_sparse_operator",
     "cg_solve_ir",
+    "sharded_cg_solve_ir",
     "sharded_cg_solve",
     "sharded_cg_solve_multi",
     "sharded_operator_cg_solve",

@@ -45,20 +45,16 @@ class _IRState(NamedTuple):
     stalled: jax.Array  # refinement stopped contracting: f32 floor reached
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "tol", "inner_rtol", "inner_maxiter", "max_refine", "blas_backend",
-    ),
-)
-def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
-            blas_backend):
+def ir_loop(mv16, mv32, dot, update, b, x0, *, tol, inner_rtol,
+            inner_maxiter, max_refine):
+    """Generic refinement loop over execution-model closures: serial jnp
+    closures here; psum-reducing shard_map closures in ``sharded_cg_solve_ir``
+    (the same abstraction seam as ``cg_loop``)."""
     tol2 = jnp.float32(tol) ** 2
-    update = functools.partial(fused_update, backend=blas_backend)
 
     def true_rr(x):
-        r = b - op32.matvec(x)
-        return r, dot_xla(r, r)
+        r = b - mv32(x)
+        return r, dot(r, r)
 
     r0, rr0 = true_rr(x0)
     state = _IRState(
@@ -77,7 +73,7 @@ def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
         # Inner solve on the normalized residual: the static inner tolerance
         # becomes a RELATIVE tolerance, so one executable serves every round.
         inner = cg_loop(
-            op16.matvec, dot_xla, update,
+            mv16, dot, update,
             s.r / nrm, jnp.zeros_like(s.r),
             tol=inner_rtol, maxiter=inner_maxiter,
         )
@@ -98,7 +94,23 @@ def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
             stalled=stalled,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tol", "inner_rtol", "inner_maxiter", "max_refine", "blas_backend",
+    ),
+)
+def _ir_jit(op16, op32, b, x0, tol, inner_rtol, inner_maxiter, max_refine,
+            blas_backend):
+    update = functools.partial(fused_update, backend=blas_backend)
+    s = ir_loop(
+        op16.matvec, op32.matvec, dot_xla, update, b, x0,
+        tol=tol, inner_rtol=inner_rtol, inner_maxiter=inner_maxiter,
+        max_refine=max_refine,
+    )
     return CGResult(
         x=s.x,
         iterations=s.inner_total,
@@ -174,3 +186,118 @@ def cg_solve_ir(
     if npad != n:
         res = res._replace(x=res.x[:n])
     return res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tol", "inner_rtol", "inner_maxiter", "max_refine", "axis",
+        "backend", "strategy",
+    ),
+)
+def _sharded_ir_jit(
+    A16, A32, b, x0, *, mesh, tol, inner_rtol, inner_maxiter, max_refine,
+    axis, backend, strategy,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import _make_matvec, _make_reductions
+
+    num = mesh.devices.size
+
+    def run(A16_blk, A32_blk, b_blk, x_blk):
+        mv16 = _make_matvec(A16_blk, strategy, num, backend, axis)
+        mv32 = _make_matvec(A32_blk, strategy, num, backend, axis)
+        dot, _, update = _make_reductions(axis)
+        s = ir_loop(
+            mv16, mv32, dot, update, b_blk, x_blk,
+            tol=tol, inner_rtol=inner_rtol, inner_maxiter=inner_maxiter,
+            max_refine=max_refine,
+        )
+        return s.x, s.inner_total, jnp.sqrt(s.rr), s.done
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P()),
+        check_vma=(backend != "pallas"),
+    )(A16, A32, b, x0)
+
+
+def sharded_cg_solve_ir(
+    A,
+    b,
+    x0=None,
+    mesh=None,
+    config: Optional[CGConfig] = None,
+    *,
+    inner_rtol: float = 3.0e-2,
+    inner_maxiter: Optional[int] = None,
+    max_refine: int = 6,
+    **overrides,
+) -> CGResult:
+    """Distributed mixed-precision iterative refinement: both precision
+    copies of A row-block-sharded, bf16-rate inner CG laps with psum
+    reductions, f32 true-residual refinement — same contract as
+    ``cg_solve_ir``, same decomposition as ``sharded_cg_solve``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpucg.comm.mesh import make_mesh
+    from tpucg.io.partitioner import RowPartition, pad_identity_tail
+    from tpucg.solver.sharded import row_align
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg" or config.precondition != "none":
+        raise ValueError(
+            "sharded_cg_solve_ir supports method='cg', precondition='none'"
+        )
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("sharded_cg_solve_ir runs on 1-D meshes")
+    axis = mesh.axis_names[0]
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    part = RowPartition(
+        n=n, num_shards=mesh.devices.size, align=row_align(backend)
+    )
+    npad = part.n_padded
+    Ap = pad_identity_tail(A, npad)
+    import ml_dtypes
+
+    shard2 = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    A16 = jax.device_put(Ap.astype(ml_dtypes.bfloat16), shard2)
+    A32 = jax.device_put(Ap, shard2)
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = np.asarray(b, np.float32)
+    x0p = np.zeros(npad, np.float32)
+    if x0 is not None:
+        x0p[:n] = np.asarray(x0, np.float32)
+    if inner_maxiter is not None:
+        inner_cap = inner_maxiter
+    elif config.maxiter is not None:
+        inner_cap = config.maxiter
+    else:
+        inner_cap = n
+    x, k, rn, done = _sharded_ir_jit(
+        A16, A32,
+        jax.device_put(bp, shard1),
+        jax.device_put(x0p, shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        inner_rtol=float(inner_rtol),
+        inner_maxiter=int(inner_cap),
+        max_refine=int(max_refine),
+        axis=axis,
+        backend=backend,
+        strategy=config.strategy,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
