@@ -215,3 +215,19 @@ def test_sharded_checkpoint_overlap_and_jacobi(tmp_path):
         assert bool(res.converged)
         assert int(res.iterations) == int(ref.iterations)
         np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_signature_blocks_compared_on_own_scales():
+    """Regression (round-2 review): the b-projection block must be compared
+    against ITS OWN scale — under a single global scale the A-probe block
+    (orders of magnitude larger for diag-dominant systems) would mask a
+    changed right-hand side and resume silently against the wrong b."""
+    from tpucg.solver.checkpoint import signatures_match
+
+    a = np.array([1e6, -2e6, 1.5e6, 9e5, 1.0, 2.0, -1.5, 0.5])
+    b = a.copy()
+    b[5] += 0.5  # a real change to the b block, tiny vs the A block's scale
+    assert not signatures_match(a, b)
+    # Unchanged signatures (with f32-level jitter) still match.
+    c = a * (1 + 1e-7)
+    assert signatures_match(a, c)

@@ -182,3 +182,23 @@ def test_cli_bench_poisson_auto(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "poisson-auto[dia]" in out  # banded -> DIA promotion
+
+
+def test_cli_checkpoint_rejects_pipelined_and_prints_solution(tmp_path, capsys):
+    """Regression (round-2 review): --method must reach the library guard
+    (pipelined state is not checkpointable) and --print-solution must work
+    with --checkpoint."""
+    import tpucg
+    from tpucg.io.textio import save_array
+
+    n = 16
+    A, b, x0 = tpucg.generate_spd_system(n, seed=1)
+    pa, pb = str(tmp_path / "A.txt"), str(tmp_path / "b.txt")
+    save_array(pa, A, fmt="%r")
+    save_array(pb, b, fmt="%r")
+    ck = str(tmp_path / "s.npz")
+    with pytest.raises(ValueError, match="cg"):
+        main(["solve", pa, pb, "--checkpoint", ck, "--method", "pipelined"])
+    rc = main(["solve", pa, pb, "--checkpoint", ck, "--print-solution"])
+    assert rc == 0
+    assert "x                    :" in capsys.readouterr().out

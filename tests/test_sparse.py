@@ -341,3 +341,20 @@ def test_best_sparse_operator_promotion():
     r3 = tpucg.cg_solve(op3, b3, maxiter=4 * n3)
     assert bool(r3.converged)
     np.testing.assert_allclose(M @ np.asarray(r3.x), b3, atol=1e-4 * n3)
+
+
+def test_csr_to_dia_sums_unsorted_duplicates():
+    """Regression (round-2 review): duplicate (row, col) entries must SUM
+    even when non-adjacent/unsorted within a row (CSRMatrix guarantees
+    neither merging nor column order)."""
+    from tpucg.sparse.formats import CSRMatrix, csr_to_dia
+
+    # Row 0: cols [3, 1, 3] — duplicate col 3, NOT adjacent.
+    indptr = np.array([0, 3, 3, 3, 3], dtype=np.int64)
+    indices = np.array([3, 1, 3], dtype=np.int32)
+    data = np.array([2.0, 5.0, 7.0], dtype=np.float32)
+    csr = CSRMatrix(indptr=indptr, indices=indices, data=data, shape=(4, 4))
+    dia = csr_to_dia(csr)
+    A = dia.to_dense()
+    assert A[0, 3] == 9.0  # 2 + 7 summed, not last-write-wins
+    assert A[0, 1] == 5.0

@@ -163,24 +163,38 @@ def _cmd_solve_checkpointed(args, t_total0) -> int:
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    t0 = time.perf_counter()
-    A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
-    n = A.shape[0]
-    load_s = time.perf_counter() - t0
+    if getattr(args, "residual_history", False):
+        print("note: --residual-history is not recorded by checkpointed "
+              "solves")
+    # method is forwarded so the library's "method='cg' only" guard fires
+    # loudly for e.g. --method pipelined instead of silently running cg.
     kw = dict(
         tol=args.tol if args.tol is not None else 1.0e-6,
-        maxiter=args.maxiter, kernel=args.kernel,
+        maxiter=args.maxiter, kernel=args.kernel, method=args.method,
         precondition=args.precondition,
         segment_iters=args.segment_iters,
         checkpoint_path=args.checkpoint,
     )
     t0 = time.perf_counter()
     if args.strategy == "serial":
+        A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+        n = A.shape[0]
+        load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         res = cg_solve_checkpointed(A, b, x0, **kw)
     else:
+        # Host-sharded loading, same as the non-checkpoint sharded branch:
+        # each shard's callback parses only its own rows.
+        from tpucg.solver.sharded import load_system_sharded
+
+        mesh = tpucg.make_mesh(args.devices)
+        A, b, x0, n = load_system_sharded(
+            args.matrix, args.rhs, args.x0, mesh=mesh, kernel=args.kernel
+        )
+        load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         res = sharded_cg_solve_checkpointed(
-            A, b, x0, mesh=tpucg.make_mesh(args.devices),
-            strategy=args.strategy, **kw
+            A, b, x0, mesh=mesh, n=n, strategy=args.strategy, **kw
         )
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
@@ -195,8 +209,12 @@ def _cmd_solve_checkpointed(args, t_total0) -> int:
     print(f"converged            : {bool(res.converged)}")
     if not bool(res.converged):
         print(f"checkpoint retained  : {args.checkpoint} (re-run to resume)")
+    x = np.asarray(res.x)
+    if args.print_solution:
+        np.set_printoptions(threshold=64, precision=7)
+        print(f"x                    : {x}")
     if args.output:
-        save_array(args.output, np.asarray(res.x), fmt="%r")
+        save_array(args.output, x, fmt="%r")
         print(f"solution written     : {args.output}")
     return 0 if bool(res.converged) else 3
 

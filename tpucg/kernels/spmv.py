@@ -29,6 +29,17 @@ def ell_spmv(values: jax.Array, indices: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.sum(values * gathered, axis=1)
 
 
+def _shift_flat(x: jax.Array, off: int) -> jax.Array:
+    """x shifted by a static offset with zero fill: result[i] = x[i + off]
+    (0 outside [0, n)) — the DIA shift semantics, shared by every XLA arm."""
+    if off == 0:
+        return x
+    if off > 0:
+        return jnp.concatenate([x[off:], jnp.zeros((off,), x.dtype)])
+    k = -off
+    return jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
+
+
 def dia_spmv(
     data: jax.Array, offsets: tuple, x: jax.Array
 ) -> jax.Array:
@@ -39,19 +50,9 @@ def dia_spmv(
     is the fast path for banded matrices on TPU (the scalar-gather ELL SpMV
     measures ~240x slower for the 7-point Poisson at n=64^3).
     """
-    n = x.shape[0]
     y = jnp.zeros_like(x)
     for d, off in enumerate(offsets):
-        if off == 0:
-            y = y + data[d] * x
-        elif off > 0:
-            # column i+off: x shifted left by off, zero-padded at the tail.
-            xs = jnp.concatenate([x[off:], jnp.zeros((off,), x.dtype)])
-            y = y + data[d] * xs
-        else:
-            k = -off
-            xs = jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
-            y = y + data[d] * xs
+        y = y + data[d] * _shift_flat(x, int(off))
     return y
 
 
@@ -116,6 +117,22 @@ def dia_interleave(data) -> "jax.Array":
     )
 
 
+def dia_deinterleave(data_il) -> "jax.Array":
+    """Inverse of ``dia_interleave``: (n//128, ndiag*128) back to the
+    canonical (ndiag, n). Kept beside the packer so the two transposes can
+    never drift apart."""
+    import numpy as np
+
+    data_il = np.asarray(data_il)
+    rows = data_il.shape[0]
+    ndiag = data_il.shape[1] // LANE
+    return np.ascontiguousarray(
+        np.transpose(
+            data_il.reshape(rows, ndiag, LANE), (1, 0, 2)
+        ).reshape(ndiag, rows * LANE)
+    )
+
+
 def dia_spmv_interleaved_xla(
     data_il: jax.Array, offsets: tuple, x: jax.Array
 ) -> jax.Array:
@@ -130,15 +147,6 @@ def dia_spmv_interleaved_xla(
         ).reshape(n)
         y = y + diag * _shift_flat(x, int(off))
     return y
-
-
-def _shift_flat(x: jax.Array, off: int) -> jax.Array:
-    if off == 0:
-        return x
-    if off > 0:
-        return jnp.concatenate([x[off:], jnp.zeros((off,), x.dtype)])
-    k = -off
-    return jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
 
 
 def _dia_kernel(offsets, block_rows, pad_rows, *refs):

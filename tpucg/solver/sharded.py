@@ -156,16 +156,7 @@ def _sharded_cg_jit(
 
         precond = None
         if precondition == "jacobi":
-            # Each shard's diagonal entries live in its own column block:
-            # rows [0, n/P) of A_blk map to global rows my*n/P + i, so the
-            # diagonal is A_blk[i, my*n/P + i].
-            block_rows = A_blk.shape[0]
-            my = jax.lax.axis_index(axis)
-            col0 = (my * block_rows).astype(jnp.int32)
-            d = jnp.diagonal(jax.lax.dynamic_slice(
-                A_blk, (jnp.int32(0), col0), (block_rows, block_rows)
-            ))
-            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+            minv = _jacobi_minv_blk(A_blk, axis)
             precond = lambda r: minv * r
 
         dot, dots, update = _make_reductions(axis)
@@ -714,7 +705,7 @@ def _sharded_operator_cg_jit(
 def _dia_canonical(op) -> Tuple[np.ndarray, tuple, int]:
     """Host-side canonical (ndiag, n) DIA data + offsets from a DIAMatrix or
     DiaOperator (de-interleaving the Pallas packing if needed)."""
-    from tpucg.kernels.spmv import LANE
+    from tpucg.kernels.spmv import dia_deinterleave
     from tpucg.solver.operators import DiaOperator
     from tpucg.sparse.formats import DIAMatrix
 
@@ -725,13 +716,7 @@ def _dia_canonical(op) -> Tuple[np.ndarray, tuple, int]:
     assert isinstance(op, DiaOperator)
     data = np.asarray(op.data)
     if op.interleaved:
-        rows = data.shape[0]
-        ndiag = data.shape[1] // LANE
-        data = np.ascontiguousarray(
-            np.transpose(
-                data.reshape(rows, ndiag, LANE), (1, 0, 2)
-            ).reshape(ndiag, rows * LANE)
-        )
+        data = dia_deinterleave(data)
     return data.astype(np.float32, copy=False), op.offsets, op.n
 
 

@@ -165,11 +165,14 @@ def csr_to_dia(csr: CSRMatrix, max_diags: int = 256) -> DIAMatrix:
     data = np.zeros((uniq.size, n), dtype=csr.data.dtype)
     dpos = np.searchsorted(uniq, offs)
     # Fancy assignment beats np.add.at's unbuffered scatter ~10x at m=128's
-    # 14.6M entries — valid when (row, col) pairs are unique. CSRMatrix
-    # permits duplicates (to_csr does not merge), so detect them (CSR order
-    # makes duplicates adjacent) and fall back to the summing scatter.
+    # 14.6M entries — valid only when (row, col) pairs are unique. CSRMatrix
+    # permits duplicates and does NOT guarantee sorted columns within a row,
+    # so detect collisions order-independently with a bincount over the
+    # (diagonal, row) key space (O(nnz + ndiag*n), ~100 ms at m=128) and
+    # fall back to the summing scatter when any key repeats.
     key = dpos.astype(np.int64) * n + coo.row
-    if key.size > 1 and np.any(key[1:] == key[:-1]):
+    counts = np.bincount(key, minlength=uniq.size * n)
+    if counts.size and counts.max() > 1:
         np.add.at(data, (dpos, coo.row), coo.data)
     else:
         data[dpos, coo.row] = coo.data
