@@ -148,6 +148,54 @@ def main():
             print(f"m={m} {label}: {s*1e6:.1f} us, "
                   f"{nnz/s/1e9:.1f} Gnnz/s", flush=True)
 
+    # Sparse end-to-end SOLVES (BASELINE config 3 reports CG iterations/s,
+    # not just the matvec): stencil operator, plain vs polynomial PCG.
+    sparse_solve_rows = []
+    for m in grids:
+        import numpy as np
+
+        from tpucg.bench.timing import time_run_chain
+        from tpucg.solver.cg import cg_loop, make_poly_precond
+        from tpucg.kernels.blas1 import dot_xla, fused_update
+        from tpucg.solver.operators import PoissonOperator
+
+        n = m ** 3
+        sop = PoissonOperator(m=m)
+        bs = np.ones(n, np.float32)
+        tol = 1e-5 * float(np.linalg.norm(bs))
+        bj = jax.numpy.asarray(bs)
+        x0j = jax.numpy.zeros(n, jax.numpy.float32)
+        for label, pre_kw in (
+            ("cg", dict()),
+            ("poly-pcg d=3", dict(precondition="poly", poly_degree=3)),
+        ):
+            res = tpucg.cg_solve(sop, bj, tol=tol, maxiter=4 * n, **pre_kw)
+            iters = int(res.iterations)
+            assert bool(res.converged), (m, label)
+
+            def run(operands, bb, x0_):
+                (op_,) = operands
+                import functools
+
+                dot = dot_xla
+                upd = functools.partial(fused_update, backend="xla")
+                precond = (
+                    make_poly_precond(op_.matvec, dot, bb, 3)
+                    if pre_kw else None
+                )
+                st = cg_loop(op_.matvec, dot, upd, bb, x0_,
+                             tol=tol, maxiter=4 * n, precond=precond)
+                return st.x
+
+            est = iters * 30e-6  # rough per-lap estimate for chain sizing
+            s = time_run_chain(run, (sop,), bj, x0j, est_solve_s=est)
+            sparse_solve_rows.append(dict(
+                m=m, n=n, method=label, solve_ms=s * 1e3, iters=iters,
+                iters_per_s=iters / s,
+            ))
+            print(f"m={m} solve[{label}]: {s*1e3:.3f} ms, {iters} iters "
+                  f"({iters/s:.0f} it/s)", flush=True)
+
     lines = [
         "# RESULTS — tpucg vs reference (dense serial CG)",
         "",
@@ -218,6 +266,20 @@ def main():
                 f"| {r['m']} | {r['n']} | {r['op']} | {r['matvec_us']:.1f} "
                 f"| {r['gnnz_per_s']:.1f} | {r['eff_gbps']:.0f} |"
             )
+        if sparse_solve_rows:
+            lines += [
+                "",
+                "### Sparse solves (stencil operator, tol = 1e-5 ||b||)",
+                "",
+                "| m | n | method | solve (ms) | iters | iters/s |",
+                "|---|---|---|---|---|---|",
+            ]
+            for r in sparse_solve_rows:
+                lines.append(
+                    f"| {r['m']} | {r['n']} | {r['method']} "
+                    f"| {r['solve_ms']:.3f} | {r['iters']} "
+                    f"| {r['iters_per_s']:.0f} |"
+                )
         lines += [
             "",
             "### Scale (distributed stencil)",
@@ -252,7 +314,9 @@ def main():
             f.write("\n" + block + "\n")
     with open(out.replace(".md", ".json"), "w") as f:
         json.dump(
-            dict(device=device, rows=rows, sparse=sparse_rows), f, indent=1
+            dict(device=device, rows=rows, sparse=sparse_rows,
+                 sparse_solves=sparse_solve_rows),
+            f, indent=1,
         )
     print(f"wrote {out}")
 

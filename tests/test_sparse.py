@@ -358,3 +358,47 @@ def test_csr_to_dia_sums_unsorted_duplicates():
     A = dia.to_dense()
     assert A[0, 3] == 9.0  # 2 + 7 summed, not last-write-wins
     assert A[0, 1] == 5.0
+
+
+def test_dia_pallas_fuzz_random_offset_sets():
+    """Property: the fused Pallas DIA kernel (interpret mode) matches the
+    host oracle for randomized banded structures — random offset sets
+    (both signs, lane/sublane/mixed decompositions), random sizes."""
+    import jax.numpy as jnp
+
+    from tpucg.kernels.spmv import (
+        dia_interleave,
+        dia_spmv_pallas,
+        dia_supported,
+    )
+    from tpucg.sparse.formats import DIAMatrix
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        rows = int(rng.integers(2, 20))
+        n = rows * 128
+        ndiag = int(rng.integers(1, 9))
+        offs = set()
+        while len(offs) < ndiag:
+            offs.add(int(rng.integers(-(n - 1), n)))
+        offsets = tuple(sorted(offs))
+        if not dia_supported(n, offsets):
+            continue
+        data = rng.standard_normal((len(offsets), n)).astype(np.float32)
+        idx = np.arange(n)
+        for d, off in enumerate(offsets):
+            cols = idx + off
+            data[d, (cols < 0) | (cols >= n)] = 0.0
+        dia = DIAMatrix(
+            offsets=np.asarray(offsets), data=data, shape=(n, n)
+        )
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(
+            dia_spmv_pallas(
+                jnp.asarray(dia_interleave(data)), offsets, jnp.asarray(x)
+            )
+        )
+        np.testing.assert_allclose(
+            y, dia.matvec(x), rtol=1e-5, atol=1e-4,
+            err_msg=f"trial={trial} n={n} offsets={offsets}",
+        )
