@@ -42,7 +42,7 @@ def main():
         auto_steps,
         hbm_peak_bytes_per_s,
         time_fn,
-        time_matvec_loop,
+        time_matvec_robust,
         time_solve_chain,
     )
     from tpucg.kernels.dispatch import resolve_backend
@@ -79,7 +79,7 @@ def main():
             iters=args.repeats, est_solve_s=est,
         )
         e2e_s = time_fn(lambda: solve().x, warmup=1, iters=3, reduce="median")
-        mv_s = time_matvec_loop(
+        mv_s = time_matvec_robust(
             lambda o, v: o.matvec(v), op, v0, steps=auto_steps(op.padded_n)
         )
         gbps = 4.0 * op.padded_n * op.padded_n / mv_s / 1e9
@@ -132,13 +132,11 @@ def main():
                 ("ell", EllOperator.from_csr(csr), 16),
             ]
         for label, sop, steps in variants:
-            # Best of 3 independent chained measurements: single-run
-            # chained numbers still wobble 2-3x through the tunnel; the
-            # minimum is the honest kernel rate (CLAUDE.md rule 4).
-            s = min(
-                time_matvec_loop(lambda o, u: o.matvec(u), sop, v,
-                                 steps=steps)
-                for _ in range(3)
+            # Median of 3 independent chained measurements: single runs
+            # wobble 2-3x through the tunnel and a corrupted differencing
+            # can return ~zero — the median rejects both (CLAUDE.md rule 4).
+            s = time_matvec_robust(
+                lambda o, u: o.matvec(u), sop, v, steps=steps
             )
             sparse_rows.append(dict(
                 m=m, n=n, op=label, matvec_us=s * 1e6,

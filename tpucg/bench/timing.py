@@ -225,7 +225,34 @@ def time_matvec_loop(
     lo, hi = 2, 2 + steps
     t_lo = time_fn(loop, operand, x, lo, warmup=1, iters=iters)
     t_hi = time_fn(loop, operand, x, hi, warmup=1, iters=iters)
-    return max((t_hi - t_lo) / steps, 1e-12)
+    d = (t_hi - t_lo) / steps
+    if d <= 0:
+        # Tunnel glitch (a backlogged t_lo exceeding t_hi): retry once with
+        # fresh chains rather than returning a clamped near-zero that a
+        # min-of-trials reduction would then latch onto as "fastest".
+        t_lo = time_fn(loop, operand, x, lo, warmup=1, iters=iters)
+        t_hi = time_fn(loop, operand, x, hi, warmup=1, iters=iters)
+        d = (t_hi - t_lo) / steps
+    return max(d, 1e-12)
+
+
+def time_matvec_robust(
+    apply: Callable,
+    operand,
+    x: jax.Array,
+    steps: int = 32,
+    trials: int = 3,
+) -> float:
+    """Median of ``trials`` independent ``time_matvec_loop`` chains.
+
+    Single chained runs wobble 2-3x between executions through the tunnel,
+    and a corrupted run can difference to ~zero — the median is robust to
+    one bad trial in either direction (a min would latch onto the zero)."""
+    ts = sorted(
+        time_matvec_loop(apply, operand, x, steps=steps)
+        for _ in range(trials)
+    )
+    return ts[len(ts) // 2]
 
 
 @dataclasses.dataclass

@@ -25,8 +25,16 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tpucg.kernels.dispatch import interpret_mode
+
+# The whole-grid blocks (u + y + shift temporaries ~ 19.5 MB at m=128)
+# exceed the default 16 MB scoped-VMEM cap once the kernel is embedded in a
+# larger program (observed: the chained-solve benchmark OOMed where the
+# standalone matvec compiled); v5e has 128 MB VMEM and stencil_supported /
+# slab_supported bound the actual footprint.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
 
 
 def stencil_supported(m: int) -> bool:
@@ -123,6 +131,7 @@ def poisson3d_slab_pallas(
             bytes_accessed=2 * 4 * mp * mm,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret_mode(),
     )(halo_lo.reshape(1, mm), u_slab, halo_hi.reshape(1, mm))
 
@@ -145,6 +154,7 @@ def poisson3d_pallas(u_flat: jax.Array, m: int) -> jax.Array:
             bytes_accessed=2 * 4 * m * mm,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret_mode(),
     )(u)
     return y.reshape(m * mm)
