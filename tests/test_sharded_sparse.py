@@ -266,3 +266,26 @@ def test_poisson_larger_grid_smoke():
     r = sharded_operator_cg_solve(op, b, maxiter=3)
     assert np.all(np.isfinite(np.asarray(r.x)))
     assert int(r.iterations) == 3
+
+
+def test_operator_sharded_record_residuals():
+    """record_residuals composes with the operator-sharded solver (slab-halo
+    Poisson): finite monotone-trending trace, NaN-padded past convergence."""
+    m = 8
+    op = PoissonOperator(m=m)
+    b = np.ones(m ** 3, np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    r = sharded_operator_cg_solve(
+        op, b, tol=tol, maxiter=4 * m ** 3, record_residuals=True
+    )
+    assert bool(r.converged)
+    assert r.residual_history is not None
+    k = int(r.iterations)
+    h = np.asarray(r.residual_history)
+    assert np.all(np.isfinite(h[: k + 1]))
+    assert h[k] < tol
+    assert np.all(np.isnan(h[k + 1:]))
+    with pytest.raises(ValueError, match="record_residuals"):
+        sharded_operator_cg_solve(
+            op, b, method="pipelined", record_residuals=True
+        )

@@ -633,12 +633,13 @@ def _ell_allgather_matvec(values_blk, indices_blk, axis: str):
     static_argnames=(
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
         "m_padded", "precondition", "poly_degree", "offsets", "backend",
+        "record",
     ),
 )
 def _sharded_operator_cg_jit(
     op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
     method="cg", kind="ell", m=None, m_padded=None, precondition="none",
-    poly_degree=0, offsets=None, backend="xla",
+    poly_degree=0, offsets=None, backend="xla", record=False,
 ):
     num = mesh.devices.size
 
@@ -665,16 +666,19 @@ def _sharded_operator_cg_jit(
         elif precondition == "poly":
             precond = make_poly_precond(mv, dot, b_blk, poly_degree)
         if method == "pipelined":
-            return _run_pipelined(
+            x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
             )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+            hist_len=maxiter if record else None,
         )
-        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+        hist = s.hist if record else jnp.zeros((1,), jnp.float32)
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done, hist
 
     vec = P(axis)
     if kind == "poisson":
@@ -697,7 +701,7 @@ def _sharded_operator_cg_jit(
         solve,
         mesh=mesh,
         in_specs=(op_specs, vec, vec, vec),
-        out_specs=(vec, P(), P(), P()),
+        out_specs=(vec, P(), P(), P(), P()),
         check_vma=not uses_pallas,
     )(op_arrays, b, x0, minv)
 
@@ -726,6 +730,7 @@ def sharded_operator_cg_solve(
     x0=None,
     mesh: Optional[Mesh] = None,
     config: Optional[CGConfig] = None,
+    record_residuals: bool = False,
     **overrides,
 ) -> CGResult:
     """Distributed CG on a sparse/stencil operator over a 1-D mesh.
@@ -758,6 +763,8 @@ def sharded_operator_cg_solve(
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
+    if record_residuals and config.method != "cg":
+        raise ValueError("record_residuals requires method='cg'")
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -895,7 +902,7 @@ def sharded_operator_cg_solve(
         minv_host if minv_host is not None else np.ones(npad, np.float32)
     )
     maxiter = config.maxiter if config.maxiter is not None else n
-    x, k, rnorm, done = _sharded_operator_cg_jit(
+    x, k, rnorm, done, hist = _sharded_operator_cg_jit(
         op_arrays,
         jax.device_put(jnp.asarray(bp), shard1),
         jax.device_put(jnp.asarray(x0p), shard1),
@@ -915,10 +922,14 @@ def sharded_operator_cg_solve(
         ),
         offsets=offsets_static,
         backend=backend_static,
+        record=record_residuals,
     )
     if npad != n:
         x = x[:n]
-    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
+    return CGResult(
+        x=x, iterations=k, residual_norm=rnorm, converged=done,
+        residual_history=hist if record_residuals else None,
+    )
 
 
 def distribute_system(
