@@ -254,7 +254,12 @@ def main():
             "`dia-xla`'s shifted-temporary lowering; `bsr-8` gathers 8 "
             "elements per index (dense 8x8 tiles), `ell` one — the "
             "scalar-gather floor that `best_sparse_operator` auto-promotes "
-            "away from.",
+            "away from. Caveat: absolute per-kernel rates vary up to ~3x "
+            "BETWEEN processes through the remote-TPU tunnel even with "
+            "median-of-3 chained differencing (operands that fit VMEM can "
+            "run at above-HBM rates when XLA keeps the chain resident); "
+            "WITHIN-run rankings are the reliable signal, and the "
+            "solve-to-convergence rows below are the end-to-end truth.",
             "",
             "| m | n | operator | matVec (us) | Gnnz/s | effective GB/s |",
             "|---|---|---|---|---|---|",
