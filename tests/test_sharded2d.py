@@ -92,3 +92,24 @@ def test_2d_jacobi_matches_serial():
         sh.x, np.float64
     )
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
+
+
+def test_sharded2d_record_residuals():
+    """The ||r|| trace also composes with the 2-D SUMMA decomposition."""
+    import tpucg
+    from tpucg import make_mesh2d
+
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=19)
+    A = (A - (n - n / 8.0) * np.eye(n)).astype(np.float32)
+    ser = tpucg.cg_solve(A, b, x0, record_residuals=True)
+    sh = tpucg.sharded_cg_solve(
+        A, b, x0, mesh=make_mesh2d(2, 4), record_residuals=True
+    )
+    assert sh.residual_history is not None
+    k = int(sh.iterations)
+    assert int(ser.iterations) == k
+    h = np.asarray(sh.residual_history)
+    assert np.all(np.isfinite(h[: k + 1]))
+    assert h[k] < 1.0e-6
+    assert np.all(np.isnan(h[k + 1:]))

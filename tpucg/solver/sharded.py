@@ -440,12 +440,12 @@ def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
-        "precondition", "poly_degree",
+        "precondition", "poly_degree", "record",
     ),
 )
 def _sharded2d_cg_jit(
     A, b, x0, minv, *, mesh, backend, tol, maxiter, safe_alpha, method="cg",
-    precondition="none", poly_degree=0,
+    precondition="none", poly_degree=0, record=False,
 ):
     """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
     (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
@@ -475,23 +475,26 @@ def _sharded2d_cg_jit(
             precond = make_poly_precond(mv, dot, b_blk, poly_degree)
 
         if method == "pipelined":
-            return _run_pipelined(
+            x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
             )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
         s = cg_loop(
             mv, dot, update, b_blk, x_blk,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+            hist_len=maxiter if record else None,
         )
-        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+        hist = s.hist if record else jnp.zeros((1,), jnp.float32)
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done, hist
 
     vec = P((r_ax, c_ax),)
     return jax.shard_map(
         solve,
         mesh=mesh,
         in_specs=(P(r_ax, c_ax), vec, vec, vec),
-        out_specs=(vec, P(), P(), P()),
+        out_specs=(vec, P(), P(), P(), P()),
         # See _sharded_cg_jit: VMA checking on except under Pallas kernels.
         check_vma=(backend != "pallas"),
     )(A, b, x0, minv)
@@ -1050,12 +1053,9 @@ def sharded_cg_solve(
     if mesh.devices.ndim == 2:
         if n is not None:
             raise ValueError("n override is for pre-padded 1-D inputs")
-        if record_residuals:
-            raise ValueError(
-                "record_residuals is supported on 1-D meshes (the 2-D "
-                "decomposition reports final scalars only)"
-            )
-        return _sharded2d_solve(A, b, x0, mesh, config, backend)
+        return _sharded2d_solve(
+            A, b, x0, mesh, config, backend, record_residuals
+        )
     axis = mesh.axis_names[0]
     num = mesh.devices.size
 
@@ -1108,7 +1108,9 @@ def sharded_cg_solve(
     )
 
 
-def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
+def _sharded2d_solve(
+    A, b, x0, mesh, config, backend, record_residuals=False
+) -> CGResult:
     A = np.asarray(A, np.float32)
     n = A.shape[0]
     align = 128 if backend == "pallas" else 1
@@ -1132,7 +1134,7 @@ def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
         minv_host, NamedSharding(mesh, P((r_ax, c_ax),))
     )
     maxiter = config.maxiter if config.maxiter is not None else n
-    x, k, rnorm, done = _sharded2d_cg_jit(
+    x, k, rnorm, done, hist = _sharded2d_cg_jit(
         Ad, bd, x0d, minv,
         mesh=mesh,
         backend=backend,
@@ -1144,7 +1146,11 @@ def _sharded2d_solve(A, b, x0, mesh, config, backend) -> CGResult:
         poly_degree=(
             config.poly_degree if config.precondition == "poly" else 0
         ),
+        record=record_residuals,
     )
     if npad != n:
         x = x[:n]
-    return CGResult(x=x, iterations=k, residual_norm=rnorm, converged=done)
+    return CGResult(
+        x=x, iterations=k, residual_norm=rnorm, converged=done,
+        residual_history=hist if record_residuals else None,
+    )
