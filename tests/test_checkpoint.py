@@ -231,3 +231,76 @@ def test_signature_blocks_compared_on_own_scales():
     # Unchanged signatures (with f32-level jitter) still match.
     c = a * (1 + 1e-7)
     assert signatures_match(a, c)
+
+
+def test_operator_sharded_checkpointed_poisson(tmp_path):
+    """Checkpoint/resume over the slab-halo Poisson solver: identical
+    trajectory, bit-identical resume, cross-operator guard."""
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+    from tpucg.solver.operators import PoissonOperator
+    from tpucg.solver.sharded import sharded_operator_cg_solve
+
+    m = 8
+    op = PoissonOperator(m=m)
+    b = np.ones(m ** 3, np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ref = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * m ** 3)
+    res = sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=4 * m ** 3, segment_iters=5
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+    ck = str(tmp_path / "p.npz")
+    partial = sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=7, segment_iters=4,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert int(partial.iterations) == 7 and os.path.exists(ck)
+    full = sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=4 * m ** 3, segment_iters=16,
+        checkpoint_path=ck,
+    )
+    assert bool(full.converged)
+    assert int(full.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(ref.x))
+    assert not os.path.exists(ck)
+
+    # A checkpoint from a DIFFERENT rhs must be refused.
+    sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=4, segment_iters=4, checkpoint_path=ck,
+        keep_checkpoint=True,
+    )
+    with pytest.raises(ValueError, match="signature"):
+        sharded_operator_cg_solve_checkpointed(
+            op, b + 1.0, tol=tol, segment_iters=4, checkpoint_path=ck
+        )
+
+
+def test_operator_sharded_checkpointed_dia_jacobi(tmp_path):
+    """Same driver over the band-halo DIA arm with Jacobi, non-divisible n."""
+    from tpucg.io.generator import poisson3d_csr
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+    from tpucg.sparse.formats import csr_to_dia
+
+    m = 7  # n = 343: pads to 1024 over 8 shards x 128 lanes
+    csr = poisson3d_csr(m)
+    n = csr.shape[0]
+    dia = csr_to_dia(csr)
+    rng = np.random.default_rng(5)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ck = str(tmp_path / "d.npz")
+    partial = sharded_operator_cg_solve_checkpointed(
+        dia, b, tol=tol, maxiter=5, segment_iters=5,
+        precondition="jacobi", checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert os.path.exists(ck)
+    full = sharded_operator_cg_solve_checkpointed(
+        dia, b, tol=tol, maxiter=4 * n, segment_iters=10,
+        precondition="jacobi", checkpoint_path=ck,
+    )
+    assert bool(full.converged)
+    np.testing.assert_allclose(np.asarray(full.x), x_true, atol=1e-3)

@@ -4,6 +4,7 @@ from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
 from tpucg.solver.checkpoint import (
     cg_solve_checkpointed,
     sharded_cg_solve_checkpointed,
+    sharded_operator_cg_solve_checkpointed,
 )
 from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
@@ -29,6 +30,7 @@ __all__ = [
     "cg_solve_multi",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",
+    "sharded_operator_cg_solve_checkpointed",
     "best_sparse_operator",
     "cg_solve_ir",
     "sharded_cg_solve_ir",

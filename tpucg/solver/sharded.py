@@ -414,6 +414,131 @@ def _sharded_matvec_jit(A, v, *, mesh, strategy, backend, axis):
     )(A, v)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tol", "axis", "kind", "m", "m_padded", "offsets", "backend",
+        "precondition",
+    ),
+)
+def _sharded_operator_init_jit(
+    op_arrays, b, x0, minv, *, mesh, tol, axis, kind, m, m_padded, offsets,
+    backend, precondition="none",
+):
+    num = mesh.devices.size
+
+    def init(op_blk, b_blk, x_blk, minv_blk):
+        from tpucg.solver.cg import init_state
+
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
+        dot, _, _ = _make_reductions(axis)
+        precond = (
+            (lambda r: minv_blk * r) if precondition == "jacobi" else None
+        )
+        s = init_state(mv, dot, b_blk, x_blk, tol, precond=precond)
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    return jax.shard_map(
+        init,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), P(axis), P(axis), P(axis)),
+        out_specs=_state_specs(axis),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
+    )(op_arrays, b, x0, minv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tol", "safe_alpha", "axis", "kind", "m", "m_padded",
+        "offsets", "backend", "precondition",
+    ),
+)
+def _sharded_operator_segment_jit(
+    op_arrays, state, k_target, minv, *, mesh, tol, safe_alpha, axis, kind,
+    m, m_padded, offsets, backend, precondition="none",
+):
+    num = mesh.devices.size
+
+    def seg(op_blk, k, x_blk, r_blk, p_blk, rsold, rslast, done, kt,
+            minv_blk):
+        from tpucg.solver.cg import _State
+
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
+        dot, _, update = _make_reductions(axis)
+        precond = (
+            (lambda r: minv_blk * r) if precondition == "jacobi" else None
+        )
+        st = _State(k=k, x=x_blk, r=r_blk, p=p_blk, rsold=rsold,
+                    rslast=rslast, done=done)
+        s = cg_loop(
+            mv, dot, update, None, None,
+            tol=tol, maxiter=kt, safe_alpha=safe_alpha, state=st,
+            precond=precond,
+        )
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    return jax.shard_map(
+        seg,
+        mesh=mesh,
+        in_specs=(
+            (_operator_specs(kind, axis),) + _state_specs(axis)
+            + (P(), P(axis))
+        ),
+        out_specs=_state_specs(axis),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
+    )(op_arrays, *state, k_target, minv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "kind", "m", "m_padded", "offsets", "backend",
+    ),
+)
+def _sharded_operator_matvec_jit(
+    op_arrays, v, *, mesh, axis, kind, m, m_padded, offsets, backend
+):
+    num = mesh.devices.size
+
+    def f(op_blk, v_blk):
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
+        return mv(v_blk)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
+    )(op_arrays, v)
+
+
+def _operator_specs(kind, axis):
+    if kind == "poisson":
+        return P(axis)
+    if kind == "dia":
+        return P(axis, None)
+    if kind == "bsr":
+        return (P(axis, None, None, None), P(axis, None))
+    return (P(axis, None), P(axis, None))
+
+
+def _operator_uses_pallas(kind, m, m_padded, mesh, backend) -> bool:
+    from tpucg.kernels.stencil import slab_supported
+
+    return (
+        kind == "poisson"
+        and slab_supported(m, m_padded // mesh.devices.size)
+    ) or (kind == "dia" and backend == "pallas")
+
+
 def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     """Column permutation aligning A's storage with the 2-D gather order.
 
@@ -631,6 +756,26 @@ def _ell_allgather_matvec(values_blk, indices_blk, axis: str):
     return mv
 
 
+def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
+    """Per-shard matvec closure for the operator decompositions — shared by
+    the solve, init, segment, and probe jits."""
+    if kind == "poisson":
+        return _poisson_halo_matvec(m, m_padded, axis, num)
+    if kind == "dia":
+        dia_mv = _dia_halo_matvec(offsets, axis, num, backend)
+        return lambda v: dia_mv(op_blk, v)
+    if kind == "bsr":
+        values_blk, indices_blk = op_blk
+
+        def mv(v_blk):
+            v_full = jax.lax.all_gather(v_blk, axis, tiled=True)
+            return bsr_ell_spmv(values_blk, indices_blk, v_full)
+
+        return mv
+    values_blk, indices_blk = op_blk
+    return _ell_allgather_matvec(values_blk, indices_blk, axis)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -647,21 +792,9 @@ def _sharded_operator_cg_jit(
     num = mesh.devices.size
 
     def solve(op_blk, b_blk, x_blk, minv_blk):
-        if kind == "poisson":
-            mv = _poisson_halo_matvec(m, m_padded, axis, num)
-        elif kind == "dia":
-            dia_mv = _dia_halo_matvec(offsets, axis, num, backend)
-            mv = lambda v: dia_mv(op_blk, v)
-        elif kind == "bsr":
-            values_blk, indices_blk = op_blk
-
-            def mv(v_blk):
-                v_full = jax.lax.all_gather(v_blk, axis, tiled=True)
-                return bsr_ell_spmv(values_blk, indices_blk, v_full)
-        else:
-            values_blk, indices_blk = op_blk
-            mv = _ell_allgather_matvec(values_blk, indices_blk, axis)
-
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
         dot, dots, update = _make_reductions(axis)
         precond = None
         if precondition == "jacobi":
@@ -684,28 +817,15 @@ def _sharded_operator_cg_jit(
         return s.x, s.k, jnp.sqrt(s.rslast), s.done, hist
 
     vec = P(axis)
-    if kind == "poisson":
-        op_specs = P(axis)
-    elif kind == "dia":
-        op_specs = P(axis, None)
-    elif kind == "bsr":
-        op_specs = (P(axis, None, None, None), P(axis, None))
-    else:
-        op_specs = (P(axis, None), P(axis, None))
     # The Pallas arms (slab stencil / DIA halo kernel) carry no VMA
     # annotation on their outputs — only then must the verifier stand down
     # (see _sharded_cg_jit).
-    from tpucg.kernels.stencil import slab_supported
-
-    uses_pallas = (
-        kind == "poisson" and slab_supported(m, m_padded // num)
-    ) or (kind == "dia" and backend == "pallas")
     return jax.shard_map(
         solve,
         mesh=mesh,
-        in_specs=(op_specs, vec, vec, vec),
+        in_specs=(_operator_specs(kind, axis), vec, vec, vec),
         out_specs=(vec, P(), P(), P(), P()),
-        check_vma=not uses_pallas,
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
     )(op_arrays, b, x0, minv)
 
 
@@ -771,6 +891,66 @@ def sharded_operator_cg_solve(
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
+    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    shard1 = NamedSharding(mesh, P(axis))
+
+    b = np.asarray(b, np.float32)
+    if b.shape != (n,):
+        raise ValueError(f"b must have shape ({n},), got {b.shape}")
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = b
+    x0p = np.zeros(npad, np.float32)
+    if x0 is not None:
+        x0p[:n] = np.asarray(x0, np.float32)
+    minv = (
+        minv_host if minv_host is not None else np.ones(npad, np.float32)
+    )
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rnorm, done, hist = _sharded_operator_cg_jit(
+        op_arrays,
+        jax.device_put(jnp.asarray(bp), shard1),
+        jax.device_put(jnp.asarray(x0p), shard1),
+        jax.device_put(jnp.asarray(minv), shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+        method=config.method,
+        precondition=config.precondition,
+        poly_degree=(
+            config.poly_degree if config.precondition == "poly" else 0
+        ),
+        record=record_residuals,
+        **statics,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(
+        x=x, iterations=k, residual_norm=rnorm, converged=done,
+        residual_history=hist if record_residuals else None,
+    )
+
+
+def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig):
+    """Pad, pack, and place a sparse/stencil operator for the 1-D mesh.
+
+    Returns (op_arrays, statics, n, npad, minv_host) where ``statics`` are
+    the kind-specific static kwargs of the operator jits (kind, m, m_padded,
+    offsets, backend) — shared by the solve and checkpoint drivers.
+    """
+    from tpucg.kernels.spmv import LANE, dia_supported
+    from tpucg.solver.operators import (
+        BsrOperator,
+        DiaOperator,
+        EllOperator,
+        PoissonOperator,
+    )
+    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+
+    axis = mesh.axis_names[0]
     num = mesh.devices.size
     shard1 = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))
@@ -778,7 +958,7 @@ def sharded_operator_cg_solve(
     m_static = m_padded = None
     offsets_static = None
     backend_static = "xla"
-    minv_host = None  # host diagonal^-1 (padded); device fallback below
+    minv_host = None  # host diagonal^-1 (padded); ones fallback by caller
 
     if isinstance(op, PoissonOperator):
         kind = "poisson"
@@ -893,46 +1073,11 @@ def sharded_operator_cg_solve(
             f"operators, got {type(op).__name__}"
         )
 
-    b = np.asarray(b, np.float32)
-    if b.shape != (n,):
-        raise ValueError(f"b must have shape ({n},), got {b.shape}")
-    bp = np.zeros(npad, np.float32)
-    bp[:n] = b
-    x0p = np.zeros(npad, np.float32)
-    if x0 is not None:
-        x0p[:n] = np.asarray(x0, np.float32)
-    minv = (
-        minv_host if minv_host is not None else np.ones(npad, np.float32)
-    )
-    maxiter = config.maxiter if config.maxiter is not None else n
-    x, k, rnorm, done, hist = _sharded_operator_cg_jit(
-        op_arrays,
-        jax.device_put(jnp.asarray(bp), shard1),
-        jax.device_put(jnp.asarray(x0p), shard1),
-        jax.device_put(jnp.asarray(minv), shard1),
-        mesh=mesh,
-        tol=float(config.tol),
-        maxiter=int(maxiter),
-        safe_alpha=bool(config.safe_alpha),
-        axis=axis,
-        method=config.method,
-        kind=kind,
-        m=m_static,
-        m_padded=m_padded,
-        precondition=config.precondition,
-        poly_degree=(
-            config.poly_degree if config.precondition == "poly" else 0
-        ),
-        offsets=offsets_static,
+    statics = dict(
+        kind=kind, m=m_static, m_padded=m_padded, offsets=offsets_static,
         backend=backend_static,
-        record=record_residuals,
     )
-    if npad != n:
-        x = x[:n]
-    return CGResult(
-        x=x, iterations=k, residual_norm=rnorm, converged=done,
-        residual_history=hist if record_residuals else None,
-    )
+    return op_arrays, statics, n, npad, minv_host
 
 
 def distribute_system(
