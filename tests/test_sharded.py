@@ -165,3 +165,37 @@ def test_sharded_record_residuals(mesh8):
     assert hs[-1] < 1.0e-6
     # Beyond the converged lap the trace is NaN-padded, as in serial.
     assert np.all(np.isnan(np.asarray(sh.residual_history)[k + 1:]))
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "overlap"])
+def test_sharded_bf16_storage(mesh8, strategy):
+    """bfloat16 A shards (f32 accumulation/vectors): the distributed analog
+    of DenseOperator.create(dtype=bfloat16) — agrees with the SERIAL bf16
+    solve on the same bf16-rounded system."""
+    import jax.numpy as jnp
+
+    import tpucg
+    from tpucg.solver.operators import DenseOperator
+
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=23)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ser = tpucg.cg_solve(
+        DenseOperator.create(A, dtype=jnp.bfloat16), b, x0, tol=tol,
+        maxiter=4 * n,
+    )
+    sh = sharded_cg_solve(
+        A, b, x0, mesh=mesh8, tol=tol, strategy=strategy,
+        storage_dtype=jnp.bfloat16,
+    )
+    assert bool(sh.converged)
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-3, atol=1e-3
+    )
+    # Jacobi under bf16 storage (diagonal upcast before inversion).
+    shj = sharded_cg_solve(
+        A, b, x0, mesh=mesh8, tol=tol, strategy=strategy,
+        storage_dtype=jnp.bfloat16, precondition="jacobi",
+    )
+    assert bool(shj.converged)

@@ -316,8 +316,8 @@ def _jacobi_minv_blk(A_blk, axis):
     col0 = (my * block_rows).astype(jnp.int32)
     d = jnp.diagonal(jax.lax.dynamic_slice(
         A_blk, (jnp.int32(0), col0), (block_rows, block_rows)
-    ))
-    return jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    )).astype(jnp.float32)  # upcast before inverting (A may be bf16 storage)
+    return jnp.where(d != 0, 1.0 / d, 1.0)
 
 
 @functools.partial(
@@ -1087,14 +1087,22 @@ def distribute_system(
     mesh: Mesh,
     part: RowPartition,
     axis: str = ROWS_AXIS,
+    storage_dtype=np.float32,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pad and place (A, b, x0) row-block-sharded on the mesh.
 
     This is the reference's "data distribution" phase (``MPI_Bcast`` +
     ``MPI_Scatter``, ``parallel_cg.c:111-115``) as sharded device_put; timed
     separately by the bench harness to mirror its three-phase report.
+    ``storage_dtype=bfloat16`` halves A's per-shard HBM footprint and
+    streaming traffic (f32 accumulation in the matvec, f32 vectors — the
+    same storage-dtype extension as ``DenseOperator.create``).
     """
     Ap, bp, x0p = pad_system(A, b, x0, part)
+    if jnp.dtype(storage_dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        Ap = Ap.astype(ml_dtypes.bfloat16)  # host cast: tunnel moves 2 B/elt
     shard2d = NamedSharding(mesh, P(axis, None))
     shard1d = NamedSharding(mesh, P(axis))
     return (
@@ -1173,6 +1181,7 @@ def sharded_cg_solve(
     config: Optional[CGConfig] = None,
     n: Optional[int] = None,
     record_residuals: bool = False,
+    storage_dtype=np.float32,
     **overrides,
 ) -> CGResult:
     """Solve A x = b with A row-block-sharded across the mesh.
@@ -1185,6 +1194,10 @@ def sharded_cg_solve(
     ``load_system_sharded``). ``record_residuals=True`` returns the
     per-iteration ||r|| trace exactly like the serial ``cg_solve`` (the
     entries are the psum-reduced global scalars).
+    ``storage_dtype=bfloat16`` stores A's shards in bfloat16 (f32
+    accumulation and vectors — the distributed analog of
+    ``DenseOperator.create(dtype=bfloat16)``; the solve then satisfies the
+    contract on the bf16-rounded system, so scale ``tol`` accordingly).
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -1195,9 +1208,17 @@ def sharded_cg_solve(
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(config.kernel)
+    if jnp.dtype(storage_dtype) not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"storage_dtype must be float32 or bfloat16, got {storage_dtype}"
+        )
     if mesh.devices.ndim == 2:
         if n is not None:
             raise ValueError("n override is for pre-padded 1-D inputs")
+        if jnp.dtype(storage_dtype) != jnp.float32:
+            raise ValueError(
+                "bfloat16 storage is supported on 1-D meshes"
+            )
         return _sharded2d_solve(
             A, b, x0, mesh, config, backend, record_residuals
         )
@@ -1227,6 +1248,7 @@ def sharded_cg_solve(
             mesh,
             part,
             axis,
+            storage_dtype=storage_dtype,
         )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded_cg_jit(
