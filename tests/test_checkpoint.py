@@ -304,3 +304,31 @@ def test_operator_sharded_checkpointed_dia_jacobi(tmp_path):
     )
     assert bool(full.converged)
     np.testing.assert_allclose(np.asarray(full.x), x_true, atol=1e-3)
+
+
+def test_sharded2d_checkpointed(tmp_path):
+    """Checkpoint/resume on the 2-D SUMMA decomposition: identical
+    trajectory to the uninterrupted 2-D solve, bit-identical resume."""
+    from tpucg import make_mesh2d
+    from tpucg.solver.checkpoint import sharded_cg_solve_checkpointed
+
+    A, b, x0 = _conditioned_system(96, seed=7)
+    mesh = make_mesh2d(2, 4)
+    ref = tpucg.sharded_cg_solve(A, b, x0, mesh=mesh)
+    res = sharded_cg_solve_checkpointed(A, b, x0, mesh=mesh, segment_iters=4)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+    ck = str(tmp_path / "s2.npz")
+    partial = sharded_cg_solve_checkpointed(
+        A, b, x0, mesh=mesh, segment_iters=4, maxiter=8,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert int(partial.iterations) == 8 and os.path.exists(ck)
+    full = sharded_cg_solve_checkpointed(
+        A, b, x0, mesh=mesh, segment_iters=4, checkpoint_path=ck
+    )
+    assert bool(full.converged)
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(ref.x))
+    assert not os.path.exists(ck)

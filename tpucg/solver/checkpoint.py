@@ -417,6 +417,114 @@ def sharded_operator_cg_solve_checkpointed(
     )
 
 
+def _sharded2d_cg_solve_checkpointed(
+    A, b, x0, mesh, config, backend, *, segment_iters, checkpoint_path,
+    keep_checkpoint,
+) -> CGResult:
+    """2-D (SUMMA) arm of ``sharded_cg_solve_checkpointed``: same segmented
+    semantics with the state vectors sharded over both mesh axes."""
+    from tpucg.solver.sharded import (
+        _sharded2d_init_jit,
+        _sharded2d_matvec_jit,
+        _sharded2d_segment_jit,
+        distribute_system_2d,
+        row_align,
+    )
+
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    align = 128 if backend == "pallas" else 1
+    Ad, bd, x0d, npad = distribute_system_2d(
+        A,
+        np.asarray(b, np.float32),
+        None if x0 is None else np.asarray(x0, np.float32),
+        mesh,
+        align=align,
+    )
+    if config.precondition == "jacobi":
+        d = np.ones(npad, np.float32)
+        d[:n] = np.diag(A).astype(np.float32)
+        minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
+    else:
+        minv_host = np.ones(npad, np.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    r_ax, c_ax = mesh.axis_names
+    minvd = jax.device_put(
+        minv_host, NamedSharding(mesh, P((r_ax, c_ax),))
+    )
+    tol = float(config.tol)
+    maxiter = config.maxiter if config.maxiter is not None else n
+    static = dict(mesh=mesh, backend=backend)
+
+    def dist_sig():
+        mv = lambda v: _sharded2d_matvec_jit(Ad, v, **static)
+        return system_signature(mv, np.asarray(bd))
+
+    sig = None
+    state = None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
+        if n_ck != n or state.x.shape != (npad,):
+            raise ValueError(
+                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
+                f"(padded {state.x.shape}); this system is n={n} "
+                f"(padded ({npad},))"
+            )
+        if tol_ck != tol:
+            raise ValueError(
+                f"checkpoint tol {tol_ck} != requested tol {tol}"
+            )
+        sig = dist_sig()
+        if sig_ck.size and not signatures_match(sig_ck, sig):
+            raise ValueError(
+                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
+                "system (A/b probe-signature mismatch beyond tolerance); "
+                "refusing to resume"
+            )
+    if state is None:
+        state = _state_to_host(_sharded2d_init_jit(
+            Ad, bd, x0d, minvd,
+            tol=tol, precondition=config.precondition, **static,
+        ))
+
+    while True:
+        k_now = int(state.k)
+        if bool(state.done) or k_now >= maxiter:
+            break
+        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
+        state = _state_to_host(_sharded2d_segment_jit(
+            Ad,
+            (state.k, state.x, state.r, state.p, state.rsold, state.rslast,
+             state.done),
+            k_target,
+            minvd,
+            tol=tol,
+            safe_alpha=bool(config.safe_alpha),
+            precondition=config.precondition,
+            **static,
+        ))
+        if checkpoint_path is not None:
+            if sig is None:
+                sig = dist_sig()
+            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
+
+    if (
+        checkpoint_path is not None
+        and not keep_checkpoint
+        and bool(state.done)
+        and os.path.exists(checkpoint_path)
+    ):
+        os.remove(checkpoint_path)
+    x = state.x[:n] if npad != n else state.x
+    return CGResult(
+        x=x,
+        iterations=state.k,
+        residual_norm=jnp.sqrt(state.rslast),
+        converged=state.done,
+    )
+
+
 def _state_to_host(state_tuple) -> _State:
     k, x, r, p, rsold, rslast, done = jax.block_until_ready(state_tuple)
     return _State(
@@ -483,10 +591,19 @@ def sharded_cg_solve_checkpointed(
         )
     if mesh is None:
         mesh = make_mesh()
-    if mesh.devices.ndim != 1:
-        raise ValueError("sharded checkpointing runs on 1-D meshes")
-    axis = mesh.axis_names[0]
     backend = resolve_backend(config.kernel)
+    if mesh.devices.ndim == 2:
+        if n is not None or isinstance(A, jax.Array):
+            raise ValueError(
+                "2-D checkpointing takes host arrays (the column "
+                "permutation is applied at distribution)"
+            )
+        return _sharded2d_cg_solve_checkpointed(
+            A, b, x0, mesh, config, backend,
+            segment_iters=segment_iters, checkpoint_path=checkpoint_path,
+            keep_checkpoint=keep_checkpoint,
+        )
+    axis = mesh.axis_names[0]
     if isinstance(A, jax.Array):
         n = A.shape[0] if n is None else n
         part = RowPartition(

@@ -539,6 +539,113 @@ def _operator_uses_pallas(kind, m, m_padded, mesh, backend) -> bool:
     ) or (kind == "dia" and backend == "pallas")
 
 
+def _matvec_2d(A_blk, r_ax: str, c_ax: str, backend: str):
+    """SUMMA-style 2-D GEMV closure: all_gather the direction chunk within
+    mesh columns, local partial GEMV, psum_scatter within mesh rows —
+    O(n/C + n/R) comm per lap (see ``_sharded2d_cg_jit``)."""
+
+    def mv(p_blk):
+        p_cols = jax.lax.all_gather(p_blk, r_ax, tiled=True)  # (n/C,)
+        partial = matvec(A_blk, p_cols, backend=backend)      # (n/R,)
+        return jax.lax.psum_scatter(
+            partial, c_ax, scatter_dimension=0, tiled=True
+        )  # (n/(R*C),)
+
+    return mv
+
+
+def _state_specs_2d(r_ax, c_ax):
+    vec, rep = P((r_ax, c_ax),), P()
+    return (rep, vec, vec, vec, rep, rep, rep)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "backend", "tol", "precondition"),
+)
+def _sharded2d_init_jit(
+    A, b, x0, minv, *, mesh, backend, tol, precondition="none"
+):
+    r_ax, c_ax = mesh.axis_names
+
+    def init(A_blk, b_blk, x_blk, minv_blk):
+        from tpucg.solver.cg import init_state
+
+        mv = _matvec_2d(A_blk, r_ax, c_ax, backend)
+        dot, _, _ = _make_reductions((r_ax, c_ax))
+        precond = (
+            (lambda r: minv_blk * r) if precondition == "jacobi" else None
+        )
+        s = init_state(mv, dot, b_blk, x_blk, tol, precond=precond)
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        init,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec, vec, vec),
+        out_specs=_state_specs_2d(r_ax, c_ax),
+        check_vma=(backend != "pallas"),
+    )(A, b, x0, minv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "backend", "tol", "safe_alpha", "precondition"),
+)
+def _sharded2d_segment_jit(
+    A, state, k_target, minv, *, mesh, backend, tol, safe_alpha,
+    precondition="none",
+):
+    r_ax, c_ax = mesh.axis_names
+
+    def seg(A_blk, k, x_blk, r_blk, p_blk, rsold, rslast, done, kt,
+            minv_blk):
+        from tpucg.solver.cg import _State
+
+        mv = _matvec_2d(A_blk, r_ax, c_ax, backend)
+        dot, _, update = _make_reductions((r_ax, c_ax))
+        precond = (
+            (lambda r: minv_blk * r) if precondition == "jacobi" else None
+        )
+        st = _State(k=k, x=x_blk, r=r_blk, p=p_blk, rsold=rsold,
+                    rslast=rslast, done=done)
+        s = cg_loop(
+            mv, dot, update, None, None,
+            tol=tol, maxiter=kt, safe_alpha=safe_alpha, state=st,
+            precond=precond,
+        )
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        seg,
+        mesh=mesh,
+        in_specs=(
+            (P(r_ax, c_ax),) + _state_specs_2d(r_ax, c_ax) + (P(), vec)
+        ),
+        out_specs=_state_specs_2d(r_ax, c_ax),
+        check_vma=(backend != "pallas"),
+    )(A, *state, k_target, minv)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "backend"))
+def _sharded2d_matvec_jit(A, v, *, mesh, backend):
+    r_ax, c_ax = mesh.axis_names
+
+    def f(A_blk, v_blk):
+        return _matvec_2d(A_blk, r_ax, c_ax, backend)(v_blk)
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec),
+        out_specs=vec,
+        check_vma=(backend != "pallas"),
+    )(A, v)
+
+
 def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     """Column permutation aligning A's storage with the 2-D gather order.
 
@@ -581,13 +688,7 @@ def _sharded2d_cg_jit(
     r_ax, c_ax = mesh.axis_names
 
     def solve(A_blk, b_blk, x_blk, minv_blk):
-        def mv(p_blk):
-            p_cols = jax.lax.all_gather(p_blk, r_ax, tiled=True)  # (n/C,)
-            partial = matvec(A_blk, p_cols, backend=backend)      # (n/R,)
-            return jax.lax.psum_scatter(
-                partial, c_ax, scatter_dimension=0, tiled=True
-            )  # (n/(R*C),)
-
+        mv = _matvec_2d(A_blk, r_ax, c_ax, backend)
         dot, dots, update = _make_reductions((r_ax, c_ax))
 
         precond = None
