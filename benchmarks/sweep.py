@@ -163,9 +163,11 @@ def main():
         tol = 1e-5 * float(np.linalg.norm(bs))
         bj = jax.numpy.asarray(bs)
         x0j = jax.numpy.zeros(n, jax.numpy.float32)
+        POLY_DEGREE = 3
         for label, pre_kw in (
             ("cg", dict()),
-            ("poly-pcg d=3", dict(precondition="poly", poly_degree=3)),
+            (f"poly-pcg d={POLY_DEGREE}",
+             dict(precondition="poly", poly_degree=POLY_DEGREE)),
         ):
             res = tpucg.cg_solve(sop, bj, tol=tol, maxiter=4 * n, **pre_kw)
             iters = int(res.iterations)
@@ -178,7 +180,9 @@ def main():
                 dot = dot_xla
                 upd = functools.partial(fused_update, backend="xla")
                 precond = (
-                    make_poly_precond(op_.matvec, dot, bb, 3)
+                    make_poly_precond(
+                        op_.matvec, dot, bb, pre_kw["poly_degree"]
+                    )
                     if pre_kw else None
                 )
                 st = cg_loop(op_.matvec, dot, upd, bb, x0_,

@@ -67,12 +67,13 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         A, b, x0, segment_iters=1, maxiter=1,
         checkpoint_path=ck, keep_checkpoint=True,
     )
-    state, n_ck, tol, sig = load_checkpoint(ck)
+    state, n_ck, tol, sig, pre = load_checkpoint(ck)
     assert sig.size  # system signature recorded
+    assert pre == "none"
     assert n_ck == n and tol == 1.0e-6
     assert int(state.k) == 1
     save_checkpoint(ck, state, n_ck, tol)
-    state2, _, _, _ = load_checkpoint(ck)
+    state2, _, _, _, _ = load_checkpoint(ck)
     np.testing.assert_array_equal(np.asarray(state.x), np.asarray(state2.x))
     np.testing.assert_array_equal(np.asarray(state.p), np.asarray(state2.p))
 
@@ -332,3 +333,87 @@ def test_sharded2d_checkpointed(tmp_path):
     assert bool(full.converged)
     np.testing.assert_array_equal(np.asarray(full.x), np.asarray(ref.x))
     assert not os.path.exists(ck)
+
+
+def test_checkpoint_rejects_precondition_mismatch(system, tmp_path):
+    """Regression (round-2 review): a Jacobi checkpoint's rsold carries r.z,
+    not r.r — resuming it under precondition='none' (or vice versa) must be
+    REFUSED, not silently corrupt the recurrence."""
+    A, b, x0 = system
+    ck = str(tmp_path / "cg.npz")
+    cg_solve_checkpointed(
+        A, b, x0, segment_iters=3, maxiter=3, precondition="jacobi",
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    with pytest.raises(ValueError, match="precondition"):
+        cg_solve_checkpointed(A, b, x0, checkpoint_path=ck)
+    # Same guard on the distributed drivers.
+    from tpucg.io.generator import poisson3d_dia
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+
+    m = 8
+    dia = poisson3d_dia(m)
+    bp = np.ones(m ** 3, np.float32)
+    tolp = 1e-5 * float(np.linalg.norm(bp))
+    ck2 = str(tmp_path / "op.npz")
+    sharded_operator_cg_solve_checkpointed(
+        dia, bp, tol=tolp, maxiter=4, segment_iters=4,
+        precondition="jacobi", checkpoint_path=ck2, keep_checkpoint=True,
+    )
+    with pytest.raises(ValueError, match="precondition"):
+        sharded_operator_cg_solve_checkpointed(
+            dia, bp, tol=tolp, segment_iters=4, checkpoint_path=ck2
+        )
+
+
+@pytest.mark.parametrize("form", ["bsr", "ell"])
+def test_operator_sharded_checkpointed_bsr_ell(form, tmp_path):
+    """The tuple-op_arrays arms (BSR/ELL) through the segment jit's nested
+    in_specs: interrupted runs resume bit-identically."""
+    from tpucg.io.generator import poisson3d_csr
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+    from tpucg.solver.operators import EllOperator
+    from tpucg.solver.sharded import sharded_operator_cg_solve
+    from tpucg.sparse.formats import csr_to_bsr
+
+    csr = poisson3d_csr(6)  # n=216 (non-divisible: padding in play)
+    n = csr.shape[0]
+    op = csr_to_bsr(csr, 4) if form == "bsr" else EllOperator.from_csr(csr)
+    rng = np.random.default_rng(14)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = csr.matvec(x_true)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ref = sharded_operator_cg_solve(op, b, tol=tol, maxiter=4 * n)
+    ck = str(tmp_path / f"{form}.npz")
+    sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=6, segment_iters=3,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    full = sharded_operator_cg_solve_checkpointed(
+        op, b, tol=tol, maxiter=4 * n, segment_iters=16, checkpoint_path=ck
+    )
+    assert bool(full.converged)
+    assert int(full.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(full.x), np.asarray(ref.x))
+
+
+def test_sharded_bf16_presharded_dtype_guard():
+    """Regression (round-2 review): storage_dtype on a pre-sharded device A
+    of a different dtype must raise, not silently run in f32."""
+    import jax.numpy as jnp
+
+    import tpucg
+    from tpucg.io.partitioner import RowPartition
+    from tpucg.solver.sharded import distribute_system, row_align
+
+    n = 64
+    A, b, x0 = tpucg.generate_spd_system(n, seed=3)
+    mesh = tpucg.make_mesh()
+    part = RowPartition(n=n, num_shards=8, align=row_align("xla"))
+    Ad, bd, x0d = distribute_system(
+        A.astype(np.float32), b, x0, mesh, part
+    )  # f32 shards
+    with pytest.raises(ValueError, match="storage_dtype"):
+        tpucg.sharded_cg_solve(
+            Ad, bd, x0d, mesh=mesh, n=n, storage_dtype=jnp.bfloat16
+        )

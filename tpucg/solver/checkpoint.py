@@ -4,15 +4,22 @@ The reference has no checkpointing at all — the CG state lives only in process
 memory and any failure loses the whole solve (SURVEY.md §5: "Checkpoint /
 resume: None"). On TPU the full solver state is tiny and explicit — exactly
 (k, x, r, p, rsold), the carried tuple of the jitted while_loop — so tpucg can
-dump and resume it trivially.
+dump and resume it trivially, on EVERY decomposition: serial, 1-D row-sharded
+dense (``sharded_cg_solve_checkpointed``, which also routes 2-D SUMMA
+meshes), and the sparse/stencil operator arms
+(``sharded_operator_cg_solve_checkpointed``).
 
-Design: a segmented driver. Each segment runs up to ``segment_iters`` more
-iterations inside ONE jitted while_loop (the cumulative-iteration bound is a
-*traced* scalar, so every segment reuses the same executable — no per-segment
-recompiles), then the state is pulled to host and written as a ``.npz``. On
-restart, ``cg_solve_checkpointed`` finds the file and continues from the
-recorded iteration. The resumed trajectory is bit-identical to an uninterrupted
-run because float32 CG state is saved exactly.
+Design: a segmented driver, shared by all arms (``_resume_or_none`` +
+``_drive_segments``). Each segment runs up to ``segment_iters`` more
+iterations inside ONE jitted program (the cumulative-iteration bound is a
+*traced* scalar, so every segment reuses the same executable), then the state
+is pulled to host and written as an atomic ``.npz``. On restart the driver
+finds the file and continues from the recorded iteration. The resumed
+trajectory is bit-identical to an uninterrupted run because float32 CG state
+is saved exactly. Checkpoints record (n, tol, preconditioner, and a
+tolerance-compared probe signature of A and b); a mismatch on ANY of these
+refuses to resume — a Jacobi trajectory's rsold carries r.z, not r.r, so a
+silent cross-preconditioner resume would corrupt the recurrence.
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,11 +95,14 @@ def save_checkpoint(
     n: int,
     tol: float,
     signature: Optional[np.ndarray] = None,
+    precondition: str = "none",
 ) -> None:
     """Write the CG state (padded device vectors + scalars) as an .npz.
 
     Atomic: writes to ``path + '.tmp'`` then renames, so a crash mid-write
-    never leaves a truncated checkpoint behind.
+    never leaves a truncated checkpoint behind. ``precondition`` is part of
+    the trajectory identity: a Jacobi state's rsold carries r.z, so resuming
+    it unpreconditioned (or vice versa) would corrupt the recurrence.
     """
     tmp = path + ".tmp"
     np.savez(
@@ -109,6 +119,7 @@ def save_checkpoint(
         signature=(
             np.zeros(0) if signature is None else np.asarray(signature)
         ),
+        precondition=np.bytes_(precondition.encode()),
     )
     # np.savez appends .npz to paths without it.
     tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
@@ -116,7 +127,7 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str):
-    """Read a checkpoint -> (state, n, tol, signature)."""
+    """Read a checkpoint -> (state, n, tol, signature, precondition)."""
     with np.load(path) as z:
         state = _State(
             k=jnp.asarray(z["k"]),
@@ -128,7 +139,150 @@ def load_checkpoint(path: str):
             done=jnp.asarray(z["done"]),
         )
         sig = z["signature"] if "signature" in z else np.zeros(0)
-        return state, int(z["n"]), float(z["tol"]), sig
+        pre = (
+            bytes(z["precondition"]).decode()
+            if "precondition" in z
+            else "none"
+        )
+        return state, int(z["n"]), float(z["tol"]), sig, pre
+
+
+def _state_to_host(state_like) -> _State:
+    """Pull a (possibly sharded) segment result fully to host memory."""
+    if isinstance(state_like, _State):
+        t = (
+            state_like.k, state_like.x, state_like.r, state_like.p,
+            state_like.rsold, state_like.rslast, state_like.done,
+        )
+    else:
+        t = state_like
+    k, x, r, p, rsold, rslast, done = jax.block_until_ready(t)
+    return _State(
+        k=jnp.asarray(np.asarray(k)),
+        x=jnp.asarray(np.asarray(x)),
+        r=jnp.asarray(np.asarray(r)),
+        p=jnp.asarray(np.asarray(p)),
+        rsold=jnp.asarray(np.asarray(rsold)),
+        rslast=jnp.asarray(np.asarray(rslast)),
+        done=jnp.asarray(np.asarray(done)),
+    )
+
+
+# --- The shared segmented driver -------------------------------------------
+# All checkpointed solvers (serial, 1-D/2-D dense sharded, operator-sharded)
+# differ only in how they prepare the system and build init/segment/probe
+# closures; the resume-validation and segment-loop protocol lives here ONCE.
+
+
+def _resume_or_none(
+    checkpoint_path: Optional[str],
+    *,
+    n: int,
+    npad: int,
+    tol: float,
+    precondition: str,
+    sig_fn: Callable[[], np.ndarray],
+):
+    """Load + validate an existing checkpoint. Returns (state | None, sig |
+    None); raises on any identity mismatch (size, tol, preconditioner, or
+    the A/b probe signature)."""
+    if checkpoint_path is None or not os.path.exists(checkpoint_path):
+        return None, None
+    state, n_ck, tol_ck, sig_ck, pre_ck = load_checkpoint(checkpoint_path)
+    if n_ck != n or state.x.shape != (npad,):
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} is for n={n_ck} "
+            f"(padded {state.x.shape}); this system is n={n} "
+            f"(padded ({npad},))"
+        )
+    if tol_ck != tol:
+        raise ValueError(f"checkpoint tol {tol_ck} != requested tol {tol}")
+    if pre_ck != precondition:
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} was written under "
+            f"precondition={pre_ck!r}; resuming with {precondition!r} would "
+            "corrupt the recurrence (rsold carries r.z under Jacobi, r.r "
+            "without)"
+        )
+    sig = sig_fn()
+    if sig_ck.size and not signatures_match(sig_ck, sig):
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
+            "system (A/b probe-signature mismatch beyond tolerance); "
+            "refusing to resume"
+        )
+    return state, sig
+
+
+def _drive_segments(
+    state: _State,
+    segment_fn: Callable,
+    *,
+    n: int,
+    npad: int,
+    tol: float,
+    maxiter: int,
+    segment_iters: int,
+    precondition: str,
+    checkpoint_path: Optional[str],
+    keep_checkpoint: bool,
+    sig: Optional[np.ndarray],
+    sig_fn: Callable[[], np.ndarray],
+) -> CGResult:
+    """Run ``segment_fn(state, k_target) -> state`` until convergence or the
+    cap, checkpointing after every segment; clean up only on CONVERGENCE (a
+    capped exit must leave the state on disk for a later resume)."""
+    while True:
+        k_now = int(state.k)
+        if bool(state.done) or k_now >= maxiter:
+            break
+        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
+        state = _state_to_host(segment_fn(state, k_target))
+        if checkpoint_path is not None:
+            if sig is None:
+                sig = sig_fn()
+            save_checkpoint(
+                checkpoint_path, state, n, tol,
+                signature=sig, precondition=precondition,
+            )
+    if (
+        checkpoint_path is not None
+        and not keep_checkpoint
+        and bool(state.done)
+        and os.path.exists(checkpoint_path)
+    ):
+        os.remove(checkpoint_path)
+    x = state.x[:n] if npad != n else state.x
+    return CGResult(
+        x=x,
+        iterations=state.k,
+        residual_norm=jnp.sqrt(state.rslast),
+        converged=state.done,
+    )
+
+
+def _validate_checkpoint_config(config: CGConfig, segment_iters: int) -> None:
+    if segment_iters < 1:
+        raise ValueError("segment_iters must be >= 1")
+    if config.method != "cg":
+        raise ValueError(
+            "checkpointed solves support method='cg' only (the pipelined "
+            "state is not checkpointable)"
+        )
+    if config.precondition not in ("none", "jacobi"):
+        raise ValueError(
+            "checkpointed solves support precondition='none'/'jacobi' "
+            "(a resumed poly preconditioner would re-estimate lambda_max "
+            "and diverge from the saved trajectory)"
+        )
+    if jnp.dtype(config.dtype) != jnp.float32:
+        raise ValueError(
+            "checkpointed solves are float32-only (checkpoints store f32 "
+            "state exactly)"
+        )
+
+
+# --- Serial driver ---------------------------------------------------------
 
 
 def _precond(minv):
@@ -166,32 +320,16 @@ def cg_solve_checkpointed(
 ) -> CGResult:
     """Solve A x = b, checkpointing every ``segment_iters`` iterations.
 
-    If ``checkpoint_path`` exists, the solve resumes from it (and the system
-    sizes must match). The checkpoint is deleted on convergence unless
-    ``keep_checkpoint``. Semantics otherwise identical to ``tpucg.cg_solve``.
+    If ``checkpoint_path`` exists, the solve resumes from it (size, tol,
+    preconditioner, and A/b probe signature must all match). The checkpoint
+    is deleted on convergence unless ``keep_checkpoint``. Semantics
+    otherwise identical to ``tpucg.cg_solve``.
     """
     if config is None:
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
-    if segment_iters < 1:
-        raise ValueError("segment_iters must be >= 1")
-    if config.method != "cg":
-        raise ValueError(
-            "cg_solve_checkpointed supports method='cg' only (the pipelined "
-            "state is not checkpointable)"
-        )
-    if config.precondition == "poly":
-        raise ValueError(
-            "cg_solve_checkpointed supports precondition='none'/'jacobi' "
-            "(a resumed poly preconditioner would re-estimate lambda_max and "
-            "diverge from the saved trajectory)"
-        )
-    if jnp.dtype(config.dtype) != jnp.float32:
-        raise ValueError(
-            "cg_solve_checkpointed is float32-only (checkpoints store f32 "
-            "state exactly)"
-        )
+    _validate_checkpoint_config(config, segment_iters)
     backend = resolve_backend(config.kernel)
     op = as_operator(A, backend=backend)
     n, npad = op.n, op.padded_n
@@ -203,339 +341,46 @@ def cg_solve_checkpointed(
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
 
-    sig = None
-    state = None
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
-        if n_ck != n or state.x.shape != (npad,):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
-                f"(padded {state.x.shape}); this system is n={n} "
-                f"(padded ({npad},))"
-            )
-        if tol_ck != tol:
-            raise ValueError(
-                f"checkpoint tol {tol_ck} != requested tol {tol}"
-            )
-        bj_fp = jnp.asarray(b, jnp.float32)
-        if npad != n:
-            bj_fp = jnp.pad(bj_fp, (0, npad - n))
-        sig = system_signature(op, bj_fp)
-        if sig_ck.size and not signatures_match(sig_ck, sig):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
-                "system (A/b probe-signature mismatch beyond tolerance); "
-                "refusing to resume"
-            )
+    bj = jnp.asarray(b, jnp.float32)
+    if bj.shape != (n,):
+        raise ValueError(f"b must have shape ({n},), got {bj.shape}")
+    if npad != n:
+        bj = jnp.pad(bj, (0, npad - n))
+
+    def sig_fn():
+        return system_signature(op, bj)
+
+    state, sig = _resume_or_none(
+        checkpoint_path, n=n, npad=npad, tol=tol,
+        precondition=config.precondition, sig_fn=sig_fn,
+    )
     if state is None:
-        bj = jnp.asarray(b, jnp.float32)
-        if bj.shape != (n,):
-            raise ValueError(f"b must have shape ({n},), got {bj.shape}")
         x0j = (
             jnp.zeros(n, jnp.float32)
             if x0 is None
             else jnp.asarray(x0, jnp.float32)
         )
         if npad != n:
-            bj = jnp.pad(bj, (0, npad - n))
             x0j = jnp.pad(x0j, (0, npad - n))
-        state = _init_jit(op, bj, x0j, minv, tol, blas_backend)
-
-    while True:
-        k_now = int(state.k)
-        if bool(state.done) or k_now >= maxiter:
-            break
-        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
-        state = jax.block_until_ready(
-            _segment_jit(
-                op, state, minv, k_target, tol, blas_backend,
-                bool(config.safe_alpha),
-            )
+        state = _state_to_host(
+            _init_jit(op, bj, x0j, minv, tol, blas_backend)
         )
-        if checkpoint_path is not None:
-            if sig is None:
-                bj_fp = jnp.asarray(b, jnp.float32)
-                if npad != n:
-                    bj_fp = jnp.pad(bj_fp, (0, npad - n))
-                sig = system_signature(op, bj_fp)
-            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
 
-    # Remove the checkpoint only on CONVERGENCE: a maxiter-capped exit must
-    # leave the state on disk so a later call can resume the remaining laps.
-    if (
-        checkpoint_path is not None
-        and not keep_checkpoint
-        and bool(state.done)
-        and os.path.exists(checkpoint_path)
-    ):
-        os.remove(checkpoint_path)
-    x = state.x[:n] if npad != n else state.x
-    return CGResult(
-        x=x,
-        iterations=state.k,
-        residual_norm=jnp.sqrt(state.rslast),
-        converged=state.done,
-    )
-
-
-def sharded_operator_cg_solve_checkpointed(
-    op,
-    b,
-    x0=None,
-    mesh=None,
-    config: Optional[CGConfig] = None,
-    *,
-    segment_iters: int = 128,
-    checkpoint_path: Optional[str] = None,
-    keep_checkpoint: bool = False,
-    **overrides,
-) -> CGResult:
-    """Checkpoint/resume for the DISTRIBUTED sparse/stencil solvers — the
-    scale where fault tolerance actually matters (the slab-halo Poisson
-    solver runs BASELINE config 5's 512^3 = 134M-unknown grid).
-
-    Accepts the same operator family as ``sharded_operator_cg_solve``
-    (Poisson slab-halo, DIA band-halo, BSR, ELL), with the same padding;
-    segmented-driver semantics identical to ``sharded_cg_solve_checkpointed``
-    (bit-identical resume, distributed-matvec identity probe, one segment
-    executable for all segments). precondition: 'none' or 'jacobi'.
-    """
-    from tpucg.comm.mesh import make_mesh
-    from tpucg.solver.sharded import (
-        _prepare_sharded_operator,
-        _sharded_operator_init_jit,
-        _sharded_operator_matvec_jit,
-        _sharded_operator_segment_jit,
-    )
-
-    if config is None:
-        config = CGConfig(**overrides)
-    elif overrides:
-        config = dataclasses_replace(config, **overrides)
-    if segment_iters < 1:
-        raise ValueError("segment_iters must be >= 1")
-    if config.method != "cg":
-        raise ValueError("sharded checkpointing supports method='cg' only")
-    if config.precondition not in ("none", "jacobi"):
-        raise ValueError(
-            "sharded checkpointing supports precondition='none'/'jacobi'"
+    def segment_fn(st, kt):
+        return _segment_jit(
+            op, st, minv, kt, tol, blas_backend, bool(config.safe_alpha)
         )
-    if mesh is None:
-        mesh = make_mesh()
-    if mesh.devices.ndim != 1:
-        raise ValueError("sharded checkpointing runs on 1-D meshes")
-    axis = mesh.axis_names[0]
-    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
-        op, mesh, config
-    )
-    b_host = np.asarray(b, np.float32)
-    if b_host.shape != (n,):
-        raise ValueError(f"b must have shape ({n},), got {b_host.shape}")
-    bp = np.zeros(npad, np.float32)
-    bp[:n] = b_host
-    x0p = np.zeros(npad, np.float32)
-    if x0 is not None:
-        x0p[:n] = np.asarray(x0, np.float32)
-    minv = (
-        minv_host if minv_host is not None else np.ones(npad, np.float32)
-    )
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    shard1 = NamedSharding(mesh, P(axis))
-    bd = jax.device_put(jnp.asarray(bp), shard1)
-    x0d = jax.device_put(jnp.asarray(x0p), shard1)
-    minvd = jax.device_put(jnp.asarray(minv), shard1)
-    tol = float(config.tol)
-    maxiter = config.maxiter if config.maxiter is not None else n
-    static = dict(mesh=mesh, axis=axis, **statics)
-
-    def dist_sig():
-        mv = lambda v: _sharded_operator_matvec_jit(op_arrays, v, **static)
-        return system_signature(mv, np.asarray(bd))
-
-    sig = None
-    state = None
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
-        if n_ck != n or state.x.shape != (npad,):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
-                f"(padded {state.x.shape}); this system is n={n} "
-                f"(padded ({npad},))"
-            )
-        if tol_ck != tol:
-            raise ValueError(
-                f"checkpoint tol {tol_ck} != requested tol {tol}"
-            )
-        sig = dist_sig()
-        if sig_ck.size and not signatures_match(sig_ck, sig):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
-                "system (A/b probe-signature mismatch beyond tolerance); "
-                "refusing to resume"
-            )
-    if state is None:
-        state = _state_to_host(_sharded_operator_init_jit(
-            op_arrays, bd, x0d, minvd,
-            tol=tol, precondition=config.precondition, **static,
-        ))
-
-    while True:
-        k_now = int(state.k)
-        if bool(state.done) or k_now >= maxiter:
-            break
-        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
-        state = _state_to_host(_sharded_operator_segment_jit(
-            op_arrays,
-            (state.k, state.x, state.r, state.p, state.rsold, state.rslast,
-             state.done),
-            k_target,
-            minvd,
-            tol=tol,
-            safe_alpha=bool(config.safe_alpha),
-            precondition=config.precondition,
-            **static,
-        ))
-        if checkpoint_path is not None:
-            if sig is None:
-                sig = dist_sig()
-            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
-
-    if (
-        checkpoint_path is not None
-        and not keep_checkpoint
-        and bool(state.done)
-        and os.path.exists(checkpoint_path)
-    ):
-        os.remove(checkpoint_path)
-    x = state.x[:n] if npad != n else state.x
-    return CGResult(
-        x=x,
-        iterations=state.k,
-        residual_norm=jnp.sqrt(state.rslast),
-        converged=state.done,
+    return _drive_segments(
+        state, segment_fn,
+        n=n, npad=npad, tol=tol, maxiter=maxiter,
+        segment_iters=segment_iters, precondition=config.precondition,
+        checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
+        sig=sig, sig_fn=sig_fn,
     )
 
 
-def _sharded2d_cg_solve_checkpointed(
-    A, b, x0, mesh, config, backend, *, segment_iters, checkpoint_path,
-    keep_checkpoint,
-) -> CGResult:
-    """2-D (SUMMA) arm of ``sharded_cg_solve_checkpointed``: same segmented
-    semantics with the state vectors sharded over both mesh axes."""
-    from tpucg.solver.sharded import (
-        _sharded2d_init_jit,
-        _sharded2d_matvec_jit,
-        _sharded2d_segment_jit,
-        distribute_system_2d,
-        row_align,
-    )
-
-    A = np.asarray(A, np.float32)
-    n = A.shape[0]
-    align = 128 if backend == "pallas" else 1
-    Ad, bd, x0d, npad = distribute_system_2d(
-        A,
-        np.asarray(b, np.float32),
-        None if x0 is None else np.asarray(x0, np.float32),
-        mesh,
-        align=align,
-    )
-    if config.precondition == "jacobi":
-        d = np.ones(npad, np.float32)
-        d[:n] = np.diag(A).astype(np.float32)
-        minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
-    else:
-        minv_host = np.ones(npad, np.float32)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    r_ax, c_ax = mesh.axis_names
-    minvd = jax.device_put(
-        minv_host, NamedSharding(mesh, P((r_ax, c_ax),))
-    )
-    tol = float(config.tol)
-    maxiter = config.maxiter if config.maxiter is not None else n
-    static = dict(mesh=mesh, backend=backend)
-
-    def dist_sig():
-        mv = lambda v: _sharded2d_matvec_jit(Ad, v, **static)
-        return system_signature(mv, np.asarray(bd))
-
-    sig = None
-    state = None
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
-        if n_ck != n or state.x.shape != (npad,):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
-                f"(padded {state.x.shape}); this system is n={n} "
-                f"(padded ({npad},))"
-            )
-        if tol_ck != tol:
-            raise ValueError(
-                f"checkpoint tol {tol_ck} != requested tol {tol}"
-            )
-        sig = dist_sig()
-        if sig_ck.size and not signatures_match(sig_ck, sig):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
-                "system (A/b probe-signature mismatch beyond tolerance); "
-                "refusing to resume"
-            )
-    if state is None:
-        state = _state_to_host(_sharded2d_init_jit(
-            Ad, bd, x0d, minvd,
-            tol=tol, precondition=config.precondition, **static,
-        ))
-
-    while True:
-        k_now = int(state.k)
-        if bool(state.done) or k_now >= maxiter:
-            break
-        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
-        state = _state_to_host(_sharded2d_segment_jit(
-            Ad,
-            (state.k, state.x, state.r, state.p, state.rsold, state.rslast,
-             state.done),
-            k_target,
-            minvd,
-            tol=tol,
-            safe_alpha=bool(config.safe_alpha),
-            precondition=config.precondition,
-            **static,
-        ))
-        if checkpoint_path is not None:
-            if sig is None:
-                sig = dist_sig()
-            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
-
-    if (
-        checkpoint_path is not None
-        and not keep_checkpoint
-        and bool(state.done)
-        and os.path.exists(checkpoint_path)
-    ):
-        os.remove(checkpoint_path)
-    x = state.x[:n] if npad != n else state.x
-    return CGResult(
-        x=x,
-        iterations=state.k,
-        residual_norm=jnp.sqrt(state.rslast),
-        converged=state.done,
-    )
-
-
-def _state_to_host(state_tuple) -> _State:
-    k, x, r, p, rsold, rslast, done = jax.block_until_ready(state_tuple)
-    return _State(
-        k=jnp.asarray(np.asarray(k)),
-        x=jnp.asarray(np.asarray(x)),
-        r=jnp.asarray(np.asarray(r)),
-        p=jnp.asarray(np.asarray(p)),
-        rsold=jnp.asarray(np.asarray(rsold)),
-        rslast=jnp.asarray(np.asarray(rslast)),
-        done=jnp.asarray(np.asarray(done)),
-    )
+# --- Distributed drivers ---------------------------------------------------
 
 
 def sharded_cg_solve_checkpointed(
@@ -551,8 +396,8 @@ def sharded_cg_solve_checkpointed(
     n: Optional[int] = None,
     **overrides,
 ) -> CGResult:
-    """Checkpoint/resume for the DISTRIBUTED dense solver (VERDICT round 1,
-    weak 7: fault tolerance must hold at the scale it matters).
+    """Checkpoint/resume for the DISTRIBUTED dense solver (1-D row-sharded
+    or 2-D SUMMA meshes) — fault tolerance at the scale it matters.
 
     Same segmented-driver semantics as ``cg_solve_checkpointed``: the solve
     advances ``segment_iters`` laps per jitted shard_map call (cumulative
@@ -563,9 +408,10 @@ def sharded_cg_solve_checkpointed(
     Single-controller meshes (one process) — a multi-process variant would
     write per-host shard files.
 
-    Like ``sharded_cg_solve``, ``A``/``b``/``x0`` may be pre-sharded,
-    pre-padded device arrays (e.g. from ``load_system_sharded`` — no host
-    ever materializes the full matrix; pass ``n`` for the logical size).
+    Like ``sharded_cg_solve``, on 1-D meshes ``A``/``b``/``x0`` may be
+    pre-sharded, pre-padded device arrays (e.g. from ``load_system_sharded``
+    — no host ever materializes the full matrix; pass ``n`` for the logical
+    size).
     """
     from tpucg.comm.mesh import make_mesh
     from tpucg.io.partitioner import RowPartition
@@ -581,14 +427,7 @@ def sharded_cg_solve_checkpointed(
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
-    if segment_iters < 1:
-        raise ValueError("segment_iters must be >= 1")
-    if config.method != "cg":
-        raise ValueError("sharded checkpointing supports method='cg' only")
-    if config.precondition not in ("none", "jacobi"):
-        raise ValueError(
-            "sharded checkpointing supports precondition='none'/'jacobi'"
-        )
+    _validate_checkpoint_config(config, segment_iters)
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(config.kernel)
@@ -644,67 +483,194 @@ def sharded_cg_solve_checkpointed(
         mesh=mesh, strategy=config.strategy, backend=backend, axis=axis,
     )
 
-    def dist_sig():
+    def sig_fn():
         mv = lambda v: _sharded_matvec_jit(Ad, v, **static)
         return system_signature(mv, np.asarray(bd))
 
-    sig = None
-    state = None
-    if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        state, n_ck, tol_ck, sig_ck = load_checkpoint(checkpoint_path)
-        if n_ck != n or state.x.shape != (npad,):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} is for n={n_ck} "
-                f"(padded {state.x.shape}); this system is n={n} "
-                f"(padded ({npad},))"
-            )
-        if tol_ck != tol:
-            raise ValueError(
-                f"checkpoint tol {tol_ck} != requested tol {tol}"
-            )
-        sig = dist_sig()
-        if sig_ck.size and not signatures_match(sig_ck, sig):
-            raise ValueError(
-                f"checkpoint {checkpoint_path!r} was written for a DIFFERENT "
-                "system (A/b probe-signature mismatch beyond tolerance); "
-                "refusing to resume"
-            )
+    state, sig = _resume_or_none(
+        checkpoint_path, n=n, npad=npad, tol=tol,
+        precondition=config.precondition, sig_fn=sig_fn,
+    )
     if state is None:
         state = _state_to_host(_sharded_init_jit(
             Ad, bd, x0d, tol=tol, precondition=config.precondition, **static
         ))
 
-    while True:
-        k_now = int(state.k)
-        if bool(state.done) or k_now >= maxiter:
-            break
-        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
-        state = _state_to_host(_sharded_segment_jit(
+    def segment_fn(st, kt):
+        return _sharded_segment_jit(
             Ad,
-            (state.k, state.x, state.r, state.p, state.rsold, state.rslast,
-             state.done),
-            k_target,
+            (st.k, st.x, st.r, st.p, st.rsold, st.rslast, st.done),
+            kt,
             tol=tol,
             safe_alpha=bool(config.safe_alpha),
             precondition=config.precondition,
             **static,
-        ))
-        if checkpoint_path is not None:
-            if sig is None:
-                sig = dist_sig()
-            save_checkpoint(checkpoint_path, state, n, tol, signature=sig)
+        )
 
-    if (
-        checkpoint_path is not None
-        and not keep_checkpoint
-        and bool(state.done)
-        and os.path.exists(checkpoint_path)
-    ):
-        os.remove(checkpoint_path)
-    x = state.x[:n] if npad != n else state.x
-    return CGResult(
-        x=x,
-        iterations=state.k,
-        residual_norm=jnp.sqrt(state.rslast),
-        converged=state.done,
+    return _drive_segments(
+        state, segment_fn,
+        n=n, npad=npad, tol=tol, maxiter=maxiter,
+        segment_iters=segment_iters, precondition=config.precondition,
+        checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
+        sig=sig, sig_fn=sig_fn,
+    )
+
+
+def sharded_operator_cg_solve_checkpointed(
+    op,
+    b,
+    x0=None,
+    mesh=None,
+    config: Optional[CGConfig] = None,
+    *,
+    segment_iters: int = 128,
+    checkpoint_path: Optional[str] = None,
+    keep_checkpoint: bool = False,
+    **overrides,
+) -> CGResult:
+    """Checkpoint/resume for the DISTRIBUTED sparse/stencil solvers — the
+    scale where fault tolerance actually matters (the slab-halo Poisson
+    solver runs BASELINE config 5's 512^3 = 134M-unknown grid).
+
+    Accepts the same operator family as ``sharded_operator_cg_solve``
+    (Poisson slab-halo, DIA band-halo, BSR, ELL), with the same padding;
+    segmented-driver semantics identical to ``sharded_cg_solve_checkpointed``
+    (bit-identical resume, distributed-matvec identity probe, one segment
+    executable for all segments). precondition: 'none' or 'jacobi'.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpucg.comm.mesh import make_mesh
+    from tpucg.solver.sharded import (
+        _prepare_sharded_operator,
+        _sharded_operator_init_jit,
+        _sharded_operator_matvec_jit,
+        _sharded_operator_segment_jit,
+    )
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    _validate_checkpoint_config(config, segment_iters)
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("operator checkpointing runs on 1-D meshes")
+    axis = mesh.axis_names[0]
+    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    b_host = np.asarray(b, np.float32)
+    if b_host.shape != (n,):
+        raise ValueError(f"b must have shape ({n},), got {b_host.shape}")
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = b_host
+    x0p = np.zeros(npad, np.float32)
+    if x0 is not None:
+        x0p[:n] = np.asarray(x0, np.float32)
+    minv = (
+        minv_host if minv_host is not None else np.ones(npad, np.float32)
+    )
+    shard1 = NamedSharding(mesh, P(axis))
+    bd = jax.device_put(jnp.asarray(bp), shard1)
+    x0d = jax.device_put(jnp.asarray(x0p), shard1)
+    minvd = jax.device_put(jnp.asarray(minv), shard1)
+    tol = float(config.tol)
+    maxiter = config.maxiter if config.maxiter is not None else n
+    static = dict(mesh=mesh, axis=axis, **statics)
+
+    def sig_fn():
+        mv = lambda v: _sharded_operator_matvec_jit(op_arrays, v, **static)
+        return system_signature(mv, np.asarray(bd))
+
+    state, sig = _resume_or_none(
+        checkpoint_path, n=n, npad=npad, tol=tol,
+        precondition=config.precondition, sig_fn=sig_fn,
+    )
+    if state is None:
+        state = _state_to_host(_sharded_operator_init_jit(
+            op_arrays, bd, x0d, minvd,
+            tol=tol, precondition=config.precondition, **static,
+        ))
+
+    def segment_fn(st, kt):
+        return _sharded_operator_segment_jit(
+            op_arrays,
+            (st.k, st.x, st.r, st.p, st.rsold, st.rslast, st.done),
+            kt,
+            minvd,
+            tol=tol,
+            safe_alpha=bool(config.safe_alpha),
+            precondition=config.precondition,
+            **static,
+        )
+
+    return _drive_segments(
+        state, segment_fn,
+        n=n, npad=npad, tol=tol, maxiter=maxiter,
+        segment_iters=segment_iters, precondition=config.precondition,
+        checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
+        sig=sig, sig_fn=sig_fn,
+    )
+
+
+def _sharded2d_cg_solve_checkpointed(
+    A, b, x0, mesh, config, backend, *, segment_iters, checkpoint_path,
+    keep_checkpoint,
+) -> CGResult:
+    """2-D (SUMMA) arm of ``sharded_cg_solve_checkpointed``: same segmented
+    semantics with the state vectors sharded over both mesh axes. System
+    prep (distribution, column permutation, Jacobi minv) is the shared
+    ``_prepare_sharded2d``, so the checkpointed and plain 2-D solves can
+    never diverge.
+    """
+    from tpucg.solver.sharded import (
+        _prepare_sharded2d,
+        _sharded2d_init_jit,
+        _sharded2d_matvec_jit,
+        _sharded2d_segment_jit,
+    )
+
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    Ad, bd, x0d, minvd, npad = _prepare_sharded2d(
+        A, b, x0, mesh, config, backend
+    )
+    tol = float(config.tol)
+    maxiter = config.maxiter if config.maxiter is not None else n
+    static = dict(mesh=mesh, backend=backend)
+
+    def sig_fn():
+        mv = lambda v: _sharded2d_matvec_jit(Ad, v, **static)
+        return system_signature(mv, np.asarray(bd))
+
+    state, sig = _resume_or_none(
+        checkpoint_path, n=n, npad=npad, tol=tol,
+        precondition=config.precondition, sig_fn=sig_fn,
+    )
+    if state is None:
+        state = _state_to_host(_sharded2d_init_jit(
+            Ad, bd, x0d, minvd,
+            tol=tol, precondition=config.precondition, **static,
+        ))
+
+    def segment_fn(st, kt):
+        return _sharded2d_segment_jit(
+            Ad,
+            (st.k, st.x, st.r, st.p, st.rsold, st.rslast, st.done),
+            kt,
+            minvd,
+            tol=tol,
+            safe_alpha=bool(config.safe_alpha),
+            precondition=config.precondition,
+            **static,
+        )
+
+    return _drive_segments(
+        state, segment_fn,
+        n=n, npad=npad, tol=tol, maxiter=maxiter,
+        segment_iters=segment_iters, precondition=config.precondition,
+        checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
+        sig=sig, sig_fn=sig_fn,
     )

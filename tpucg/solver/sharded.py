@@ -1332,6 +1332,15 @@ def sharded_cg_solve(
     align = row_align(backend)
     part = RowPartition(n=n, num_shards=num, align=align)
     if isinstance(A, jax.Array) and A.shape[0] == part.n_padded:
+        if jnp.dtype(A.dtype) != jnp.dtype(storage_dtype):
+            # The cast happens at distribution; a pre-sharded array must
+            # already carry the requested storage dtype or the parameter
+            # would be silently ignored.
+            raise ValueError(
+                f"pre-sharded A has dtype {A.dtype} but "
+                f"storage_dtype={jnp.dtype(storage_dtype).name}; cast A "
+                "before placement (or drop the storage_dtype argument)"
+            )
         Ad, bd, x0d = (
             A,
             jnp.asarray(b, jnp.float32),
@@ -1376,9 +1385,11 @@ def sharded_cg_solve(
     )
 
 
-def _sharded2d_solve(
-    A, b, x0, mesh, config, backend, record_residuals=False
-) -> CGResult:
+def _prepare_sharded2d(A, b, x0, mesh, config, backend):
+    """Distribute (A, b, x0) and the Jacobi minv onto a 2-D mesh — shared by
+    the plain and checkpointed 2-D solvers (padding/permutation and
+    preconditioner construction must never diverge between them).
+    Returns (Ad, bd, x0d, minvd, npad)."""
     A = np.asarray(A, np.float32)
     n = A.shape[0]
     align = 128 if backend == "pallas" else 1
@@ -1398,8 +1409,18 @@ def _sharded2d_solve(
     else:
         minv_host = np.ones(npad, np.float32)
     r_ax, c_ax = mesh.axis_names
-    minv = jax.device_put(
+    minvd = jax.device_put(
         minv_host, NamedSharding(mesh, P((r_ax, c_ax),))
+    )
+    return Ad, bd, x0d, minvd, npad
+
+
+def _sharded2d_solve(
+    A, b, x0, mesh, config, backend, record_residuals=False
+) -> CGResult:
+    n = np.asarray(A).shape[0]
+    Ad, bd, x0d, minv, npad = _prepare_sharded2d(
+        A, b, x0, mesh, config, backend
     )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded2d_cg_jit(
