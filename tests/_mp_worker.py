@@ -81,6 +81,49 @@ def main() -> None:
                     },
                     f,
                 )
+    # --- Multi-process checkpoint/resume (per-process row-block files) ---
+    # Interrupt by capping maxiter (a capped exit must leave the state on
+    # disk, exactly like the single-process driver), then resume to
+    # convergence; the parent asserts oracle parity and that the resumed
+    # trajectory matches an uninterrupted solve bit-for-bit.
+    from jax.experimental import multihost_utils
+
+    from tpucg.solver.checkpoint import _mp_path, sharded_cg_solve_checkpointed
+
+    ckpt = os.path.join(workdir, "cg.ckpt")
+    res_cap = sharded_cg_solve_checkpointed(
+        Ad, bd, x0d, mesh=mesh, n=n,
+        segment_iters=2, maxiter=2, checkpoint_path=ckpt,
+    )
+    assert not bool(res_cap.converged), "n=72 system converged in 2 laps?"
+    assert os.path.exists(_mp_path(ckpt)), "capped exit left no shard file"
+    res_ck = sharded_cg_solve_checkpointed(
+        Ad, bd, x0d, mesh=mesh, n=n,
+        segment_iters=3, checkpoint_path=ckpt,
+    )
+    assert not os.path.exists(
+        _mp_path(ckpt)
+    ), "converged solve must clean up its shard file"
+    res_plain = sharded_cg_solve(Ad, bd, x0d, mesh=mesh, n=n)
+    x_ck = np.asarray(
+        multihost_utils.process_allgather(res_ck.x, tiled=True)
+    )
+    x_plain = np.asarray(
+        multihost_utils.process_allgather(res_plain.x, tiled=True)
+    )
+    if pid == 0:
+        np.save(os.path.join(workdir, "x_ckpt.npy"), x_ck)
+        np.save(os.path.join(workdir, "x_ckpt_plain.npy"), x_plain)
+        with open(os.path.join(workdir, "meta_ckpt.json"), "w") as f:
+            json.dump(
+                {
+                    "iterations": int(res_ck.iterations),
+                    "converged": bool(res_ck.converged),
+                    "plain_iterations": int(res_plain.iterations),
+                },
+                f,
+            )
+
     with open(os.path.join(workdir, f"reads_{pid}.json"), "w") as f:
         json.dump(sorted(reads), f)
     print(f"worker {pid}/{nproc} done", flush=True)

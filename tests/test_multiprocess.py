@@ -87,6 +87,26 @@ def test_multiprocess_solve_matches_oracle(mp_run):
         np.testing.assert_allclose(x, ox, rtol=1e-4, atol=1e-5)
 
 
+def test_multiprocess_checkpoint_resume(mp_run):
+    """Interrupted (maxiter-capped) checkpointed solve resumed across the
+    same 2-process topology: per-process row-block files, torn-write guard,
+    and a resumed trajectory BIT-IDENTICAL to the uninterrupted solve (both
+    run the same segment executable on exact f32 state)."""
+    from tpucg.solver.oracle import oracle_cg
+
+    workdir, (A, b, x0, n) = mp_run
+    ox, oiters, _ = oracle_cg(A, b, x0)
+    x_ck = np.load(os.path.join(workdir, "x_ckpt.npy"))
+    x_plain = np.load(os.path.join(workdir, "x_ckpt_plain.npy"))
+    with open(os.path.join(workdir, "meta_ckpt.json")) as f:
+        meta = json.load(f)
+    assert meta["converged"]
+    assert meta["iterations"] == meta["plain_iterations"]
+    assert abs(meta["iterations"] - oiters) <= 1
+    np.testing.assert_array_equal(x_ck, x_plain)
+    np.testing.assert_allclose(x_ck, ox, rtol=1e-4, atol=1e-5)
+
+
 def test_multiprocess_loading_is_host_sharded(mp_run):
     """Each process's file reads cover EXACTLY its own half of the padded
     rows — no process materializes all of A (SURVEY.md §7 hard part d)."""

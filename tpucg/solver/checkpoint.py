@@ -46,6 +46,24 @@ from tpucg.solver.cg import (
 )
 from tpucg.solver.operators import as_operator
 
+def _signature_probe_and_R(npad: int):
+    """The deterministic probe vector and projection matrix shared by the
+    single-process and multi-process signature paths (identical rng stream,
+    so the two regimes produce comparable signatures for the same system)."""
+    rng = np.random.default_rng(0xC6)
+    probe = rng.standard_normal(npad).astype(np.float32)
+    R = rng.standard_normal((4, npad))
+    return probe, R
+
+
+def _project_signature(
+    R: np.ndarray, y: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    return np.concatenate(
+        [R @ np.asarray(y, np.float64), R @ np.asarray(b, np.float64)]
+    )
+
+
 def system_signature(op, b: jnp.ndarray) -> np.ndarray:
     """Cheap identity check for (A, b): random projections of A applied to a
     fixed pseudorandom probe vector, plus projections of b. A stale checkpoint
@@ -61,12 +79,10 @@ def system_signature(op, b: jnp.ndarray) -> np.ndarray:
     (e.g. the sharded distributed matvec).
     """
     npad = b.shape[0]
-    rng = np.random.default_rng(0xC6)
-    probe = rng.standard_normal(npad).astype(np.float32)
+    probe, R = _signature_probe_and_R(npad)
     mv = op.matvec if hasattr(op, "matvec") else op
     y = np.asarray(mv(jnp.asarray(probe)), dtype=np.float64)
-    R = rng.standard_normal((4, npad))
-    return np.concatenate([R @ y, R @ np.asarray(b, np.float64)])
+    return _project_signature(R, y, np.asarray(b, np.float64))
 
 
 def signatures_match(
@@ -168,6 +184,212 @@ def _state_to_host(state_like) -> _State:
     )
 
 
+# --- Multi-process checkpoint I/O (per-host shard files) -------------------
+# Under multi-process JAX (the reference's actual MPI-rank model,
+# ``parallel_cg.c:76-82``) no host can materialize the full state vectors —
+# ``np.asarray`` on a non-fully-addressable array is an error by design. So
+# each process writes ONLY its own contiguous row block of (x, r, p) to its
+# own file ``<path>.proc<i>`` (works on per-host local disks — no shared
+# filesystem required) and resumes by reassembling the global arrays with
+# ``jax.make_array_from_callback``, which invokes the callback only for
+# locally-addressable shards. The replicated scalars (k, rsold, rslast,
+# done) are duplicated into every file; on resume they are cross-checked
+# with ``multihost_utils.assert_equal`` so a torn write (one process died
+# between segment N's files and segment N+1's) can never splice two
+# checkpoint generations into one corrupt trajectory.
+
+
+def _mp_path(path: str) -> str:
+    return f"{path}.proc{jax.process_index()}"
+
+
+def _local_row_block(arr) -> tuple:
+    """This process's addressable shards of a 1-D row-sharded global array,
+    concatenated into one host block -> (block, global_row_start)."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    start = shards[0].index[0].start or 0
+    pos = start
+    blocks = []
+    for s in shards:
+        lo = s.index[0].start or 0
+        if lo != pos:
+            raise NotImplementedError(
+                "multi-process checkpointing requires each process's shards "
+                f"to be contiguous rows (gap at row {pos} -> {lo}); use "
+                "tpucg.make_mesh() device order"
+            )
+        d = np.asarray(s.data)
+        blocks.append(d)
+        pos = lo + d.shape[0]
+    return np.concatenate(blocks), int(start)
+
+
+def save_checkpoint_mp(
+    path: str,
+    state: _State,
+    n: int,
+    tol: float,
+    signature: Optional[np.ndarray] = None,
+    precondition: str = "none",
+) -> None:
+    """Multi-process ``save_checkpoint``: atomically write THIS process's row
+    block of the sharded state to ``<path>.proc<process_index>``."""
+    x, sx = _local_row_block(state.x)
+    r, sr = _local_row_block(state.r)
+    p, sp = _local_row_block(state.p)
+    if not (sx == sr == sp and x.shape == r.shape == p.shape):
+        raise AssertionError("x/r/p shard layouts diverged")
+    real = _mp_path(path)
+    tmp = real + ".tmp"
+    np.savez(
+        tmp,
+        x=x,
+        r=r,
+        p=p,
+        row_start=np.int64(sx),
+        npad=np.int64(state.x.shape[0]),
+        rsold=np.asarray(state.rsold),
+        rslast=np.asarray(state.rslast),
+        k=np.asarray(state.k),
+        done=np.asarray(state.done),
+        n=np.int64(n),
+        tol=np.float64(tol),
+        signature=(
+            np.zeros(0) if signature is None else np.asarray(signature)
+        ),
+        precondition=np.bytes_(precondition.encode()),
+        process_index=np.int64(jax.process_index()),
+        process_count=np.int64(jax.process_count()),
+    )
+    tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(tmp_real, real)
+
+
+def load_checkpoint_mp(path: str, mesh, axis: str):
+    """Read this process's shard file and reassemble the GLOBAL sharded
+    state -> (state, n, tol, signature, precondition). Requires the same
+    process count and shard layout the checkpoint was written under."""
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    with np.load(_mp_path(path)) as z:
+        if int(z["process_count"]) != jax.process_count():
+            raise ValueError(
+                f"checkpoint {path!r} was written by "
+                f"{int(z['process_count'])} processes; this run has "
+                f"{jax.process_count()} — resume on the same topology"
+            )
+        if int(z["process_index"]) != jax.process_index():
+            raise ValueError(
+                f"{_mp_path(path)!r} belongs to process "
+                f"{int(z['process_index'])}, not {jax.process_index()}"
+            )
+        npad = int(z["npad"])
+        start = int(z["row_start"])
+        blocks = {key: z[key] for key in ("x", "r", "p")}
+        scalars = {
+            key: np.asarray(z[key])
+            for key in ("k", "rsold", "rslast", "done")
+        }
+        meta = (
+            int(z["n"]),
+            float(z["tol"]),
+            z["signature"],
+            bytes(z["precondition"]).decode(),
+        )
+    # Torn-write guard: every process must hold the SAME generation.
+    multihost_utils.assert_equal(
+        (scalars["k"], scalars["rsold"], scalars["rslast"]),
+        fail_message=(
+            f"checkpoint {path!r} is torn across processes (per-process "
+            "files carry different iteration states); delete and restart"
+        ),
+    )
+    shard1 = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def mk(block):
+        stop = start + block.shape[0]
+
+        def cb(index):
+            lo = index[0].start or 0
+            hi = index[0].stop if index[0].stop is not None else npad
+            if lo < start or hi > stop:
+                raise ValueError(
+                    f"checkpoint row block [{start},{stop}) does not cover "
+                    f"this process's shard [{lo},{hi}) — mesh layout changed"
+                )
+            return block[lo - start: hi - start]
+
+        return jax.make_array_from_callback((npad,), shard1, cb)
+
+    state = _State(
+        k=jax.device_put(jnp.asarray(scalars["k"]), rep),
+        x=mk(blocks["x"]),
+        r=mk(blocks["r"]),
+        p=mk(blocks["p"]),
+        rsold=jax.device_put(jnp.asarray(scalars["rsold"]), rep),
+        rslast=jax.device_put(jnp.asarray(scalars["rslast"]), rep),
+        done=jax.device_put(jnp.asarray(scalars["done"]), rep),
+    )
+    return (state,) + meta
+
+
+def _state_block_on_device(state_like) -> _State:
+    """Multi-process analog of ``_state_to_host``: fence the segment (the
+    checkpoint must capture COMPLETED state) but keep the globally-sharded
+    vectors on device — no host can hold them whole."""
+    if isinstance(state_like, _State):
+        t = (
+            state_like.k, state_like.x, state_like.r, state_like.p,
+            state_like.rsold, state_like.rslast, state_like.done,
+        )
+    else:
+        t = state_like
+    k, x, r, p, rsold, rslast, done = jax.block_until_ready(t)
+    return _State(k=k, x=x, r=r, p=p, rsold=rsold, rslast=rslast, done=done)
+
+
+class _CkptIO:
+    """Single-process checkpoint transport (whole-state .npz)."""
+
+    to_host = staticmethod(_state_to_host)
+    save = staticmethod(save_checkpoint)
+    load = staticmethod(load_checkpoint)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(path)
+
+    @staticmethod
+    def remove(path: str) -> None:
+        os.remove(path)
+
+
+class _MpCkptIO:
+    """Multi-process transport: per-process row-block files."""
+
+    def __init__(self, mesh, axis: str):
+        self.mesh, self.axis = mesh, axis
+
+    to_host = staticmethod(_state_block_on_device)
+    save = staticmethod(save_checkpoint_mp)
+
+    def load(self, path: str):
+        return load_checkpoint_mp(path, self.mesh, self.axis)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(_mp_path(path))
+
+    @staticmethod
+    def remove(path: str) -> None:
+        os.remove(_mp_path(path))
+
+
 # --- The shared segmented driver -------------------------------------------
 # All checkpointed solvers (serial, 1-D/2-D dense sharded, operator-sharded)
 # differ only in how they prepare the system and build init/segment/probe
@@ -182,13 +404,16 @@ def _resume_or_none(
     tol: float,
     precondition: str,
     sig_fn: Callable[[], np.ndarray],
+    io=_CkptIO,
 ):
     """Load + validate an existing checkpoint. Returns (state | None, sig |
     None); raises on any identity mismatch (size, tol, preconditioner, or
-    the A/b probe signature)."""
-    if checkpoint_path is None or not os.path.exists(checkpoint_path):
+    the A/b probe signature). ``io`` is the checkpoint transport
+    (``_CkptIO`` single-process whole-state files, ``_MpCkptIO``
+    per-process row-block files)."""
+    if checkpoint_path is None or not io.exists(checkpoint_path):
         return None, None
-    state, n_ck, tol_ck, sig_ck, pre_ck = load_checkpoint(checkpoint_path)
+    state, n_ck, tol_ck, sig_ck, pre_ck = io.load(checkpoint_path)
     if n_ck != n or state.x.shape != (npad,):
         raise ValueError(
             f"checkpoint {checkpoint_path!r} is for n={n_ck} "
@@ -228,6 +453,7 @@ def _drive_segments(
     keep_checkpoint: bool,
     sig: Optional[np.ndarray],
     sig_fn: Callable[[], np.ndarray],
+    io=_CkptIO,
 ) -> CGResult:
     """Run ``segment_fn(state, k_target) -> state`` until convergence or the
     cap, checkpointing after every segment; clean up only on CONVERGENCE (a
@@ -236,12 +462,15 @@ def _drive_segments(
         k_now = int(state.k)
         if bool(state.done) or k_now >= maxiter:
             break
-        k_target = jnp.int32(min(k_now + segment_iters, maxiter))
-        state = _state_to_host(segment_fn(state, k_target))
+        # numpy (not device) scalar: a traced operand in both regimes —
+        # under multi-process a host scalar is the unambiguous
+        # replicated-same-everywhere input form.
+        k_target = np.int32(min(k_now + segment_iters, maxiter))
+        state = io.to_host(segment_fn(state, k_target))
         if checkpoint_path is not None:
             if sig is None:
                 sig = sig_fn()
-            save_checkpoint(
+            io.save(
                 checkpoint_path, state, n, tol,
                 signature=sig, precondition=precondition,
             )
@@ -249,9 +478,9 @@ def _drive_segments(
         checkpoint_path is not None
         and not keep_checkpoint
         and bool(state.done)
-        and os.path.exists(checkpoint_path)
+        and io.exists(checkpoint_path)
     ):
-        os.remove(checkpoint_path)
+        io.remove(checkpoint_path)
     x = state.x[:n] if npad != n else state.x
     return CGResult(
         x=x,
@@ -405,8 +634,15 @@ def sharded_cg_solve_checkpointed(
     state (k, x, r, p, rsold) is pulled to host and written atomically, and
     a restart resumes bit-identically. The identity guard probes the system
     through the DISTRIBUTED matvec and compares with a relative tolerance.
-    Single-controller meshes (one process) — a multi-process variant would
-    write per-host shard files.
+
+    Under multi-process JAX (``jax.process_count() > 1`` — the reference's
+    MPI-rank model) the state cannot be pulled to any single host; each
+    process instead writes its own contiguous row block to
+    ``<checkpoint_path>.proc<i>`` (per-host local disks are fine) and resume
+    reassembles the global arrays via ``jax.make_array_from_callback`` on
+    the same process topology. Inputs must then be pre-sharded device
+    arrays (``load_system_sharded``) — a host-array input would require
+    every host to materialize all of A, the reference's rank-0 ceiling.
 
     Like ``sharded_cg_solve``, on 1-D meshes ``A``/``b``/``x0`` may be
     pre-sharded, pre-padded device arrays (e.g. from ``load_system_sharded``
@@ -431,11 +667,17 @@ def sharded_cg_solve_checkpointed(
     if mesh is None:
         mesh = make_mesh()
     backend = resolve_backend(config.kernel)
+    multiprocess = jax.process_count() > 1
     if mesh.devices.ndim == 2:
         if n is not None or isinstance(A, jax.Array):
             raise ValueError(
                 "2-D checkpointing takes host arrays (the column "
                 "permutation is applied at distribution)"
+            )
+        if multiprocess:
+            raise NotImplementedError(
+                "multi-process checkpointing supports 1-D meshes (the 2-D "
+                "arm distributes from host arrays)"
             )
         return _sharded2d_cg_solve_checkpointed(
             A, b, x0, mesh, config, backend,
@@ -456,12 +698,22 @@ def sharded_cg_solve_checkpointed(
             )
         Ad = A
         bd = jnp.asarray(b, jnp.float32)
-        x0d = (
-            jnp.zeros(npad, jnp.float32)
-            if x0 is None
-            else jnp.asarray(x0, jnp.float32)
-        )
+        if x0 is None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            x0d = jax.device_put(
+                np.zeros(npad, np.float32), NamedSharding(mesh, P(axis))
+            )
+        else:
+            x0d = jnp.asarray(x0, jnp.float32)
     else:
+        if multiprocess:
+            raise ValueError(
+                "multi-process checkpointing takes pre-sharded device "
+                "arrays (use load_system_sharded); a host-array input "
+                "would make every host materialize all of A"
+            )
         A = np.asarray(A, np.float32)
         if n is not None and n != A.shape[0]:
             raise ValueError("n override is for pre-sharded device inputs")
@@ -483,16 +735,34 @@ def sharded_cg_solve_checkpointed(
         mesh=mesh, strategy=config.strategy, backend=backend, axis=axis,
     )
 
-    def sig_fn():
-        mv = lambda v: _sharded_matvec_jit(Ad, v, **static)
-        return system_signature(mv, np.asarray(bd))
+    if multiprocess:
+        io = _MpCkptIO(mesh, axis)
+
+        def sig_fn():
+            from jax.experimental import multihost_utils
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            probe, R = _signature_probe_and_R(npad)
+            probe_d = jax.device_put(probe, NamedSharding(mesh, P(axis)))
+            y = _sharded_matvec_jit(Ad, probe_d, **static)
+            y_full = multihost_utils.process_allgather(y, tiled=True)
+            b_full = multihost_utils.process_allgather(bd, tiled=True)
+            return _project_signature(R, y_full, b_full)
+
+    else:
+        io = _CkptIO
+
+        def sig_fn():
+            mv = lambda v: _sharded_matvec_jit(Ad, v, **static)
+            return system_signature(mv, np.asarray(bd))
 
     state, sig = _resume_or_none(
         checkpoint_path, n=n, npad=npad, tol=tol,
-        precondition=config.precondition, sig_fn=sig_fn,
+        precondition=config.precondition, sig_fn=sig_fn, io=io,
     )
     if state is None:
-        state = _state_to_host(_sharded_init_jit(
+        state = io.to_host(_sharded_init_jit(
             Ad, bd, x0d, tol=tol, precondition=config.precondition, **static
         ))
 
@@ -512,7 +782,7 @@ def sharded_cg_solve_checkpointed(
         n=n, npad=npad, tol=tol, maxiter=maxiter,
         segment_iters=segment_iters, precondition=config.precondition,
         checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
-        sig=sig, sig_fn=sig_fn,
+        sig=sig, sig_fn=sig_fn, io=io,
     )
 
 
