@@ -40,8 +40,14 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                    choices=("auto", "pallas", "xla"))
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for sharded strategies (default: all)")
-    p.add_argument("--method", default="cg", choices=("cg", "pipelined"),
-                   help="pipelined = Ghysels-Vanroose single-reduction CG")
+    p.add_argument("--method", default="cg",
+                   choices=("cg", "pipelined", "ca"),
+                   help="pipelined = Ghysels-Vanroose single-reduction CG; "
+                        "ca = communication-avoiding s-step CG (one fused "
+                        "Gram reduction per --s-step laps)")
+    p.add_argument("--s-step", type=int, default=3, dest="s_step",
+                   help="block size s for --method ca (3-4 is the usual "
+                        "f32 sweet spot)")
     p.add_argument("--precondition", default="none",
                    choices=("none", "jacobi", "poly"))
     p.add_argument("--poly-degree", type=int, default=3,
@@ -72,7 +78,7 @@ def _solve_args(args, A, b, x0):
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
-        poly_degree=args.poly_degree,
+        poly_degree=args.poly_degree, s_step=args.s_step,
         record_residuals=record,
     )
     jax.block_until_ready(res.x)
@@ -113,7 +119,7 @@ def cmd_solve(args) -> int:
             maxiter=args.maxiter, kernel=args.kernel,
             strategy=args.strategy, method=args.method,
             precondition=args.precondition,
-            poly_degree=args.poly_degree,
+            poly_degree=args.poly_degree, s_step=args.s_step,
         )
         jax.block_until_ready(res.x)
         solve_s = time.perf_counter() - t0
@@ -415,7 +421,7 @@ def _bench_one(args, strategy, backend):
         tol = 1.0e-5 * float(np.linalg.norm(b))
     kw = dict(tol=tol, method=args.method,
               precondition=args.precondition, poly_degree=args.poly_degree,
-              kernel=args.kernel)
+              s_step=args.s_step, kernel=args.kernel)
     t0 = time.perf_counter()
     if strategy == "serial":
         op = as_operator(A, backend=backend)

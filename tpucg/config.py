@@ -46,10 +46,15 @@ class CGConfig:
         TPU-idiomatic strong preconditioner). The stopping test stays on the
         true residual in every case.
       poly_degree: polynomial degree for ``precondition="poly"`` (>= 1).
-      method: ``"cg"`` (the reference recurrence) or ``"pipelined"``
+      method: ``"cg"`` (the reference recurrence), ``"pipelined"``
         (Ghysels-Vanroose communication-hiding CG: ONE fused scalar reduction
         per lap, overlappable with the matvec — an extension for
-        latency-bound distributed solves; see solver.cg.pipelined_cg_loop).
+        latency-bound distributed solves; see solver.cg.pipelined_cg_loop),
+        or ``"ca"`` (communication-AVOIDING s-step CG: ONE fused Gram
+        reduction per ``s_step`` laps at ~2x matvec cost — the far end of
+        the latency/bandwidth trade; see solver.cg.ca_cg_loop).
+      s_step: block size s for ``method="ca"`` (>= 1; 3-4 is the usual
+        f32 sweet spot — monomial-basis conditioning grows with s).
     """
 
     tol: float = 1.0e-6
@@ -61,12 +66,21 @@ class CGConfig:
     precondition: str = "none"
     poly_degree: int = 3
     method: str = "cg"
+    s_step: int = 3
 
     def __post_init__(self):
         if self.strategy not in ("allgather", "overlap"):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.method not in ("cg", "pipelined"):
+        if self.method not in ("cg", "pipelined", "ca"):
             raise ValueError(f"unknown method {self.method!r}")
+        if self.s_step < 1:
+            raise ValueError("s_step must be >= 1")
+        if self.method == "ca" and self.precondition != "none":
+            raise ValueError(
+                "method='ca' supports precondition='none' (a preconditioned "
+                "CA basis needs split M^-1-weighted towers; use "
+                "method='pipelined' for preconditioned latency hiding)"
+            )
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
         if self.precondition not in ("none", "jacobi", "poly"):

@@ -57,41 +57,57 @@ class _State(NamedTuple):
     hist: Optional[jax.Array] = None
 
 
-def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
-                      degree: int, power_iters: int = 12) -> Callable:
-    """Truncated-Neumann polynomial preconditioner: M^-1 = w * sum_{i<d} (I - wA)^i.
-
-    SPD for any degree when 0 < w*lambda_max < 1, so w is set from a
-    fixed-iteration power-method estimate of lambda_max (computed INSIDE the
-    jitted solve with the same matvec/dot closures, so it works unchanged
-    under every decomposition — the distributed matvec and psum dots just
-    come along). Each preconditioner application costs ``degree - 1`` extra
-    matvecs per lap — pure MXU/VPU + collectives, no TPU-hostile triangular
-    solves — and typically cuts iteration counts ~2-3x on stencil-conditioned
-    systems (an extension; the reference is unpreconditioned).
-    """
-    if degree < 1:
-        raise ValueError("poly degree must be >= 1")
+def lambda_max_estimate(matvec: Callable, dot: Callable, like: jax.Array,
+                        power_iters: int = 12,
+                        absolute: bool = False) -> jax.Array:
+    """Fixed-iteration power-method estimate of lambda_max(A), built from the
+    same matvec/dot closures as the solve so it works unchanged under every
+    decomposition (the distributed matvec and psum dots just come along).
+    Used by the polynomial preconditioner (Neumann-series convergence needs
+    w*lambda_max < 1) and by the CA-CG basis scaling (monomial columns
+    ~lambda_max^s would overflow f32 unscaled)."""
 
     def power_body(_, v):
         y = matvec(v)
         return y * jax.lax.rsqrt(dot(y, y) + jnp.asarray(1e-30, y.dtype))
 
-    # Seed with a fixed generic oscillation, NOT anything derived from b:
-    # b-based seeds can vanish (b = -1 made b+1 exactly zero -> lam = 0 ->
-    # w = inf -> NaN solve) or live in the identity-tail pad subspace and
-    # estimate lam ~ 1 instead of lambda_max(A), breaking the SPD condition.
-    nloc = b.shape[0]
+    # Seed with a fixed generic oscillation, NOT anything derived from the
+    # rhs: rhs-based seeds can vanish (b = -1 made b+1 exactly zero ->
+    # lam = 0 -> downstream inf/NaN) or live in the identity-tail pad
+    # subspace and estimate lam ~ 1 instead of lambda_max(A).
+    nloc = like.shape[0]
     v0 = jnp.cos(
-        jnp.arange(nloc, dtype=b.dtype) * jnp.asarray(0.7, b.dtype)
-    ) + jnp.asarray(0.1, b.dtype)
-    # + 0*b changes nothing numerically but marks v0 as device-varying under
-    # shard_map's VMA tracking (the iota seed alone is unvarying, while the
-    # loop body's matvec output is varying — a carry-type mismatch).
-    v0 = v0 + jnp.zeros_like(b)
+        jnp.arange(nloc, dtype=like.dtype) * jnp.asarray(0.7, like.dtype)
+    ) + jnp.asarray(0.1, like.dtype)
+    # + 0*like changes nothing numerically but marks v0 as device-varying
+    # under shard_map's VMA tracking (the iota seed alone is unvarying, while
+    # the loop body's matvec output is varying — a carry-type mismatch).
+    v0 = v0 + jnp.zeros_like(like)
     v = jax.lax.fori_loop(0, power_iters, power_body, v0)
-    lam = dot(v, matvec(v)) / (dot(v, v) + jnp.asarray(1e-30, b.dtype))
-    lam = jnp.maximum(lam, jnp.asarray(1e-30, b.dtype))
+    lam = dot(v, matvec(v)) / (dot(v, v) + jnp.asarray(1e-30, like.dtype))
+    if absolute:
+        # Spectral-RADIUS estimate: for an indefinite operator (e.g. the
+        # CA basis's shifted A - mu I, whose spectrum is <= 0) the dominant
+        # Rayleigh quotient is signed; its magnitude is what scales.
+        lam = jnp.abs(lam)
+    return jnp.maximum(lam, jnp.asarray(1e-30, like.dtype))
+
+
+def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
+                      degree: int, power_iters: int = 12) -> Callable:
+    """Truncated-Neumann polynomial preconditioner: M^-1 = w * sum_{i<d} (I - wA)^i.
+
+    SPD for any degree when 0 < w*lambda_max < 1, so w is set from a
+    fixed-iteration power-method estimate of lambda_max (see
+    ``lambda_max_estimate``). Each preconditioner application costs
+    ``degree - 1`` extra matvecs per lap — pure MXU/VPU + collectives, no
+    TPU-hostile triangular solves — and typically cuts iteration counts
+    ~2-3x on stencil-conditioned systems (an extension; the reference is
+    unpreconditioned).
+    """
+    if degree < 1:
+        raise ValueError("poly degree must be >= 1")
+    lam = lambda_max_estimate(matvec, dot, b, power_iters)
     w = jnp.asarray(0.95, b.dtype) / lam  # safety margin keeps w*lam < 1
 
     def precond(r):
@@ -307,15 +323,218 @@ def pipelined_cg_loop(
     return jax.lax.while_loop(cond, body, state)
 
 
+def ca_cg_loop(
+    matvec: Callable,
+    dot: Callable,
+    gram: Callable,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    s: int,
+    tol: float,
+    maxiter,
+    safe_alpha: bool = True,
+    power_iters: int = 12,
+) -> _State:
+    """Communication-avoiding (s-step) CG — Chronopoulos & Gear 1989;
+    Carson, Knight & Demmel 2013 (monomial-basis CA-KSMs); Hoemmen 2010.
+
+    Completes tpucg's communication-strategy spectrum, the TPU-first
+    extension of the reference's collective-vs-p2p thesis (its two arms
+    differ only in HOW each lap's 3 blocking reductions travel,
+    ``parallel_cg.c:287-313``): classic CG pays 2-3 scalar psums per lap,
+    pipelined CG fuses them into 1, CA-CG amortizes to **one fused Gram
+    reduction per s laps**. Per outer step it builds a Krylov basis
+    V = [q_0(A)p, ..., q_s(A)p, q_0(A)r, ..., q_{s-1}(A)r] ((2s+1)
+    columns; tall-skinny (n, 2s+1) products — MXU-shaped GEMMs where
+    classic CG has bandwidth-bound BLAS-1), takes G = V^T V in ONE
+    reduction, then advances s CG iterations entirely in (2s+1)-coordinate
+    space: every alpha/beta is a tiny quadratic form in G, replicated on
+    all devices with zero communication.
+
+    Basis polynomials: CHEBYSHEV on an estimated spectral interval [a, b]
+    (the standard CA-KSM basis — Hoemmen 2010 §7; Carson 2015 §5). b ~
+    lambda_max(A) by power method; a ~ b - rho(b I - A) by a second power
+    method on the reflected operator (both from the same matvec/dot
+    closures, so they ride every decomposition). Columns follow the
+    three-term recurrence v_{i+1} = 2 t(A) v_i - v_{i-1} with
+    t(A) = (A - c I)/h, c = (a+b)/2, h = (b-a)/2 (padded 5%), giving a
+    TRIDIAGONAL change-of-basis B with |T_i| <= 1 on the interval — column
+    norms stay O(||v_0||) in f32. The interval estimates affect only basis
+    CONDITIONING, never correctness: B is exact for the recurrence at any
+    [a, b]. Basis choice is what makes f32 CA-CG work at all: measured
+    here, a plain monomial basis (A/theta)^i p collapses for CLUSTERED
+    spectra (the reference's diag-dominant family has A ~ n I, so every
+    power of p is nearly p: s=3 turned a 5-iteration solve into 235), and
+    a single-shift Newton basis ((A - mu I)/gamma)^i p fixes the cluster
+    but collapses on the SPREAD Poisson spectrum at s=3 (monomial-on-an-
+    interval conditioning); Chebyshev handles both (s<=4 matches classic
+    iteration counts on goldens, diag-dominant, and Poisson).
+
+    Costs (documented trade-off, benchmarked in the A/B ledger): 2s-1
+    matvecs per s iterations (~2x matvec traffic at large s) — a WIN when
+    reduction latency bounds the lap (strong-scaled small n/P on a real
+    mesh), a LOSS when the matvec's bandwidth does.
+
+    Numerics (f32): the Gram quadratic forms carry an ABSOLUTE error floor
+    ~eps * ||G|| * ||hat||^2 — far above tol^2 = 1e-12 near convergence —
+    so the inner convergence test (same contract point: after the x/r
+    update, before the p update) is only TENTATIVE. Every block ends with
+    an EXACT ``dot(r, r)`` on the reconstructed full-space residual (the
+    block's second and last reduction): it confirms or refutes a tentative
+    stop, refreshes ``rsold`` so Gram-form drift cannot accumulate across
+    blocks, and detects convergence the noisy Gram forms cannot resolve. A
+    refuted block restarts the search direction at p = r (the classic safe
+    CG restart) — near the Gram noise floor the method degrades gracefully
+    toward verified steepest-descent steps instead of reporting a false
+    convergence. ``rslast`` carries the exact block-end r.r.
+
+    ``matvec``/``dot``/``gram`` abstract the execution model: serial
+    closures, or block-local closures under shard_map where ``gram`` is
+    psum(V_blk^T V_blk) and ``dot`` is psum-reducing.
+    """
+    if s < 1:
+        raise ValueError("ca s-step count must be >= 1")
+    m = 2 * s + 1  # p-tower degrees 0..s, r-tower degrees 0..s-1
+    f32 = b.dtype
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    # Change-of-basis structure (Chebyshev three-term recurrence), per
+    # tower of local index i with c = (a+b)/2, h = (b-a)/2:
+    #   A v_0 = h v_1 + c v_0                       (v_1 = t(A) v_0)
+    #   A v_i = (h/2) v_{i+1} + c v_i + (h/2) v_{i-1}   for 0 < i < top
+    # The top column of each tower is never multiplied by B: p_hat_j has
+    # p-degree <= j <= s-1 and r-degree <= j-1 <= s-2, so B raises degrees
+    # to at most (s, s-1) — exactly the basis. Those columns stay zero.
+    # S1 carries the first-step raise (coeff h), S2 the interior raise and
+    # lower entries (coeff h/2), D the diagonal c mask.
+    S1 = np.zeros((m, m), np.float32)
+    S2 = np.zeros((m, m), np.float32)
+    D = np.zeros((m, m), np.float32)
+    for base, depth in ((0, s + 1), (s + 1, s)):  # p tower, r tower
+        if depth >= 2:
+            S1[base + 1, base] = 1.0
+            D[base, base] = 1.0
+        for i in range(1, depth - 1):
+            S2[base + i + 1, base + i] = 1.0
+            S2[base + i - 1, base + i] = 1.0
+            D[base + i, base + i] = 1.0
+    S1, S2, D = jnp.asarray(S1), jnp.asarray(S2), jnp.asarray(D)
+
+    lam_hi = lambda_max_estimate(matvec, dot, b, power_iters)
+    # rho(lam_hi I - A) ~ lam_hi - lambda_min -> interval lower end.
+    refl = lambda_max_estimate(
+        lambda v: lam_hi * v - matvec(v), dot, b, power_iters,
+        absolute=True,
+    )
+    lam_lo = jnp.clip(lam_hi - refl, 0.0, lam_hi)
+    # 5% pad absorbs power-method under/over-shoot (eigenvalues slightly
+    # outside the interval only grow T_i mildly); the width floor guards
+    # the exactly-scalar operator A = const*I (h = 0 would NaN — any tiny
+    # h just rescales coordinates).
+    pad = 0.05 * (lam_hi - lam_lo)
+    aa = jnp.maximum(lam_lo - pad, 0.0)
+    bb = lam_hi + pad
+    c = 0.5 * (aa + bb)
+    h = jnp.maximum(0.5 * (bb - aa), jnp.asarray(1e-20, f32) * lam_hi)
+    inv_h = 1.0 / h
+
+    r0 = b - matvec(x0)
+    tol2 = jnp.asarray(tol, f32) ** 2
+    rr0 = dot(r0, r0)
+    state = _State(
+        k=jnp.int32(0), x=x0, r=r0, p=r0, rsold=rr0, rslast=rr0,
+        done=rr0 < tol2,
+    )
+
+    e = np.eye(m, dtype=np.float32)
+    ep, er = jnp.asarray(e[0]), jnp.asarray(e[s + 1])
+
+    def cond(st: _State):
+        return jnp.logical_and(st.k < maxiter, jnp.logical_not(st.done))
+
+    def tower(v0, depth):
+        # Chebyshev three-term column build: depth-1 matvecs, no reductions.
+        cols = [v0]
+        if depth >= 2:
+            cols.append((matvec(v0) - c * v0) * inv_h)
+        for _ in range(2, depth):
+            v = cols[-1]
+            t_v = (matvec(v) - c * v) * inv_h
+            cols.append(2.0 * t_v - cols[-2])
+        return cols
+
+    def body(st: _State):
+        # --- Basis build: 2s-1 matvecs, NO reductions -----------------
+        V = jnp.stack(
+            tower(st.p, s + 1) + tower(st.r, s), axis=1
+        )  # (n_local, 2s+1)
+        # --- The block's FIRST reduction ------------------------------
+        G = gram(V)  # (2s+1, 2s+1), replicated
+        B = h * S1 + (0.5 * h) * S2 + c * D
+        rsold = st.rsold  # exact (refreshed by the previous block's dot)
+        k = st.k
+        tentative = jnp.zeros((), jnp.bool_)
+        p_hat, r_hat, x_hat = ep, er, jnp.zeros((m,), f32)
+        # --- s iterations in coordinate space (statically unrolled) ---
+        for _ in range(s):
+            active = jnp.logical_and(
+                jnp.logical_not(tentative), k < maxiter
+            )
+            Bp = mm(B, p_hat)
+            pap = mm(p_hat, mm(G, Bp))
+            if safe_alpha:
+                alpha = jnp.where(
+                    pap != 0, rsold / pap, jnp.zeros_like(pap)
+                )
+            else:
+                alpha = rsold / pap
+            x_new = x_hat + alpha * p_hat
+            r_new = r_hat - alpha * Bp
+            # Gram quadratic form of an ~converged residual can round
+            # fractionally negative.
+            rr = jnp.maximum(mm(r_new, mm(G, r_new)), 0.0)
+            conv = rr < tol2
+            x_hat = jnp.where(active, x_new, x_hat)
+            r_hat = jnp.where(active, r_new, r_hat)
+            k = k + active.astype(jnp.int32)
+            # Contract point: (tentatively) converged laps leave p/rsold
+            # un-updated.
+            upd = jnp.logical_and(active, jnp.logical_not(conv))
+            p_hat = jnp.where(upd, r_new + (rr / rsold) * p_hat, p_hat)
+            rsold = jnp.where(upd, rr, rsold)
+            tentative = jnp.logical_or(
+                tentative, jnp.logical_and(active, conv)
+            )
+        # --- Reconstruct exact full-space state (linear combos) -------
+        x = st.x + mm(V, x_hat)
+        r = mm(V, r_hat)
+        p = mm(V, p_hat)
+        # --- The block's SECOND reduction: exact verification ---------
+        rr_true = dot(r, r)
+        done = rr_true < tol2
+        # A refuted tentative stop means the Gram noise floor fired below
+        # tol; restart the direction at p = r (safe CG restart) so the
+        # stale, un-updated p cannot stall later blocks.
+        refuted = jnp.logical_and(tentative, jnp.logical_not(done))
+        p = jnp.where(refuted, r, p)
+        rsold = jnp.where(done, rsold, rr_true)
+        return _State(
+            k=k, x=x, r=r, p=p, rsold=rsold, rslast=rr_true, done=done,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tol", "maxiter", "blas_backend", "safe_alpha", "method", "record",
-        "poly_degree",
+        "poly_degree", "s_step",
     ),
 )
 def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
-            method="cg", record=False, poly_degree=0):
+            method="cg", record=False, poly_degree=0, s_step=3):
     matvec = op.matvec
     dot = dot_xla
     if poly_degree:
@@ -339,6 +558,23 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
             iterations=s.k,
             residual_norm=jnp.sqrt(rr),
             converged=jnp.logical_or(s.done, rr < jnp.asarray(tol, rr.dtype) ** 2),
+        )
+    if method == "ca":
+        if precond is not None:
+            raise ValueError("method='ca' supports precondition='none'")
+        gram = lambda V: jnp.matmul(
+            V.T, V, precision=jax.lax.Precision.HIGHEST
+        )
+        st = ca_cg_loop(
+            matvec, dot, gram, b, x0,
+            s=s_step, tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        )
+        # rslast carries the exact (verified) block-end r.r.
+        return CGResult(
+            x=st.x,
+            iterations=st.k,
+            residual_norm=jnp.sqrt(st.rslast),
+            converged=st.done,
         )
     update = functools.partial(fused_update, backend=blas_backend)
     s = cg_loop(
@@ -502,6 +738,7 @@ def cg_solve(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
         bool(config.safe_alpha), config.method, bool(record_residuals),
         config.poly_degree if config.precondition == "poly" else 0,
+        int(config.s_step),
     )
     if npad != n:
         res = res._replace(x=res.x[:n])

@@ -43,6 +43,7 @@ from tpucg.kernels.matvec import matvec
 from tpucg.kernels.spmv import bsr_ell_spmv, ell_spmv
 from tpucg.solver.cg import (
     CGResult,
+    ca_cg_loop,
     cg_loop,
     dataclasses_replace,
     make_poly_precond,
@@ -94,6 +95,27 @@ def _run_pipelined(mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
     return s.x, s.k, jnp.sqrt(rr), done
 
 
+def _run_ca(mv, dot, b_blk, x_blk, axes, *, s_step, tol, maxiter,
+            safe_alpha):
+    """Distributed CA (s-step) CG: the basis towers ride the block-local
+    matvec closure (so each of the 2s-1 basis matvecs pays only ITS
+    communication — allgather or ring), and the block's Gram matrix is ONE
+    fused (2s+1)^2 psum (plus the exact block-end verification dot) per s
+    laps — versus 2-3 scalar psums per lap for classic CG. See
+    ``tpucg.solver.cg.ca_cg_loop``."""
+
+    def gram(V):
+        return jax.lax.psum(
+            jnp.matmul(V.T, V, precision=jax.lax.Precision.HIGHEST), axes
+        )
+
+    st = ca_cg_loop(
+        mv, dot, gram, b_blk, x_blk,
+        s=s_step, tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
+    return st.x, st.k, jnp.sqrt(st.rslast), st.done
+
+
 def _ring_perm(num: int) -> list:
     """ppermute pairs: device j receives the block held by j+1 (mod P), i.e.
     blocks flow one step down the ring each lap."""
@@ -142,12 +164,12 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     jax.jit,
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
-        "precondition", "method", "poly_degree", "record",
+        "precondition", "method", "poly_degree", "record", "s_step",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
-    precondition="none", method="cg", poly_degree=0, record=False,
+    precondition="none", method="cg", poly_degree=0, record=False, s_step=3,
 ):
     num = mesh.devices.size
 
@@ -167,6 +189,14 @@ def _sharded_cg_jit(
             x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "ca":
+            # ONE fused Gram psum (+ verification dot) per s_step laps.
+            x, k, rn, done = _run_ca(
+                mv, dot, b_blk, x_blk, axis,
+                s_step=s_step, tol=tol, maxiter=maxiter,
+                safe_alpha=safe_alpha,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -672,12 +702,12 @@ def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
-        "precondition", "poly_degree", "record",
+        "precondition", "poly_degree", "record", "s_step",
     ),
 )
 def _sharded2d_cg_jit(
     A, b, x0, minv, *, mesh, backend, tol, maxiter, safe_alpha, method="cg",
-    precondition="none", poly_degree=0, record=False,
+    precondition="none", poly_degree=0, record=False, s_step=3,
 ):
     """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
     (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
@@ -704,6 +734,13 @@ def _sharded2d_cg_jit(
             x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "ca":
+            x, k, rn, done = _run_ca(
+                mv, dot, b_blk, x_blk, (r_ax, c_ax),
+                s_step=s_step, tol=tol, maxiter=maxiter,
+                safe_alpha=safe_alpha,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -882,13 +919,13 @@ def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
     static_argnames=(
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
         "m_padded", "precondition", "poly_degree", "offsets", "backend",
-        "record",
+        "record", "s_step",
     ),
 )
 def _sharded_operator_cg_jit(
     op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
     method="cg", kind="ell", m=None, m_padded=None, precondition="none",
-    poly_degree=0, offsets=None, backend="xla", record=False,
+    poly_degree=0, offsets=None, backend="xla", record=False, s_step=3,
 ):
     num = mesh.devices.size
 
@@ -906,6 +943,13 @@ def _sharded_operator_cg_jit(
             x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
                 precond=precond,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "ca":
+            x, k, rn, done = _run_ca(
+                mv, dot, b_blk, x_blk, axis,
+                s_step=s_step, tol=tol, maxiter=maxiter,
+                safe_alpha=safe_alpha,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -1025,6 +1069,7 @@ def sharded_operator_cg_solve(
             config.poly_degree if config.precondition == "poly" else 0
         ),
         record=record_residuals,
+        s_step=int(config.s_step),
         **statics,
     )
     if npad != n:
@@ -1376,6 +1421,7 @@ def sharded_cg_solve(
             config.poly_degree if config.precondition == "poly" else 0
         ),
         record=record_residuals,
+        s_step=int(config.s_step),
     )
     if part.n_padded != n:
         x = x[:n]
@@ -1436,6 +1482,7 @@ def _sharded2d_solve(
             config.poly_degree if config.precondition == "poly" else 0
         ),
         record=record_residuals,
+        s_step=int(config.s_step),
     )
     if npad != n:
         x = x[:n]
