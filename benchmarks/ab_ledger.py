@@ -140,6 +140,48 @@ def main():
                     flush=True,
                 )
 
+    # ---- reduction-cadence arms (method A/B at the largest P) ----
+    # The TPU-first extension of the same thesis: the reference's two arms
+    # differ in HOW each lap's 3 blocking reductions travel; these three
+    # differ in HOW OFTEN any reduction happens at all (2-3/lap, 1/lap
+    # fused, 1 per s laps + verification).
+    P_m = max(procs)
+    mesh_m = tpucg.make_mesh(P_m)
+    method_results = {}
+    for n in sizes:
+        A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+        part = RowPartition(n=n, num_shards=P_m, align=row_align("xla"))
+        Ad, bd, x0d = distribute_system(
+            A.astype(np.float32), b.astype(np.float32),
+            x0.astype(np.float32), mesh_m, part,
+        )
+        # ||b||-scaled tolerance: the pipelined recurrence's f32 residual
+        # floor sits above the absolute 1e-6 the unit-scale goldens use
+        # (RESULTS.md extensions caveat) — give all three arms the same
+        # reachable target so iteration counts are comparable.
+        tol_m = 1e-5 * float(np.linalg.norm(b))
+        for method in ("cg", "pipelined", "ca"):
+            solve = lambda: tpucg.sharded_cg_solve(
+                Ad, bd, x0d, mesh=mesh_m, strategy="allgather", n=n,
+                method=method, tol=tol_m,
+            )
+            r = solve()
+            jax.block_until_ready(r.x)
+            cg_s = time_fn(
+                lambda: solve().x,
+                warmup=1, iters=args.repeats, reduce="median",
+            )
+            method_results[(n, method)] = dict(
+                cg_s=cg_s, iters=int(r.iterations),
+                converged=bool(r.converged),
+            )
+            results[(n, P_m, f"method-{method}")] = method_results[(n, method)]
+            print(
+                f"n={n} P={P_m} method={method}: CG {cg_s:.4f} s "
+                f"(iters {int(r.iterations)})",
+                flush=True,
+            )
+
     # ---- render the RESULTS.md section ----
     lines = [
         SECTION_HEADER,
@@ -210,7 +252,39 @@ def main():
     ]
     for n, P, ag, ov in comm_volume_rows(sizes, procs):
         lines.append(f"| {n} | {P} | {ag} | {ov} |")
-    lines.append("")
+    lines += [
+        "",
+        "### Reduction-cadence arms (method A/B, extension)",
+        "",
+        f"Same thesis, third axis: the reference's arms differ in HOW its 3 "
+        f"blocking reductions per lap travel; tpucg's methods differ in HOW "
+        f"OFTEN any blocking reduction happens — classic CG 2-3 scalar "
+        f"psums/lap, pipelined (Ghysels-Vanroose) ONE fused psum/lap, CA "
+        f"(s-step, Chebyshev basis) ONE fused Gram psum per s=3 laps (+ the "
+        f"exact block-end verification dot) at ~2x matvec cost. CG-phase "
+        f"seconds at P={P_m}, allgather strategy, tol = 1e-5*||b|| (the "
+        f"target all three f32 recurrences can reach — see the pipelined "
+        f"floor caveat), functional/CPU mesh — reduction-latency wins need "
+        f"a real multi-chip mesh where psum latency is nonzero:",
+        "",
+        "| n | classic CG (s/iters) | pipelined (s/iters) | ca s=3 (s/iters) |",
+        "|---|---|---|---|",
+    ]
+    for n in sizes:
+        row = f"| {n} "
+        for method in ("cg", "pipelined", "ca"):
+            mr = method_results[(n, method)]
+            row += f"| {mr['cg_s']:.4f} / {mr['iters']} "
+        lines.append(row + "|")
+    lines += [
+        "",
+        "CA's rows here are dominated by its FIXED setup — 24 power-method "
+        "matvecs estimating the Chebyshev interval — which dwarfs the 3-4 "
+        "solve laps of this well-conditioned family; the per-s-laps "
+        "reduction saving amortizes only over many-iteration solves on "
+        "latency-bound meshes.",
+        "",
+    ]
     section = "\n".join(lines)
 
     out = args.out or os.path.join(
