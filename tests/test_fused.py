@@ -1,0 +1,164 @@
+"""Whole-solve-in-one-kernel CG (kernels.fused).
+
+One Pallas launch runs init + the complete while_loop + every lap's
+matvec/BLAS-1 with A VMEM-resident — the fix for the small-n launch-floor
+bound (RESULTS.md small-n caveat). Semantics must mirror cg_loop's
+reference contract exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import tpucg
+from tpucg.config import CGConfig
+from tpucg.io.partitioner import pad_identity_tail
+from tpucg.kernels.fused import (
+    FUSED_AUTO_MAX_N,
+    FUSED_MAX_N,
+    fused_cg_solve_pallas,
+)
+from tpucg.solver.cg import _fused_eligible
+from tpucg.solver.operators import DenseOperator, as_operator
+
+
+def _padded(A, b, x0, npad):
+    Ap = pad_identity_tail(np.asarray(A, np.float32), npad)
+    bp = np.zeros(npad, np.float32)
+    bp[: len(b)] = b
+    x0p = np.zeros(npad, np.float32)
+    x0p[: len(x0)] = x0
+    return jnp.asarray(Ap), jnp.asarray(bp), jnp.asarray(x0p)
+
+
+@pytest.mark.parametrize("mv_impl", ["vpu", "mxu"])
+def test_fused_matches_classic(mv_impl):
+    n = 200
+    A, b, x0 = tpucg.generate_spd_system(n, seed=0)
+    ref = tpucg.cg_solve(A, b, x0, fused="never")
+    Ap, bp, x0p = _padded(A, b, x0, 256)
+    x, k, rr = fused_cg_solve_pallas(
+        Ap, bp, x0p, tol=1e-6, maxiter=n, mv_impl=mv_impl
+    )
+    assert int(k) == int(ref.iterations)
+    assert float(rr) < 1e-12
+    np.testing.assert_allclose(
+        np.asarray(x)[:n], np.asarray(ref.x), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_fused_golden_contract(golden_2x2, golden_4x4):
+    # The reference contract through the fused kernel: exact golden lap
+    # counts (2 and 4) at tol 1e-6.
+    for g in (golden_2x2, golden_4x4):
+        n = g["A"].shape[0]
+        Ap, bp, x0p = _padded(g["A"], g["b"], g["x0"], 128)
+        x, k, rr = fused_cg_solve_pallas(Ap, bp, x0p, tol=1e-6, maxiter=128)
+        assert int(k) == g["iters"]
+        assert float(rr) < 1e-12
+        np.testing.assert_allclose(
+            np.asarray(x)[:n], g["x_star"], atol=2e-3
+        )
+
+
+def test_fused_maxiter_cap_and_exact_guess():
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=4)
+    A = (A - (n - n / 8.0) * np.eye(n)).astype(np.float32)
+    Ap, bp, x0p = _padded(A, b, x0, 128)
+    x, k, rr = fused_cg_solve_pallas(Ap, bp, x0p, tol=1e-6, maxiter=3)
+    assert int(k) == 3
+    assert float(rr) > 1e-12
+    # Exact initial guess: flagged converged at k=0 (the reference would
+    # divide 0/0, serialConjugate.c:219-220).
+    ref = tpucg.cg_solve(A, b, fused="never")
+    Ap, bp, xp = _padded(A, b, np.asarray(ref.x), 128)
+    # b reconstructed so b - A x* is ~0 at f32: use A @ x* exactly.
+    bstar = np.zeros(128, np.float32)
+    bstar[:n] = (np.asarray(A, np.float64) @ np.asarray(ref.x, np.float64)
+                 ).astype(np.float32)
+    x, k, rr = fused_cg_solve_pallas(
+        Ap, jnp.asarray(bstar), xp, tol=1e-4, maxiter=128
+    )
+    assert int(k) == 0
+
+
+def test_fused_routing_through_cg_solve():
+    # kernel="pallas" + small n engages the fused path (interpret mode off
+    # TPU); result must match the while_loop path bit-near-exactly.
+    n = 120
+    A, b, x0 = tpucg.generate_spd_system(n, seed=2)
+    never = tpucg.cg_solve(A, b, x0, kernel="pallas", fused="never")
+    auto = tpucg.cg_solve(A, b, x0, kernel="pallas", fused="auto")
+    always = tpucg.cg_solve(A, b, x0, kernel="pallas", fused="always")
+    for r in (auto, always):
+        assert bool(r.converged)
+        assert abs(int(r.iterations) - int(never.iterations)) <= 1
+        np.testing.assert_allclose(
+            np.asarray(r.x), np.asarray(never.x), rtol=1e-5, atol=1e-7
+        )
+        assert np.asarray(r.x).shape == (n,)
+
+
+def test_fused_eligibility_gate():
+    n = 256
+    A, b, x0 = tpucg.generate_spd_system(n, seed=1)
+    op = as_operator(np.asarray(A), backend="pallas")
+    cfg = CGConfig(kernel="pallas")
+    assert _fused_eligible(cfg, op, "pallas", jnp.float32, False, None)
+    # Every disqualifier flips it off.
+    assert not _fused_eligible(cfg, op, "xla", jnp.float32, False, None)
+    assert not _fused_eligible(cfg, op, "pallas", jnp.float32, True, None)
+    assert not _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False, jnp.ones(n)
+    )
+    assert not _fused_eligible(
+        CGConfig(kernel="pallas", fused="never"), op, "pallas",
+        jnp.float32, False, None,
+    )
+    assert not _fused_eligible(
+        CGConfig(kernel="pallas", method="pipelined"), op, "pallas",
+        jnp.float32, False, None,
+    )
+    # bf16 storage keeps the streaming path.
+    op_bf = DenseOperator.create(
+        np.asarray(A), backend="pallas", dtype=jnp.bfloat16
+    )
+    assert not _fused_eligible(
+        cfg, op_bf, "pallas", jnp.float32, False, None
+    )
+    # Above the auto crossover: only fused="always" engages, up to the
+    # VMEM cap.
+    big = DenseOperator(
+        A=jnp.zeros((FUSED_AUTO_MAX_N + 128,) * 2, jnp.float32),
+        n=FUSED_AUTO_MAX_N + 128, backend="pallas",
+    )
+    assert not _fused_eligible(cfg, big, "pallas", jnp.float32, False, None)
+    assert _fused_eligible(
+        CGConfig(kernel="pallas", fused="always"), big, "pallas",
+        jnp.float32, False, None,
+    )
+    over = DenseOperator(
+        A=jnp.zeros((FUSED_MAX_N + 128,) * 2, jnp.float32),
+        n=FUSED_MAX_N + 128, backend="pallas",
+    )
+    assert not _fused_eligible(
+        CGConfig(kernel="pallas", fused="always"), over, "pallas",
+        jnp.float32, False, None,
+    )
+
+
+def test_fused_input_validation():
+    with pytest.raises(ValueError, match="fused mode"):
+        CGConfig(fused="sometimes")
+    A = jnp.zeros((FUSED_MAX_N + 128, FUSED_MAX_N + 128), jnp.float32)
+    with pytest.raises(ValueError, match="128-aligned"):
+        fused_cg_solve_pallas(
+            A, jnp.zeros(A.shape[0]), jnp.zeros(A.shape[0]),
+            tol=1e-6, maxiter=4,
+        )
+    B = jnp.zeros((256, 256), jnp.bfloat16)
+    with pytest.raises(ValueError, match="f32"):
+        fused_cg_solve_pallas(
+            B, jnp.zeros(256), jnp.zeros(256), tol=1e-6, maxiter=4
+        )

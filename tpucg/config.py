@@ -55,6 +55,12 @@ class CGConfig:
         the latency/bandwidth trade; see solver.cg.ca_cg_loop).
       s_step: block size s for ``method="ca"`` (>= 1; 3-4 is the usual
         f32 sweet spot — monomial-basis conditioning grows with s).
+      fused: whole-solve-in-one-Pallas-kernel dispatch for small
+        VMEM-resident dense systems (``kernels.fused``): "auto" (default —
+        engage below the measured crossover ``FUSED_AUTO_MAX_N`` when the
+        solve is a plain serial f32 dense CG on the Pallas backend),
+        "always" (any eligible size up to ``FUSED_MAX_N``, for A/Bs), or
+        "never".
     """
 
     tol: float = 1.0e-6
@@ -67,6 +73,7 @@ class CGConfig:
     poly_degree: int = 3
     method: str = "cg"
     s_step: int = 3
+    fused: str = "auto"
 
     def __post_init__(self):
         if self.strategy not in ("allgather", "overlap"):
@@ -83,6 +90,8 @@ class CGConfig:
             )
         if self.kernel not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
+        if self.fused not in ("auto", "always", "never"):
+            raise ValueError(f"unknown fused mode {self.fused!r}")
         if self.precondition not in ("none", "jacobi", "poly"):
             raise ValueError(f"unknown preconditioner {self.precondition!r}")
         if self.poly_degree < 1:

@@ -1,0 +1,179 @@
+"""Whole-solve-in-one-kernel CG for VMEM-resident systems.
+
+The reference's serial program pays a function call per BLAS op per lap
+(``serialConjugate.c:213-244``); tpucg's jitted while_loop already fuses the
+lap into a handful of XLA kernels, but at small n the solve is bound by the
+~1.5 us per-kernel launch floor, not by compute or HBM (RESULTS.md small-n
+caveat; VERDICT round-1 weak #6). This kernel removes launches from the
+equation entirely: the COMPLETE CG solve — init residual, the full
+``lax.while_loop`` with the reference's convergence contract, every lap's
+matvec and BLAS-1 — runs inside ONE Pallas kernel with A resident in VMEM.
+
+Design notes (TPU):
+- Eligibility: square f32 A with ``npad**2 * 4`` comfortably under the
+  ~128 MB VMEM budget (``FUSED_MAX_N`` = 4096 -> A is 64 MiB). Above that,
+  A streams from HBM each lap and the tiled GEMV path is the right tool.
+- Vectors ride as (1, npad) lane-major rows (same Mosaic-layout reasoning
+  as ``matvec._matvec_kernel``).
+- The matvec is ``p @ A`` on the MXU with ``precision=HIGHEST`` — exact
+  multi-pass f32, never the 1-pass bf16 truncation (the float32-contract
+  invariant). A is SPD hence symmetric (the identity pad tail preserves
+  this), so p @ A == (A @ p)^T and the product stays lane-major: no
+  per-lap transposes.
+- Scalars (k, rsold, rr, done) live in the while carry; iteration count
+  and final r.r come back through SMEM so the wrapper reports exactly what
+  the in-kernel loop measured.
+
+Semantics mirror ``solver.cg.cg_loop`` (unpreconditioned arm) bit-for-bit
+in structure: test ``r.r < tol^2`` after the x/r update and before the p
+update; converged laps leave p/rsold untouched; ``k <= maxiter``; exact
+initial guesses flag converged at k=0 (the reference would divide 0/0,
+``serialConjugate.c:219-220``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucg.kernels.dispatch import interpret_mode
+
+# Largest padded n the fused solver accepts: A (npad, npad) f32 must sit in
+# VMEM alongside ~6 lap vectors and the MXU staging buffers. 4096 -> 64 MiB
+# of A under the 110 MB compiler cap below.
+FUSED_MAX_N = 4096
+
+# Measured crossover vs the jitted while_loop path (v5e, median of 3
+# chained-differenced runs each): fused/current us per solve —
+# n=512: 6.6/23.7, n=1024: 11.8/20.7, n=2048: 34.9/25.5, n=4096: 126/49.
+# Below ~1.5k the solve is launch-floor-bound and the single launch wins;
+# above, XLA's VMEM-resident loop out-schedules the in-kernel VPU GEMV.
+FUSED_AUTO_MAX_N = 1024
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
+
+
+def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
+                     out_rr_ref, y_scratch, *, tol, maxiter, safe_alpha,
+                     mv_impl):
+    f32 = jnp.float32
+    tol2 = jnp.asarray(tol, f32) ** 2
+    npad = a_ref.shape[0]
+
+    def mv_mxu(v):
+        # v (1, npad) @ A (npad, npad) -> (1, npad); symmetric A makes this
+        # the matvec without leaving lane-major layout. HIGHEST = exact
+        # multi-pass f32 — never the MXU's 1-pass bf16 truncation.
+        return jax.lax.dot_general(
+            v, a_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def mv_vpu(v):
+        # Broadcast-multiply + lane reduction on the VPU (exact f32 FMAs,
+        # full 8x128 lane utilization — the (1, npad) MXU GEMV drives only
+        # one sublane of each pass), tiled into a VMEM scratch so the
+        # elementwise temporary stays ~2 MB (Mosaic has no value-level
+        # dynamic_update_slice — ref stores at static offsets instead);
+        # one (npad, 1) -> (1, npad) relayout per matvec.
+        tm = min(npad, max(512, 2 * 1024 * 1024 // (4 * npad)))
+        for i in range(npad // tm):
+            y_scratch[i * tm:(i + 1) * tm, :] = jnp.sum(
+                a_ref[i * tm:(i + 1) * tm, :] * v, axis=1, keepdims=True
+            )
+        return y_scratch[...].T
+
+    mv = mv_vpu if mv_impl == "vpu" else mv_mxu
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    b = b_ref[...]
+    x0 = x0_ref[...]
+    r0 = b - mv(x0)
+    rr0 = dot(r0, r0)
+    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
+
+    def cond(s):
+        k, done = s[0], s[1]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(s):
+        k, _, x, r, p, rsold, _ = s
+        ap = mv(p)
+        pap = dot(p, ap)
+        if safe_alpha:
+            alpha = jnp.where(pap != 0, rsold / pap, jnp.zeros_like(pap))
+        else:
+            alpha = rsold / pap
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr = dot(r, r)
+        done = rr < tol2
+        p = jnp.where(done, p, r + (rr / rsold) * p)
+        rsold = jnp.where(done, rsold, rr)
+        return (k + 1, done, x, r, p, rsold, rr)
+
+    k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
+    out_x_ref[...] = x
+    out_k_ref[0, 0] = k
+    out_rr_ref[0, 0] = rr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "mv_impl")
+)
+def fused_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
+                          mv_impl="vpu"):
+    """Run a complete CG solve in one kernel launch.
+
+    ``A`` must be f32, square, 128-aligned (the DenseOperator padding
+    contract), with ``A.shape[0] <= FUSED_MAX_N``; ``b``/``x0`` are padded
+    (npad,) f32 vectors. Returns ``(x, k, rr)``: the padded solution, the
+    iteration count, and the final exact r.r.
+    """
+    npad = A.shape[0]
+    if A.shape != (npad, npad):
+        raise ValueError(f"A must be square, got {A.shape}")
+    if npad % 128 or npad > FUSED_MAX_N:
+        raise ValueError(
+            f"fused solve needs 128-aligned n <= {FUSED_MAX_N}, got {npad}"
+        )
+    if A.dtype != jnp.float32:
+        raise ValueError(f"fused solve is f32-only, got {A.dtype}")
+    x2, k, rr = pl.pallas_call(
+        functools.partial(
+            _fused_cg_kernel,
+            tol=float(tol), maxiter=int(maxiter),
+            safe_alpha=bool(safe_alpha), mv_impl=mv_impl,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((npad, 1), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret_mode(),
+    )(
+        A,
+        b.astype(jnp.float32).reshape(1, npad),
+        x0.astype(jnp.float32).reshape(1, npad),
+    )
+    return x2.reshape(npad), k[0, 0], rr[0, 0]

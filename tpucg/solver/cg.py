@@ -734,6 +734,20 @@ def cg_solve(
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
+    if _fused_eligible(config, op, backend, dtype, record_residuals, minv):
+        from tpucg.kernels.fused import fused_cg_solve_pallas
+
+        x, k, rr = fused_cg_solve_pallas(
+            op.A, b, x0, tol=float(config.tol), maxiter=int(maxiter),
+            safe_alpha=bool(config.safe_alpha),
+        )
+        res = CGResult(
+            x=x, iterations=k, residual_norm=jnp.sqrt(rr),
+            converged=rr < jnp.asarray(float(config.tol), rr.dtype) ** 2,
+        )
+        if npad != n:
+            res = res._replace(x=res.x[:n])
+        return res
     res = _cg_jit(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
         bool(config.safe_alpha), config.method, bool(record_residuals),
@@ -743,6 +757,28 @@ def cg_solve(
     if npad != n:
         res = res._replace(x=res.x[:n])
     return res
+
+
+def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
+    """Route a plain serial f32 dense Pallas CG through the
+    whole-solve-in-one-kernel path (``kernels.fused``) when A fits VMEM and
+    the size sits below the measured launch-floor crossover. Every other
+    configuration (methods, preconditioners, traces, bf16 storage, sparse
+    operators) keeps the jitted while_loop path."""
+    from tpucg.kernels.fused import FUSED_AUTO_MAX_N, FUSED_MAX_N
+    from tpucg.solver.operators import DenseOperator
+
+    if config.fused == "never" or backend != "pallas":
+        return False
+    if config.method != "cg" or config.precondition != "none":
+        return False
+    if record_residuals or minv is not None or dtype != jnp.float32:
+        return False
+    if not isinstance(op, DenseOperator) or op.A.dtype != jnp.float32:
+        return False
+    npad = op.padded_n
+    cap = FUSED_MAX_N if config.fused == "always" else FUSED_AUTO_MAX_N
+    return npad % 128 == 0 and npad <= cap
 
 
 def dataclasses_replace(config: CGConfig, **overrides) -> CGConfig:
