@@ -74,10 +74,29 @@ def main():
         # dispatch, differenced — cancels the tunnel's ~25 ms per-call RTT
         # (the reference's MPI_Wtime fences likewise bound only the CG phase).
         est = iters * 4.0 * op.padded_n ** 2 / peak  # iters x roofline matvec
-        solve_s = time_solve_chain(
-            op, v0, x0_pad, maxiter=n, blas_backend=backend,
-            iters=args.repeats, est_solve_s=est,
-        )
+        from tpucg.kernels.fused import FUSED_AUTO_MAX_N, fused_cg_solve_pallas
+        from tpucg.bench.timing import time_run_chain
+
+        if backend == "pallas" and op.padded_n <= FUSED_AUTO_MAX_N:
+            # Mirror cg_solve's auto dispatch: below the crossover the
+            # whole-solve-in-one-kernel path is what users get. Chain depth
+            # sized so the differenced signal is >= ~40 ms of ~10 us solves.
+            def run_fused(operands, bj_, x0_):
+                (Af,) = operands
+                x, _, _ = fused_cg_solve_pallas(
+                    Af, bj_, x0_, tol=1e-6, maxiter=n
+                )
+                return x
+
+            solve_s = time_run_chain(
+                run_fused, (op.A,), v0, x0_pad,
+                klo=1, khi=8192, iters=args.repeats,
+            )
+        else:
+            solve_s = time_solve_chain(
+                op, v0, x0_pad, maxiter=n, blas_backend=backend,
+                iters=args.repeats, est_solve_s=est,
+            )
         e2e_s = time_fn(lambda: solve().x, warmup=1, iters=3, reduce="median")
         mv_s = time_matvec_robust(
             lambda o, v: o.matvec(v), op, v0, steps=auto_steps(op.padded_n)

@@ -48,6 +48,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--s-step", type=int, default=3, dest="s_step",
                    help="block size s for --method ca (3-4 is the usual "
                         "f32 sweet spot)")
+    p.add_argument("--fused", default="auto",
+                   choices=("auto", "always", "never"),
+                   help="whole-solve-in-one-kernel dispatch for small "
+                        "VMEM-resident dense systems (auto = below the "
+                        "measured crossover)")
     p.add_argument("--precondition", default="none",
                    choices=("none", "jacobi", "poly"))
     p.add_argument("--poly-degree", type=int, default=3,
@@ -79,6 +84,7 @@ def _solve_args(args, A, b, x0):
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
         poly_degree=args.poly_degree, s_step=args.s_step,
+        fused=args.fused,
         record_residuals=record,
     )
     jax.block_until_ready(res.x)
@@ -421,7 +427,7 @@ def _bench_one(args, strategy, backend):
         tol = 1.0e-5 * float(np.linalg.norm(b))
     kw = dict(tol=tol, method=args.method,
               precondition=args.precondition, poly_degree=args.poly_degree,
-              s_step=args.s_step, kernel=args.kernel)
+              s_step=args.s_step, kernel=args.kernel, fused=args.fused)
     t0 = time.perf_counter()
     if strategy == "serial":
         op = as_operator(A, backend=backend)
