@@ -247,16 +247,21 @@ def main():
         "(parallel_cg.c:278-279). matVec GB/s uses the same "
         "dispatch-corrected chained timing (`time_matvec_loop`).",
         "",
-        "At n <= 4096 the steady-state solve beats the HBM roofline because "
-        "XLA keeps the loop-invariant matrix resident in VMEM across the "
-        "solve's while_loop (the single cold-start matvec GB/s column is the "
-        "HBM-bound number); at n = 8192 A (268 MB) exceeds VMEM and the "
-        "solve time matches 4 x the HBM-roofline matvec exactly. The matVec "
-        "column's sub-80% fractions at n <= 1024 are the ~1.5 us per-call "
-        "kernel-launch floor, not tiling: an in-process tile A/B at n=1024 "
-        "measured tm=128 and tm=256 dead even, and at n=512 every variant "
-        "incl. the XLA dot sits at 2.4-3.1 us vs the 1.3 us streaming ideal "
-        "— irrelevant to solves, which hold A in VMEM (see above).",
+        "Rows at n <= 1024 time the whole-solve-in-one-kernel path "
+        "(`kernels/fused.py`, `fused='auto'` dispatch): the COMPLETE solve — "
+        "init, every lap's matvec and BLAS-1, the convergence test — runs "
+        "inside ONE Pallas launch, eliminating the ~1.5 us per-kernel launch "
+        "floor that bounded small-n solves. At 2048 <= n <= 4096 the "
+        "while_loop solve beats the HBM roofline because XLA keeps the "
+        "loop-invariant matrix resident in VMEM across the solve (the single "
+        "cold-start matvec GB/s column is the HBM-bound number); at n = 8192 "
+        "A (268 MB) exceeds VMEM and the solve time matches 4 x the "
+        "HBM-roofline matvec exactly. The matVec column's sub-80% fractions "
+        "at n <= 1024 are that same launch floor, not tiling: an in-process "
+        "tile A/B at n=1024 measured tm=128 and tm=256 dead even, and at "
+        "n=512 every variant incl. the XLA dot sits at 2.4-3.1 us vs the "
+        "1.3 us streaming ideal — irrelevant to solves, which run fused "
+        "(see above).",
         "",
         "Distributed arms (the reference's P in {2,4,8} tables): this "
         "environment exposes ONE physical chip, so the collective/overlap/2-D "

@@ -148,6 +148,85 @@ def test_fused_eligibility_gate():
     )
 
 
+def test_fused_stencil_matches_classic():
+    # Matrix-free Poisson whole-solve-in-one-kernel vs the while_loop path.
+    from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
+    from tpucg.solver.operators import PoissonOperator
+
+    m = 16
+    n = m ** 3
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ref = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, fused="never")
+    x, k, rr = fused_stencil_cg_solve_pallas(
+        jnp.asarray(b), jnp.zeros(n, jnp.float32), m, tol=tol, maxiter=4 * n
+    )
+    assert float(rr) < tol ** 2
+    assert abs(int(k) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(ref.x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_stencil_routing_through_cg_solve():
+    from tpucg.solver.operators import PoissonOperator
+
+    m = 16
+    n = m ** 3
+    op = PoissonOperator(m=m)
+    b = np.ones(n, np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    never = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n,
+                           kernel="pallas", fused="never")
+    auto = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n,
+                          kernel="pallas", fused="auto")
+    assert bool(auto.converged)
+    assert abs(int(auto.iterations) - int(never.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(auto.x), np.asarray(never.x), rtol=1e-4, atol=1e-5
+    )
+    assert np.asarray(auto.x).shape == (n,)
+
+
+def test_fused_stencil_eligibility_gate():
+    from tpucg.kernels.fused import (
+        FUSED_STENCIL_MAX_M,
+        fused_stencil_supported,
+    )
+    from tpucg.solver.operators import PoissonOperator
+
+    cfg = CGConfig(kernel="pallas")
+    op = PoissonOperator(m=16)
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False, None
+    ) == "stencil"
+    # The XLA stencil form is not the fused kernel's layout.
+    assert _fused_eligible(
+        cfg, PoissonOperator(m=16, kernel="xla"), "pallas",
+        jnp.float32, False, None,
+    ) is None
+    # Non-lane-tileable and beyond-VMEM grids stay on the while_loop path.
+    assert _fused_eligible(
+        cfg, PoissonOperator(m=10), "pallas", jnp.float32, False, None
+    ) is None
+    assert not fused_stencil_supported(FUSED_STENCIL_MAX_M + 16)
+    # Preconditioned / traced solves are ineligible.
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, True, None
+    ) is None
+
+
+def test_fused_stencil_input_validation():
+    from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
+
+    with pytest.raises(ValueError, match="fused stencil"):
+        fused_stencil_cg_solve_pallas(
+            jnp.zeros(1000), jnp.zeros(1000), 10, tol=1e-6, maxiter=4
+        )
+
+
 def test_fused_input_validation():
     with pytest.raises(ValueError, match="fused mode"):
         CGConfig(fused="sometimes")

@@ -54,6 +54,12 @@ FUSED_MAX_N = 4096
 # above, XLA's VMEM-resident loop out-schedules the in-kernel VPU GEMV.
 FUSED_AUTO_MAX_N = 1024
 
+# Largest Poisson grid edge the fused stencil solve accepts: the while
+# carry holds x/r/p (m, m*m) f32 plus the stencil's shift temporaries —
+# ~8 live grid-sized arrays, 4*m^3 bytes each, under the 110 MB cap.
+# m=128 -> 8 MiB per array.
+FUSED_STENCIL_MAX_M = 128
+
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
 
 
@@ -177,3 +183,110 @@ def fused_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
         x0.astype(jnp.float32).reshape(1, npad),
     )
     return x2.reshape(npad), k[0, 0], rr[0, 0]
+
+
+def fused_stencil_supported(m: int) -> bool:
+    """The fused stencil solve needs the lane-tileable (m, m*m) layout and
+    the whole grid state resident in VMEM (see ``FUSED_STENCIL_MAX_M``)."""
+    from tpucg.kernels.stencil import stencil_supported
+
+    return stencil_supported(m) and m <= FUSED_STENCIL_MAX_M
+
+
+def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
+                             out_rr_ref, *, m, tol, maxiter, safe_alpha):
+    from tpucg.kernels.stencil import stencil_apply
+
+    f32 = jnp.float32
+    tol2 = jnp.asarray(tol, f32) ** 2
+    mm = m * m
+    # Hoist the boundary-mask iotas out of the lap loop.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, mm), 1)
+    z_id = lane % m
+    y_id = lane // m
+
+    def mv(u):
+        return stencil_apply(u, m, z_id=z_id, y_id=y_id)
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    b = b_ref[...]
+    x0 = x0_ref[...]
+    r0 = b - mv(x0)
+    rr0 = dot(r0, r0)
+    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
+
+    def cond(s):
+        k, done = s[0], s[1]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(s):
+        k, _, x, r, p, rsold, _ = s
+        ap = mv(p)
+        pap = dot(p, ap)
+        if safe_alpha:
+            alpha = jnp.where(pap != 0, rsold / pap, jnp.zeros_like(pap))
+        else:
+            alpha = rsold / pap
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr = dot(r, r)
+        done = rr < tol2
+        p = jnp.where(done, p, r + (rr / rsold) * p)
+        rsold = jnp.where(done, rsold, rr)
+        return (k + 1, done, x, r, p, rsold, rr)
+
+    k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
+    out_x_ref[...] = x
+    out_k_ref[0, 0] = k
+    out_rr_ref[0, 0] = rr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "tol", "maxiter", "safe_alpha")
+)
+def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
+                                  safe_alpha=True):
+    """Run a complete matrix-free Poisson CG solve in one kernel launch.
+
+    The 7-point stencil has no stored matrix, so the entire solve state —
+    x, r, p on the (m, m*m) layout — lives in VMEM and every lap is pure
+    VPU work: one fused stencil apply plus the BLAS-1 recurrence, zero
+    per-lap kernel launches and zero HBM traffic. Same convergence
+    contract as ``_fused_cg_kernel`` (= ``serialConjugate.c:213-244``).
+    Returns ``(x, k, rr)`` with ``x`` flat (m**3,).
+    """
+    if not fused_stencil_supported(m):
+        raise ValueError(
+            f"fused stencil solve needs (m*m) % 128 == 0 and "
+            f"m <= {FUSED_STENCIL_MAX_M}, got m={m}"
+        )
+    mm = m * m
+    x2, k, rr = pl.pallas_call(
+        functools.partial(
+            _fused_stencil_cg_kernel,
+            m=m, tol=float(tol), maxiter=int(maxiter),
+            safe_alpha=bool(safe_alpha),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, mm), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret_mode(),
+    )(
+        b.astype(jnp.float32).reshape(m, mm),
+        x0.astype(jnp.float32).reshape(m, mm),
+    )
+    return x2.reshape(m * mm), k[0, 0], rr[0, 0]

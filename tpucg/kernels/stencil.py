@@ -41,13 +41,21 @@ def stencil_supported(m: int) -> bool:
     return (m * m) % 128 == 0 and 2 <= m <= 160
 
 
-def _poisson_kernel(m: int, u_ref, y_ref):
+def stencil_apply(u, m: int, z_id=None, y_id=None):
+    """y = A u on the (m, m*m) layout — the full-grid 7-point body.
+
+    Pure jnp on values, so it is usable both as a Pallas kernel body
+    (``_poisson_kernel``) and inside a larger in-kernel loop
+    (``kernels.fused._fused_stencil_cg_kernel``). Callers running it many
+    times may pass precomputed ``z_id``/``y_id`` lane-coordinate masks to
+    hoist the iotas out of their loop.
+    """
     mm = m * m
-    u = u_ref[...]  # (m, mm)
     zero = jnp.zeros((), u.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (m, mm), 1)
-    z_id = lane % m        # z coordinate within a row
-    y_id = lane // m       # y coordinate
+    if z_id is None or y_id is None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m, mm), 1)
+        z_id = lane % m        # z coordinate within a row
+        y_id = lane // m       # y coordinate
 
     acc = 6.0 * u
     # x-direction: sublane (plane) shifts; domain edge rows get zero planes.
@@ -70,7 +78,11 @@ def _poisson_kernel(m: int, u_ref, y_ref):
     acc = acc - jnp.where(
         z_id == 0, zero, jnp.concatenate([zcol_1, u[:, :-1]], axis=1)
     )
-    y_ref[...] = acc
+    return acc
+
+
+def _poisson_kernel(m: int, u_ref, y_ref):
+    y_ref[...] = stencil_apply(u_ref[...], m)
 
 
 def slab_supported(m: int, mp: int) -> bool:

@@ -734,13 +734,24 @@ def cg_solve(
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
-    if _fused_eligible(config, op, backend, dtype, record_residuals, minv):
+    fused_kind = _fused_eligible(
+        config, op, backend, dtype, record_residuals, minv
+    )
+    if fused_kind == "dense":
         from tpucg.kernels.fused import fused_cg_solve_pallas
 
         x, k, rr = fused_cg_solve_pallas(
             op.A, b, x0, tol=float(config.tol), maxiter=int(maxiter),
             safe_alpha=bool(config.safe_alpha),
         )
+    elif fused_kind == "stencil":
+        from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
+
+        x, k, rr = fused_stencil_cg_solve_pallas(
+            b, x0, op.m, tol=float(config.tol), maxiter=int(maxiter),
+            safe_alpha=bool(config.safe_alpha),
+        )
+    if fused_kind is not None:
         res = CGResult(
             x=x, iterations=k, residual_norm=jnp.sqrt(rr),
             converged=rr < jnp.asarray(float(config.tol), rr.dtype) ** 2,
@@ -760,25 +771,36 @@ def cg_solve(
 
 
 def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
-    """Route a plain serial f32 dense Pallas CG through the
-    whole-solve-in-one-kernel path (``kernels.fused``) when A fits VMEM and
-    the size sits below the measured launch-floor crossover. Every other
-    configuration (methods, preconditioners, traces, bf16 storage, sparse
-    operators) keeps the jitted while_loop path."""
-    from tpucg.kernels.fused import FUSED_AUTO_MAX_N, FUSED_MAX_N
-    from tpucg.solver.operators import DenseOperator
+    """Route a plain serial f32 Pallas CG through a
+    whole-solve-in-one-kernel path (``kernels.fused``) when the solve state
+    fits VMEM: returns ``"dense"`` (A-resident GEMV solve, below the
+    measured launch-floor crossover), ``"stencil"`` (matrix-free Poisson —
+    always wins when supported: zero per-lap launches AND zero HBM
+    traffic), or ``None``. Every other configuration (methods,
+    preconditioners, traces, bf16 storage, other sparse operators) keeps
+    the jitted while_loop path."""
+    from tpucg.kernels.fused import (
+        FUSED_AUTO_MAX_N,
+        FUSED_MAX_N,
+        fused_stencil_supported,
+    )
+    from tpucg.solver.operators import DenseOperator, PoissonOperator
 
     if config.fused == "never" or backend != "pallas":
-        return False
+        return None
     if config.method != "cg" or config.precondition != "none":
-        return False
+        return None
     if record_residuals or minv is not None or dtype != jnp.float32:
-        return False
+        return None
+    if isinstance(op, PoissonOperator):
+        if op.kernel in ("auto", "pallas") and fused_stencil_supported(op.m):
+            return "stencil"
+        return None
     if not isinstance(op, DenseOperator) or op.A.dtype != jnp.float32:
-        return False
+        return None
     npad = op.padded_n
     cap = FUSED_MAX_N if config.fused == "always" else FUSED_AUTO_MAX_N
-    return npad % 128 == 0 and npad <= cap
+    return "dense" if npad % 128 == 0 and npad <= cap else None
 
 
 def dataclasses_replace(config: CGConfig, **overrides) -> CGConfig:
