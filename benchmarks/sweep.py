@@ -217,6 +217,40 @@ def main():
             print(f"m={m} solve[{label}]: {s*1e3:.3f} ms, {iters} iters "
                   f"({iters/s:.0f} it/s)", flush=True)
 
+        # Whole-solve-in-one-kernel arm (kernels/fused.py): the entire CG
+        # loop inside one Pallas launch, state VMEM-resident. ~VPU-bound,
+        # so size chains from a near-peak per-lap estimate (~2.5 us/lap at
+        # m=64) and take the MEDIAN of 3 independent chains — the fused
+        # solve is fast enough that a single differenced chain can latch
+        # onto a tunnel glitch (CLAUDE.md timing discipline).
+        from tpucg.kernels.fused import (
+            fused_stencil_cg_solve_pallas,
+            fused_stencil_supported,
+        )
+
+        if fused_stencil_supported(m):
+            res = tpucg.cg_solve(sop, bj, tol=tol, maxiter=4 * n,
+                                 kernel="pallas", fused="always")
+            iters = int(res.iterations)
+            assert bool(res.converged), (m, "cg-fused")
+
+            def run_fused(operands, bb, x0_):
+                x, _, _ = fused_stencil_cg_solve_pallas(
+                    bb, x0_, m, tol=tol, maxiter=4 * n)
+                return x
+
+            est = iters * 2.5e-6
+            s = float(np.median([
+                time_run_chain(run_fused, (), bj, x0j, est_solve_s=est)
+                for _ in range(3)
+            ]))
+            sparse_solve_rows.append(dict(
+                m=m, n=n, method="cg-fused", solve_ms=s * 1e3, iters=iters,
+                iters_per_s=iters / s,
+            ))
+            print(f"m={m} solve[cg-fused]: {s*1e3:.3f} ms, {iters} iters "
+                  f"({iters/s:.0f} it/s)", flush=True)
+
     lines = [
         "# RESULTS — tpucg vs reference (dense serial CG)",
         "",
@@ -311,6 +345,15 @@ def main():
                     f"| {r['solve_ms']:.3f} | {r['iters']} "
                     f"| {r['iters_per_s']:.0f} |"
                 )
+            lines += [
+                "",
+                "`cg-fused` is the whole-solve-in-one-kernel path "
+                "(`kernels/fused.py`): the complete matrix-free CG loop "
+                "runs inside ONE Pallas launch with x/r/p VMEM-resident — "
+                "zero per-lap kernel launches, zero HBM traffic — and is "
+                "what `fused='auto'` dispatches for supported Poisson "
+                "grids. `cg`/`poly-pcg` are the jitted while_loop path.",
+            ]
         lines += [
             "",
             "### Scale (distributed stencil)",

@@ -1,0 +1,126 @@
+"""Batched independent-systems solver (cg_solve_batch).
+
+An extension beyond the reference (one system per process run,
+serialConjugate.c:43-73): B systems solve concurrently — one Pallas grid
+step per system on the fused path, a vmapped while_loop (batched MXU GEMM
+per lap) on the XLA path. Per-system convergence must match the serial
+solver lap-for-lap even when systems in the same batch need different
+iteration counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import tpucg
+
+
+def _make_batch(nsys, n, seed=0):
+    """SPD systems of deliberately DIFFERENT conditioning (diagonal shifts
+    n, n/2, n/4, ... per system) so per-lane iteration counts diverge."""
+    rng = np.random.default_rng(seed)
+    As, bs = [], []
+    for i in range(nsys):
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = 0.5 * (M + M.T) + (n / (1 + i)) * np.eye(n, dtype=np.float32)
+        As.append(A)
+        bs.append(rng.standard_normal(n).astype(np.float32))
+    return np.stack(As), np.stack(bs)
+
+
+@pytest.mark.parametrize("kernel", ["pallas", "xla"])
+def test_batch_matches_serial(kernel):
+    nsys, n = 4, 96  # n not 128-aligned: exercises the batched identity pad
+    As, bs = _make_batch(nsys, n)
+    res = tpucg.cg_solve_batch(As, bs, kernel=kernel)
+    assert res.x.shape == (nsys, n)
+    iters = set()
+    for i in range(nsys):
+        ref = tpucg.cg_solve(As[i], bs[i], kernel=kernel, fused="never")
+        assert bool(res.converged[i])
+        assert int(res.iterations[i]) == int(ref.iterations)
+        iters.add(int(ref.iterations))
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(ref.x), rtol=2e-4, atol=1e-5
+        )
+    # The batch must actually exercise divergent lane lifetimes.
+    assert len(iters) > 1, iters
+
+
+def test_batch_goldens_together(golden_2x2, golden_4x4):
+    # Both shipped reference systems in ONE batch: exact lap counts (2, 4).
+    n = 4
+    As = np.stack([
+        np.pad(golden_2x2["A"], ((0, 2), (0, 2))) + np.diag([0, 0, 1, 1]),
+        golden_4x4["A"],
+    ]).astype(np.float32)
+    bs = np.stack([
+        np.pad(golden_2x2["b"], (0, 2)), golden_4x4["b"]
+    ]).astype(np.float32)
+    res = tpucg.cg_solve_batch(As, bs)
+    assert int(res.iterations[0]) == golden_2x2["iters"]
+    assert int(res.iterations[1]) == golden_4x4["iters"]
+    np.testing.assert_allclose(
+        np.asarray(res.x[0])[:2], golden_2x2["x_star"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x[1]), golden_4x4["x_star"], atol=2e-3
+    )
+
+
+@pytest.mark.parametrize("precondition,kw", [
+    ("jacobi", {}),
+    ("poly", {"poly_degree": 3}),
+])
+def test_batch_preconditioned(precondition, kw):
+    nsys, n = 3, 64
+    As, bs = _make_batch(nsys, n, seed=1)
+    res = tpucg.cg_solve_batch(As, bs, precondition=precondition, **kw)
+    for i in range(nsys):
+        ref = tpucg.cg_solve(As[i], bs[i], precondition=precondition, **kw)
+        assert bool(res.converged[i])
+        assert int(res.iterations[i]) == int(ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(ref.x), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_batch_x0_and_fused_gate():
+    nsys, n = 2, 128
+    As, bs = _make_batch(nsys, n, seed=2)
+    x0 = 0.1 * np.ones((nsys, n), np.float32)
+    auto = tpucg.cg_solve_batch(As, bs, x0, kernel="pallas", fused="auto")
+    never = tpucg.cg_solve_batch(As, bs, x0, kernel="pallas", fused="never")
+    for i in range(nsys):
+        assert int(auto.iterations[i]) == int(never.iterations[i])
+        np.testing.assert_allclose(
+            np.asarray(auto.x[i]), np.asarray(never.x[i]),
+            rtol=2e-4, atol=1e-5,
+        )
+
+
+def test_batch_input_validation():
+    with pytest.raises(ValueError, match=r"\(B, n, n\)"):
+        tpucg.cg_solve_batch(np.eye(4, dtype=np.float32), np.ones(4))
+    As, bs = _make_batch(2, 32)
+    with pytest.raises(ValueError, match="b must be"):
+        tpucg.cg_solve_batch(As, bs[:1])
+    with pytest.raises(ValueError, match="X0 must be"):
+        tpucg.cg_solve_batch(As, bs, np.ones((2, 16), np.float32))
+    with pytest.raises(ValueError, match="method='cg'"):
+        tpucg.cg_solve_batch(As, bs, method="pipelined")
+
+
+def test_batch_kernel_rejects_oversize():
+    from tpucg.kernels.fused import (
+        FUSED_BATCH_MAX_N,
+        fused_batch_cg_solve_pallas,
+    )
+
+    n = FUSED_BATCH_MAX_N + 128
+    with pytest.raises(ValueError, match="batched fused"):
+        fused_batch_cg_solve_pallas(
+            jnp.zeros((1, n, n)), jnp.zeros((1, n)), jnp.zeros((1, n)),
+            tol=1e-6, maxiter=4,
+        )

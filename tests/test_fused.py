@@ -218,6 +218,31 @@ def test_fused_stencil_eligibility_gate():
     ) is None
 
 
+@pytest.mark.parametrize("m,seed", [(16, 1), (16, 2), (32, 3)])
+def test_fused_stencil_fuzz(m, seed):
+    # Random b AND nonzero x0 across supported grid edges: the fused
+    # whole-solve must track the while_loop path lap-for-lap.
+    from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
+    from tpucg.solver.operators import PoissonOperator
+
+    n = m ** 3
+    op = PoissonOperator(m=m)
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(n).astype(np.float32)
+    x0 = 0.1 * rng.standard_normal(n).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    ref = tpucg.cg_solve(op, b, x0, tol=tol, maxiter=4 * n, fused="never")
+    assert bool(ref.converged)
+    x, k, rr = fused_stencil_cg_solve_pallas(
+        jnp.asarray(b), jnp.asarray(x0), m, tol=tol, maxiter=4 * n
+    )
+    assert float(rr) < tol ** 2
+    assert abs(int(k) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_fused_stencil_input_validation():
     from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
 

@@ -18,7 +18,12 @@ CG for dense/sparse SPD systems), re-designed TPU-first:
 """
 
 from tpucg.config import CGConfig
-from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
+from tpucg.solver.cg import (
+    CGResult,
+    cg_solve,
+    cg_solve_batch,
+    cg_solve_multi,
+)
 from tpucg.solver.checkpoint import (
     cg_solve_checkpointed,
     sharded_cg_solve_checkpointed,
@@ -50,6 +55,7 @@ __all__ = [
     "CGConfig",
     "CGResult",
     "cg_solve",
+    "cg_solve_batch",
     "cg_solve_multi",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",

@@ -29,6 +29,13 @@ in structure: test ``r.r < tol^2`` after the x/r update and before the p
 update; converged laps leave p/rsold untouched; ``k <= maxiter``; exact
 initial guesses flag converged at k=0 (the reference would divide 0/0,
 ``serialConjugate.c:219-220``).
+
+Three kernels share the in-kernel recurrence (``_cg_while``): the dense
+single-system solve (A VMEM-resident), the matrix-free Poisson stencil
+solve (x/r/p VMEM-resident, every lap pure VPU work), and the BATCHED
+dense solve (one grid step per independent system — the whole batch is a
+single launch, with the pipeline prefetching system i+1's matrix from HBM
+while system i iterates).
 """
 
 from __future__ import annotations
@@ -62,12 +69,55 @@ FUSED_STENCIL_MAX_M = 128
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
 
+# Largest padded n the BATCHED fused solver accepts per system: the grid
+# pipeline double-buffers each system's A block, so two (npad, npad) f32
+# blocks plus lap vectors must sit under the VMEM cap (2048 -> 2 x 16 MiB).
+FUSED_BATCH_MAX_N = 2048
+
+
+def _cg_while(mv, b, x0, *, tol, maxiter, safe_alpha):
+    """The in-kernel CG recurrence shared by every whole-solve kernel:
+    returns ``(x, k, rr)`` under the reference convergence contract
+    (``serialConjugate.c:213-244`` — test r.r < tol^2 after the x/r
+    update, before the p update; converged laps freeze p/rsold)."""
+    f32 = jnp.float32
+    tol2 = jnp.asarray(tol, f32) ** 2
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    r0 = b - mv(x0)
+    rr0 = dot(r0, r0)
+    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
+
+    def cond(s):
+        k, done = s[0], s[1]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(s):
+        k, _, x, r, p, rsold, _ = s
+        ap = mv(p)
+        pap = dot(p, ap)
+        if safe_alpha:
+            alpha = jnp.where(pap != 0, rsold / pap, jnp.zeros_like(pap))
+        else:
+            alpha = rsold / pap
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr = dot(r, r)
+        done = rr < tol2
+        p = jnp.where(done, p, r + (rr / rsold) * p)
+        rsold = jnp.where(done, rsold, rr)
+        return (k + 1, done, x, r, p, rsold, rr)
+
+    k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
+    return x, k, rr
+
 
 def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
                      out_rr_ref, y_scratch, *, tol, maxiter, safe_alpha,
                      mv_impl):
     f32 = jnp.float32
-    tol2 = jnp.asarray(tol, f32) ** 2
     npad = a_ref.shape[0]
 
     def mv_mxu(v):
@@ -96,37 +146,10 @@ def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
         return y_scratch[...].T
 
     mv = mv_vpu if mv_impl == "vpu" else mv_mxu
-
-    def dot(u, v):
-        return jnp.sum(u * v)
-
-    b = b_ref[...]
-    x0 = x0_ref[...]
-    r0 = b - mv(x0)
-    rr0 = dot(r0, r0)
-    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
-
-    def cond(s):
-        k, done = s[0], s[1]
-        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
-
-    def body(s):
-        k, _, x, r, p, rsold, _ = s
-        ap = mv(p)
-        pap = dot(p, ap)
-        if safe_alpha:
-            alpha = jnp.where(pap != 0, rsold / pap, jnp.zeros_like(pap))
-        else:
-            alpha = rsold / pap
-        x = x + alpha * p
-        r = r - alpha * ap
-        rr = dot(r, r)
-        done = rr < tol2
-        p = jnp.where(done, p, r + (rr / rsold) * p)
-        rsold = jnp.where(done, rsold, rr)
-        return (k + 1, done, x, r, p, rsold, rr)
-
-    k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
+    x, k, rr = _cg_while(
+        mv, b_ref[...], x0_ref[...],
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
     out_x_ref[...] = x
     out_k_ref[0, 0] = k
     out_rr_ref[0, 0] = rr
@@ -197,8 +220,6 @@ def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
                              out_rr_ref, *, m, tol, maxiter, safe_alpha):
     from tpucg.kernels.stencil import stencil_apply
 
-    f32 = jnp.float32
-    tol2 = jnp.asarray(tol, f32) ** 2
     mm = m * m
     # Hoist the boundary-mask iotas out of the lap loop.
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, mm), 1)
@@ -208,36 +229,10 @@ def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
     def mv(u):
         return stencil_apply(u, m, z_id=z_id, y_id=y_id)
 
-    def dot(u, v):
-        return jnp.sum(u * v)
-
-    b = b_ref[...]
-    x0 = x0_ref[...]
-    r0 = b - mv(x0)
-    rr0 = dot(r0, r0)
-    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
-
-    def cond(s):
-        k, done = s[0], s[1]
-        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
-
-    def body(s):
-        k, _, x, r, p, rsold, _ = s
-        ap = mv(p)
-        pap = dot(p, ap)
-        if safe_alpha:
-            alpha = jnp.where(pap != 0, rsold / pap, jnp.zeros_like(pap))
-        else:
-            alpha = rsold / pap
-        x = x + alpha * p
-        r = r - alpha * ap
-        rr = dot(r, r)
-        done = rr < tol2
-        p = jnp.where(done, p, r + (rr / rsold) * p)
-        rsold = jnp.where(done, rsold, rr)
-        return (k + 1, done, x, r, p, rsold, rr)
-
-    k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
+    x, k, rr = _cg_while(
+        mv, b_ref[...], x0_ref[...],
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
     out_x_ref[...] = x
     out_k_ref[0, 0] = k
     out_rr_ref[0, 0] = rr
@@ -290,3 +285,101 @@ def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
         x0.astype(jnp.float32).reshape(m, mm),
     )
     return x2.reshape(m * mm), k[0, 0], rr[0, 0]
+
+
+def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
+                           out_rr_ref, y_scratch, *, tol, maxiter,
+                           safe_alpha, mv_impl):
+    f32 = jnp.float32
+    npad = a_ref.shape[1]
+    i = pl.program_id(0)
+
+    def mv_mxu(v):
+        return jax.lax.dot_general(
+            v, a_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def mv_vpu(v):
+        tm = min(npad, max(512, 2 * 1024 * 1024 // (4 * npad)))
+        for i in range(npad // tm):
+            y_scratch[i * tm:(i + 1) * tm, :] = jnp.sum(
+                a_ref[0, i * tm:(i + 1) * tm, :] * v, axis=1, keepdims=True
+            )
+        return y_scratch[...].T
+
+    mv = mv_vpu if mv_impl == "vpu" else mv_mxu
+    x, k, rr = _cg_while(
+        mv, b_ref[0], x0_ref[0],
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
+    out_x_ref[0] = x
+    # k/rr live whole-array in SMEM (Mosaic requires either a trivial
+    # window or 8x128-aligned blocks — a (1,1) block over (B,1) is
+    # neither); each grid step writes its own row.
+    out_k_ref[i, 0] = k
+    out_rr_ref[i, 0] = rr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "mv_impl")
+)
+def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
+                                mv_impl="vpu"):
+    """Solve a BATCH of independent SPD systems, one whole solve per grid
+    step of a single Pallas launch.
+
+    ``A`` is (B, npad, npad) f32 (each system identity-tail padded), ``b``
+    and ``x0`` (B, npad). The Pallas grid walks the batch; while system i
+    iterates entirely in VMEM, the pipeline prefetches system i+1's matrix
+    from HBM — so a batch of small solves costs ONE kernel launch total and
+    the per-solve launch floor (the reference pays a whole process per
+    system) vanishes. Returns ``(x, k, rr)`` shaped (B, npad) / (B,) / (B,).
+    """
+    B, npad = A.shape[0], A.shape[1]
+    if A.shape != (B, npad, npad):
+        raise ValueError(f"A must be (B, n, n), got {A.shape}")
+    if npad % 128 or npad > FUSED_BATCH_MAX_N:
+        raise ValueError(
+            f"batched fused solve needs 128-aligned n <= "
+            f"{FUSED_BATCH_MAX_N}, got {npad}"
+        )
+    if A.dtype != jnp.float32:
+        raise ValueError(f"batched fused solve is f32-only, got {A.dtype}")
+    x, k, rr = pl.pallas_call(
+        functools.partial(
+            _fused_batch_cg_kernel,
+            tol=float(tol), maxiter=int(maxiter),
+            safe_alpha=bool(safe_alpha), mv_impl=mv_impl,
+        ),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((npad, 1), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret_mode(),
+    )(
+        A,
+        b.astype(jnp.float32).reshape(B, 1, npad),
+        x0.astype(jnp.float32).reshape(B, 1, npad),
+    )
+    return x.reshape(B, npad), k[:, 0], rr[:, 0]

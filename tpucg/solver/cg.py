@@ -619,6 +619,127 @@ def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha, poly_degree=0):
     return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "poly_degree")
+)
+def _cg_batch_jit(A, b, x0, minv, tol, maxiter, safe_alpha, poly_degree=0):
+    def one(Ai, bi, x0i, minvi):
+        matvec = lambda v: jnp.dot(
+            Ai, v, precision=jax.lax.Precision.HIGHEST
+        )
+
+        def update(x, r, p, ap, alpha):
+            xn = x + alpha * p
+            rn = r - alpha * ap
+            return xn, rn, dot_xla(rn, rn)
+
+        if poly_degree:
+            precond = make_poly_precond(matvec, dot_xla, bi, poly_degree)
+        else:
+            precond = None if minvi is None else (lambda r: minvi * r)
+        s = cg_loop(
+            matvec, dot_xla, update, bi, x0i,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    # vmap over whole SYSTEMS: per-lane GEMVs batch into one (B,n,n)x(B,n)
+    # batched GEMM per lap on the MXU, and JAX's while_loop batching rule
+    # select-masks each lane's carry on its own cond — converged systems
+    # freeze while the rest keep iterating (same mechanism _cg_multi_jit
+    # relies on for RHS lanes).
+    if minv is None:
+        x, k, rn, done = jax.vmap(
+            lambda Ai, bi, x0i: one(Ai, bi, x0i, None)
+        )(A, b, x0)
+    else:
+        x, k, rn, done = jax.vmap(one)(A, b, x0, minv)
+    return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+
+
+def cg_solve_batch(
+    A,
+    b,
+    X0=None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Solve a BATCH of independent SPD systems A[i] x[i] = b[i].
+
+    An extension beyond the reference (one system per process run) for
+    throughput/serving workloads: ``A`` is (B, n, n), ``b``/``X0`` (B, n).
+    On the Pallas path small f32 systems route through
+    ``kernels.fused.fused_batch_cg_solve_pallas`` — ONE kernel launch for
+    the whole batch, each system solved entirely in VMEM while the grid
+    pipeline prefetches the next system's matrix from HBM. Everything else
+    (large n, preconditioned, XLA backend) runs a vmapped while_loop whose
+    per-lap matvecs batch into one MXU GEMM. Result fields are batched:
+    ``x`` is (B, n); ``iterations``/``residual_norm``/``converged`` (B,).
+    """
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg":
+        raise ValueError("cg_solve_batch supports method='cg' only")
+    A = jnp.asarray(A, jnp.float32)
+    if A.ndim != 3 or A.shape[1] != A.shape[2]:
+        raise ValueError(f"A must be (B, n, n), got {A.shape}")
+    B_, n = A.shape[0], A.shape[1]
+    b = jnp.asarray(b, jnp.float32)
+    if b.shape != (B_, n):
+        raise ValueError(f"b must be ({B_}, {n}), got {b.shape}")
+    X0 = (
+        jnp.zeros((B_, n), jnp.float32)
+        if X0 is None
+        else jnp.asarray(X0, jnp.float32)
+    )
+    if X0.shape != (B_, n):
+        raise ValueError(f"X0 must be ({B_}, {n}), got {X0.shape}")
+    npad = -(-n // 128) * 128
+    if npad != n:
+        # Identity-tail padding, batched (the pad_identity_tail invariant:
+        # tail rows solve 1*x=0 and stay inert, io/partitioner.py:51-66).
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, npad - n)))
+        idx = jnp.arange(n, npad)
+        A = A.at[:, idx, idx].set(1.0)
+        b = jnp.pad(b, ((0, 0), (0, npad - n)))
+        X0 = jnp.pad(X0, ((0, 0), (0, npad - n)))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    backend = resolve_backend(config.kernel)
+    from tpucg.kernels.fused import FUSED_BATCH_MAX_N
+
+    if (
+        backend == "pallas"
+        and config.fused != "never"
+        and config.precondition == "none"
+        and npad <= FUSED_BATCH_MAX_N
+    ):
+        from tpucg.kernels.fused import fused_batch_cg_solve_pallas
+
+        x, k, rr = fused_batch_cg_solve_pallas(
+            A, b, X0, tol=float(config.tol), maxiter=int(maxiter),
+            safe_alpha=bool(config.safe_alpha),
+        )
+        res = CGResult(
+            x=x, iterations=k, residual_norm=jnp.sqrt(rr),
+            converged=rr < jnp.asarray(float(config.tol), rr.dtype) ** 2,
+        )
+    else:
+        minv = None
+        if config.precondition == "jacobi":
+            d = jnp.diagonal(A, axis1=1, axis2=2)
+            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+        res = _cg_batch_jit(
+            A, b, X0, minv, float(config.tol), int(maxiter),
+            bool(config.safe_alpha),
+            config.poly_degree if config.precondition == "poly" else 0,
+        )
+    if npad != n:
+        res = res._replace(x=res.x[:, :n])
+    return res
+
+
 def cg_solve_multi(
     A,
     B,
