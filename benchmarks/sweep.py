@@ -251,6 +251,41 @@ def main():
             print(f"m={m} solve[cg-fused]: {s*1e3:.3f} ms, {iters} iters "
                   f"({iters/s:.0f} it/s)", flush=True)
 
+        # Fused DIA whole-solve arm: same system in BANDED (DIA) form — the
+        # general-banded counterpart of cg-fused (diagonal slab VMEM-resident
+        # for the whole solve; auto-dispatched by cg_solve for DiaOperators).
+        from tpucg.kernels.fused import (
+            fused_dia_cg_solve_pallas,
+            fused_dia_supported,
+        )
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator
+
+        dop = DiaOperator.from_dia(poisson3d_dia(m))
+        if dop.interleaved and fused_dia_supported(dop.padded_n, dop.offsets):
+            res = tpucg.cg_solve(dop, bj, tol=tol, maxiter=4 * n,
+                                 kernel="pallas")
+            iters = int(res.iterations)
+            assert bool(res.converged), (m, "cg-fused-dia")
+
+            def run_fdia(operands, bb, x0_):
+                (op_,) = operands
+                x, _, _ = fused_dia_cg_solve_pallas(
+                    op_.data, op_.offsets, bb, x0_, tol=tol, maxiter=4 * n)
+                return x
+
+            est = iters * 4e-6
+            s = float(np.median([
+                time_run_chain(run_fdia, (dop,), bj, x0j, est_solve_s=est)
+                for _ in range(3)
+            ]))
+            sparse_solve_rows.append(dict(
+                m=m, n=n, method="cg-fused-dia", solve_ms=s * 1e3,
+                iters=iters, iters_per_s=iters / s,
+            ))
+            print(f"m={m} solve[cg-fused-dia]: {s*1e3:.3f} ms, {iters} "
+                  f"iters ({iters/s:.0f} it/s)", flush=True)
+
     lines = [
         "# RESULTS — tpucg vs reference (dense serial CG)",
         "",
@@ -352,7 +387,11 @@ def main():
                 "runs inside ONE Pallas launch with x/r/p VMEM-resident — "
                 "zero per-lap kernel launches, zero HBM traffic — and is "
                 "what `fused='auto'` dispatches for supported Poisson "
-                "grids. `cg`/`poly-pcg` are the jitted while_loop path.",
+                "grids. `cg-fused-dia` is the same treatment for the "
+                "system in general BANDED (DIA) form: the interleaved "
+                "diagonal slab stays VMEM-resident for the whole solve "
+                "(the lap path re-streams it from HBM every lap). "
+                "`cg`/`poly-pcg` are the jitted while_loop path.",
             ]
         lines += [
             "",

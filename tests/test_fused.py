@@ -266,3 +266,121 @@ def test_fused_input_validation():
         fused_cg_solve_pallas(
             B, jnp.zeros(256), jnp.zeros(256), tol=1e-6, maxiter=4
         )
+
+
+# --------------------------- fused DIA whole-solve --------------------------
+
+
+def _dia_from_dense_banded(A, offsets):
+    """DIA container for a dense banded matrix (data[d, i] = A[i, i+off])."""
+    from tpucg.sparse.formats import DIAMatrix
+
+    n = A.shape[0]
+    data = np.zeros((len(offsets), n), A.dtype)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            idx = np.arange(n - off)
+            data[d, : n - off] = A[idx, idx + off]
+        else:
+            k = -off
+            idx = np.arange(k, n)
+            data[d, k:] = A[idx, idx - k]
+    return DIAMatrix(
+        offsets=np.asarray(offsets, np.int64), data=data, shape=(n, n)
+    )
+
+
+def _random_banded_system(n, offsets, seed):
+    """Random diag-dominant SPD matrix with the given symmetric band."""
+    rng = np.random.default_rng(seed)
+    A = np.zeros((n, n), np.float32)
+    for off in offsets:
+        if off <= 0:
+            continue
+        idx = np.arange(n - off)
+        v = rng.standard_normal(n - off).astype(np.float32)
+        A[idx, idx + off] = v
+        A[idx + off, idx] = v
+    A[np.diag_indices(n)] = 1.0 + np.sum(np.abs(A), axis=1)
+    b = rng.standard_normal(n).astype(np.float32)
+    return A, b
+
+
+@pytest.mark.parametrize("offsets,seed", [
+    ((-130, -128, -3, -1, 0, 1, 3, 128, 130), 0),  # cross-row + rotate shifts
+    ((-1, 0, 1), 1),                               # tridiagonal
+    ((-257, 0, 257), 2),                           # pure multi-row reach
+])
+def test_fused_dia_matches_while_loop(offsets, seed):
+    from tpucg.kernels.fused import fused_dia_cg_solve_pallas
+    from tpucg.solver.operators import DiaOperator
+
+    n = 512
+    A, b = _random_banded_system(n, offsets, seed)
+    dia = _dia_from_dense_banded(A, offsets)
+    np.testing.assert_array_equal(dia.to_dense(), A)
+    op = DiaOperator.from_dia(dia, backend="pallas")
+    rng = np.random.default_rng(seed + 100)
+    x0 = 0.1 * rng.standard_normal(n).astype(np.float32)
+    ref = tpucg.cg_solve(op, b, x0, kernel="pallas", fused="never")
+    assert bool(ref.converged)
+    x, k, rr = fused_dia_cg_solve_pallas(
+        op.data, op.offsets, jnp.asarray(np.pad(b, (0, op.padded_n - n))),
+        jnp.asarray(np.pad(x0, (0, op.padded_n - n))),
+        tol=1e-6, maxiter=n,
+    )
+    assert float(rr) < 1e-12
+    assert abs(int(k) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x)[:n], np.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_fused_dia_poisson_parity():
+    # The m=16 Poisson in DIA form through the public cg_solve dispatch:
+    # fused auto must track fused="never" lap-for-lap.
+    from tpucg.io.generator import poisson3d_dia
+    from tpucg.solver.operators import DiaOperator
+
+    m = 16
+    n = m ** 3
+    op = DiaOperator.from_dia(poisson3d_dia(m), backend="pallas")
+    b = np.ones(n, np.float32)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    cfg = CGConfig(kernel="pallas", tol=tol, maxiter=4 * n)
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False, None
+    ) == "dia"
+    fused = tpucg.cg_solve(op, b, config=cfg)
+    ref = tpucg.cg_solve(op, b, config=cfg, fused="never")
+    assert bool(fused.converged) and bool(ref.converged)
+    assert abs(int(fused.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(fused.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_fused_dia_eligibility_and_validation():
+    from tpucg.kernels.fused import (
+        fused_dia_cg_solve_pallas,
+        fused_dia_supported,
+    )
+    from tpucg.solver.operators import DiaOperator
+
+    # Budget gate: a huge banded system must fall back to the lap path.
+    assert not fused_dia_supported(2 ** 26, (-1, 0, 1))
+    assert fused_dia_supported(512, (-1, 0, 1))
+    # Non-interleaved (XLA-backend) operators are never fused-eligible.
+    A, b = _random_banded_system(512, (-1, 0, 1), 3)
+    dia = _dia_from_dense_banded(A, (-1, 0, 1))
+    op_x = DiaOperator.from_dia(dia, backend="xla")
+    cfg = CGConfig(kernel="pallas")
+    assert _fused_eligible(
+        cfg, op_x, "pallas", jnp.float32, False, None
+    ) is None
+    with pytest.raises(ValueError, match="fused DIA"):
+        fused_dia_cg_solve_pallas(
+            jnp.zeros((2 ** 19, 3 * 128)), (-1, 0, 1),
+            jnp.zeros(2 ** 19 * 128), jnp.zeros(2 ** 19 * 128),
+            tol=1e-6, maxiter=4,
+        )

@@ -287,6 +287,141 @@ def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
     return x2.reshape(m * mm), k[0, 0], rr[0, 0]
 
 
+# ---------------------------------------------------------------------------
+# Fused DIA whole-solve: the banded-matrix counterpart of the stencil solve.
+# The diagonals' interleaved slab (kernels.spmv.dia_interleave layout) is
+# VMEM-resident for the WHOLE solve, so each lap streams nothing from HBM —
+# vs the while_loop path's one full data pass + several kernel launches per
+# lap. The in-kernel matvec is the same shift decomposition as
+# kernels.spmv._dia_kernel (static sublane window + native lane rotate +
+# iota row-carry select), but on VALUES with static slices: with no grid,
+# every window offset is compile-time constant.
+# ---------------------------------------------------------------------------
+
+# Budget: diagonal data (4*n*ndiag bytes) + the CG carry and matvec
+# temporaries (~8 grid-sized f32 arrays) under the 110 MB compiler cap.
+_FUSED_DIA_BYTES_CAP = 100 * 2 ** 20
+
+
+def fused_dia_supported(n: int, offsets: tuple) -> bool:
+    """Whole-solve DIA applies when the Pallas SpMV does AND data + solve
+    state fit VMEM together."""
+    from tpucg.kernels.spmv import dia_supported
+
+    if not dia_supported(n, offsets):
+        return False
+    return 4 * n * (len(offsets) + 8) <= _FUSED_DIA_BYTES_CAP
+
+
+def _dia_apply_values(data, offsets, u, pad_rows, lane):
+    """y = A u with A in interleaved DIA form, all on values: ``data`` is the
+    (rows, ndiag*128) slab, ``u`` the (rows, 128) vector. Shift semantics
+    identical to ``kernels.spmv._dia_kernel`` (flat shift = static sublane
+    window + lane rotation + iota carry select)."""
+    from tpucg.kernels.spmv import LANE
+
+    rows = u.shape[0]
+    if pad_rows:
+        guard = jnp.zeros((pad_rows, LANE), u.dtype)
+        xp = jnp.concatenate([guard, u, guard], axis=0)
+    else:
+        xp = u
+    acc = jnp.zeros((rows, LANE), jnp.float32)
+    for d, off in enumerate(offsets):
+        qr, qc = divmod(int(off), LANE)  # static; 0 <= qc < 128
+        sr = pad_rows + qr
+        if qc == 0:
+            shifted = jax.lax.slice(xp, (sr, 0), (sr + rows, LANE))
+        else:
+            S = jax.lax.slice(xp, (sr, 0), (sr + rows + 1, LANE))
+            R = pltpu.roll(S, LANE - qc, 1)
+            shifted = jnp.where(lane < LANE - qc, R[:rows], R[1:])
+        acc = acc + data[:, d * LANE:(d + 1) * LANE] * shifted
+    return acc
+
+
+def _fused_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
+                         out_rr_ref, *, offsets, pad_rows, tol, maxiter,
+                         safe_alpha):
+    from tpucg.kernels.spmv import LANE
+
+    rows = b_ref.shape[0]
+    data = data_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+
+    def mv(u):
+        return _dia_apply_values(data, offsets, u, pad_rows, lane)
+
+    x, k, rr = _cg_while(
+        mv, b_ref[...], x0_ref[...],
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+    )
+    out_x_ref[...] = x
+    out_k_ref[0, 0] = k
+    out_rr_ref[0, 0] = rr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "tol", "maxiter", "safe_alpha")
+)
+def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
+                              safe_alpha=True):
+    """Run a complete banded (DIA) CG solve in one kernel launch.
+
+    ``data_il`` is the row-interleaved (n//128, ndiag*128) f32 slab
+    (``kernels.spmv.dia_interleave``; ``DiaOperator`` manages the packing),
+    ``offsets`` the static diagonal offsets, ``b``/``x0`` padded (n,) f32.
+    The slab and the whole solve state stay VMEM-resident: zero per-lap
+    kernel launches AND zero per-lap HBM traffic (the while_loop path
+    re-streams the diagonals every lap). Same convergence contract as
+    ``_fused_cg_kernel`` (= ``serialConjugate.c:213-244``). Returns
+    ``(x, k, rr)`` with ``x`` flat (n,).
+    """
+    from tpucg.kernels.spmv import LANE
+
+    rows = data_il.shape[0]
+    n = rows * LANE
+    if not fused_dia_supported(n, offsets):
+        raise ValueError(
+            f"fused DIA solve unsupported for n={n}, "
+            f"ndiag={len(offsets)} (VMEM budget / lane tiling)"
+        )
+    if data_il.dtype != jnp.float32:
+        raise ValueError(f"fused DIA solve is f32-only, got {data_il.dtype}")
+    maxo = max(abs(int(o)) for o in offsets)
+    pad_rows = -(-maxo // LANE)
+    x2, k, rr = pl.pallas_call(
+        functools.partial(
+            _fused_dia_cg_kernel,
+            offsets=tuple(int(o) for o in offsets), pad_rows=pad_rows,
+            tol=float(tol), maxiter=int(maxiter),
+            safe_alpha=bool(safe_alpha),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret_mode(),
+    )(
+        data_il,
+        b.astype(jnp.float32).reshape(rows, LANE),
+        x0.astype(jnp.float32).reshape(rows, LANE),
+    )
+    return x2.reshape(n), k[0, 0], rr[0, 0]
+
+
 def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
                            out_rr_ref, y_scratch, *, tol, maxiter,
                            safe_alpha, mv_impl):

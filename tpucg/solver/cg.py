@@ -872,6 +872,13 @@ def cg_solve(
             b, x0, op.m, tol=float(config.tol), maxiter=int(maxiter),
             safe_alpha=bool(config.safe_alpha),
         )
+    elif fused_kind == "dia":
+        from tpucg.kernels.fused import fused_dia_cg_solve_pallas
+
+        x, k, rr = fused_dia_cg_solve_pallas(
+            op.data, op.offsets, b, x0, tol=float(config.tol),
+            maxiter=int(maxiter), safe_alpha=bool(config.safe_alpha),
+        )
     if fused_kind is not None:
         res = CGResult(
             x=x, iterations=k, residual_norm=jnp.sqrt(rr),
@@ -895,17 +902,23 @@ def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
     """Route a plain serial f32 Pallas CG through a
     whole-solve-in-one-kernel path (``kernels.fused``) when the solve state
     fits VMEM: returns ``"dense"`` (A-resident GEMV solve, below the
-    measured launch-floor crossover), ``"stencil"`` (matrix-free Poisson —
-    always wins when supported: zero per-lap launches AND zero HBM
-    traffic), or ``None``. Every other configuration (methods,
+    measured launch-floor crossover), ``"stencil"`` (matrix-free Poisson),
+    ``"dia"`` (banded, diagonal slab VMEM-resident) — the sparse kinds
+    always win when supported: zero per-lap launches AND zero per-lap HBM
+    traffic — or ``None``. Every other configuration (methods,
     preconditioners, traces, bf16 storage, other sparse operators) keeps
     the jitted while_loop path."""
     from tpucg.kernels.fused import (
         FUSED_AUTO_MAX_N,
         FUSED_MAX_N,
+        fused_dia_supported,
         fused_stencil_supported,
     )
-    from tpucg.solver.operators import DenseOperator, PoissonOperator
+    from tpucg.solver.operators import (
+        DenseOperator,
+        DiaOperator,
+        PoissonOperator,
+    )
 
     if config.fused == "never" or backend != "pallas":
         return None
@@ -916,6 +929,15 @@ def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
     if isinstance(op, PoissonOperator):
         if op.kernel in ("auto", "pallas") and fused_stencil_supported(op.m):
             return "stencil"
+        return None
+    if isinstance(op, DiaOperator):
+        if (
+            op.interleaved
+            and op.backend in ("auto", "pallas")
+            and op.data.dtype == jnp.float32
+            and fused_dia_supported(op.padded_n, op.offsets)
+        ):
+            return "dia"
         return None
     if not isinstance(op, DenseOperator) or op.A.dtype != jnp.float32:
         return None
