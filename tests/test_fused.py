@@ -105,38 +105,38 @@ def test_fused_eligibility_gate():
     A, b, x0 = tpucg.generate_spd_system(n, seed=1)
     op = as_operator(np.asarray(A), backend="pallas")
     cfg = CGConfig(kernel="pallas")
-    assert _fused_eligible(cfg, op, "pallas", jnp.float32, False, None)
+    assert _fused_eligible(cfg, op, "pallas", jnp.float32, False)
     # Every disqualifier flips it off.
-    assert not _fused_eligible(cfg, op, "xla", jnp.float32, False, None)
-    assert not _fused_eligible(cfg, op, "pallas", jnp.float32, True, None)
-    assert not _fused_eligible(
-        cfg, op, "pallas", jnp.float32, False, jnp.ones(n)
-    )
+    assert not _fused_eligible(cfg, op, "xla", jnp.float32, False)
+    assert not _fused_eligible(cfg, op, "pallas", jnp.float32, True)
+    assert _fused_eligible(
+        CGConfig(kernel="pallas", precondition="jacobi"), op, "pallas",
+        jnp.float32, False,
+    ) == "dense"
     assert not _fused_eligible(
         CGConfig(kernel="pallas", fused="never"), op, "pallas",
-        jnp.float32, False, None,
+        jnp.float32, False,
     )
     assert not _fused_eligible(
         CGConfig(kernel="pallas", method="pipelined"), op, "pallas",
-        jnp.float32, False, None,
+        jnp.float32, False,
     )
     # bf16 storage keeps the streaming path.
     op_bf = DenseOperator.create(
         np.asarray(A), backend="pallas", dtype=jnp.bfloat16
     )
     assert not _fused_eligible(
-        cfg, op_bf, "pallas", jnp.float32, False, None
-    )
+        cfg, op_bf, "pallas", jnp.float32, False)
     # Above the auto crossover: only fused="always" engages, up to the
     # VMEM cap.
     big = DenseOperator(
         A=jnp.zeros((FUSED_AUTO_MAX_N + 128,) * 2, jnp.float32),
         n=FUSED_AUTO_MAX_N + 128, backend="pallas",
     )
-    assert not _fused_eligible(cfg, big, "pallas", jnp.float32, False, None)
+    assert not _fused_eligible(cfg, big, "pallas", jnp.float32, False)
     assert _fused_eligible(
         CGConfig(kernel="pallas", fused="always"), big, "pallas",
-        jnp.float32, False, None,
+        jnp.float32, False,
     )
     over = DenseOperator(
         A=jnp.zeros((FUSED_MAX_N + 128,) * 2, jnp.float32),
@@ -144,7 +144,7 @@ def test_fused_eligibility_gate():
     )
     assert not _fused_eligible(
         CGConfig(kernel="pallas", fused="always"), over, "pallas",
-        jnp.float32, False, None,
+        jnp.float32, False,
     )
 
 
@@ -200,22 +200,20 @@ def test_fused_stencil_eligibility_gate():
     cfg = CGConfig(kernel="pallas")
     op = PoissonOperator(m=16)
     assert _fused_eligible(
-        cfg, op, "pallas", jnp.float32, False, None
-    ) == "stencil"
+        cfg, op, "pallas", jnp.float32, False) == "stencil"
     # The XLA stencil form is not the fused kernel's layout.
     assert _fused_eligible(
         cfg, PoissonOperator(m=16, kernel="xla"), "pallas",
-        jnp.float32, False, None,
+        jnp.float32, False,
     ) is None
     # Non-lane-tileable and beyond-VMEM grids stay on the while_loop path.
     assert _fused_eligible(
-        cfg, PoissonOperator(m=10), "pallas", jnp.float32, False, None
+        cfg, PoissonOperator(m=10), "pallas", jnp.float32, False
     ) is None
     assert not fused_stencil_supported(FUSED_STENCIL_MAX_M + 16)
     # Preconditioned / traced solves are ineligible.
     assert _fused_eligible(
-        cfg, op, "pallas", jnp.float32, True, None
-    ) is None
+        cfg, op, "pallas", jnp.float32, True) is None
 
 
 @pytest.mark.parametrize("m,seed", [(16, 1), (16, 2), (32, 3)])
@@ -349,8 +347,7 @@ def test_fused_dia_poisson_parity():
     tol = 1e-5 * float(np.linalg.norm(b))
     cfg = CGConfig(kernel="pallas", tol=tol, maxiter=4 * n)
     assert _fused_eligible(
-        cfg, op, "pallas", jnp.float32, False, None
-    ) == "dia"
+        cfg, op, "pallas", jnp.float32, False) == "dia"
     fused = tpucg.cg_solve(op, b, config=cfg)
     ref = tpucg.cg_solve(op, b, config=cfg, fused="never")
     assert bool(fused.converged) and bool(ref.converged)
@@ -376,11 +373,166 @@ def test_fused_dia_eligibility_and_validation():
     op_x = DiaOperator.from_dia(dia, backend="xla")
     cfg = CGConfig(kernel="pallas")
     assert _fused_eligible(
-        cfg, op_x, "pallas", jnp.float32, False, None
-    ) is None
+        cfg, op_x, "pallas", jnp.float32, False) is None
     with pytest.raises(ValueError, match="fused DIA"):
         fused_dia_cg_solve_pallas(
             jnp.zeros((2 ** 19, 3 * 128)), (-1, 0, 1),
             jnp.zeros(2 ** 19 * 128), jnp.zeros(2 ** 19 * 128),
             tol=1e-6, maxiter=4,
+        )
+
+
+# ------------------------- in-kernel preconditioning ------------------------
+
+
+def _scaled_spd_system(n, seed, spread=1e3):
+    """SPD system with a badly scaled diagonal (D A D): Jacobi territory."""
+    rng = np.random.default_rng(seed)
+    A, b, _ = tpucg.generate_spd_system(n, seed=seed)
+    d = np.exp(rng.uniform(0.0, np.log(spread), n)).astype(np.float32)
+    A = (A * d[:, None] * d[None, :]).astype(np.float32)
+    return A, np.asarray(b, np.float32)
+
+
+@pytest.mark.parametrize("pc,deg", [("jacobi", 0), ("poly", 2), ("poly", 3)])
+def test_fused_dense_precond_parity(pc, deg):
+    # The fused dense kernel must run the SAME PCG recurrence as the lap
+    # path (in-kernel power method included): matching lap counts and
+    # solutions, and a genuine iteration cut vs unpreconditioned CG.
+    # Each preconditioner gets the system it actually fixes: Jacobi a
+    # badly diagonally scaled one; poly a Laplacian-conditioned one
+    # (a Neumann polynomial cannot undo diagonal mis-scaling — measured
+    # here, both paths cap out identically on the scaled system).
+    n = 256
+    if pc == "jacobi":
+        A, b = _scaled_spd_system(n, seed=7)
+    else:
+        A = (
+            2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+        ).astype(np.float32)
+        b = np.cos(np.arange(n) * 0.3).astype(np.float32)
+    cfg = CGConfig(
+        kernel="pallas", precondition=pc, poly_degree=max(deg, 1),
+        maxiter=4 * n, tol=1e-4 * float(np.linalg.norm(b)),
+    )
+    op = as_operator(jnp.asarray(A), backend="pallas")
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False,
+    ) == "dense"
+    fused = tpucg.cg_solve(A, b, config=cfg)
+    ref = tpucg.cg_solve(A, b, config=cfg, fused="never")
+    plain = tpucg.cg_solve(A, b, config=cfg, precondition="none",
+                           fused="never")
+    assert bool(fused.converged) and bool(ref.converged)
+    assert abs(int(fused.iterations) - int(ref.iterations)) <= 2
+    assert int(fused.iterations) < int(plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(fused.x), np.asarray(ref.x), rtol=2e-3, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("pc", ["jacobi", "poly"])
+def test_fused_dia_precond_parity(pc):
+    # Banded system with a variable diagonal in DIA form: the fused kernel
+    # reads 1/diag straight from the resident slab (jacobi) or builds the
+    # polynomial in-kernel (poly); both must track the lap path.
+    from tpucg.solver.operators import DiaOperator
+
+    n = 512
+    offsets = (-128, -1, 0, 1, 128)
+    A, b = _random_banded_system(n, offsets, seed=11)
+    rng = np.random.default_rng(12)
+    d = np.exp(rng.uniform(0.0, np.log(30.0), n)).astype(np.float32)
+    A = (A * d[:, None] * d[None, :]).astype(np.float32)
+    dia = _dia_from_dense_banded(A, offsets)
+    op = DiaOperator.from_dia(dia, backend="pallas")
+    cfg = CGConfig(
+        kernel="pallas", precondition=pc, poly_degree=2, maxiter=4 * n,
+        tol=1e-4 * float(np.linalg.norm(b)),
+    )
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False) == "dia"
+    fused = tpucg.cg_solve(op, b, config=cfg)
+    ref = tpucg.cg_solve(op, b, config=cfg, fused="never")
+    assert bool(fused.converged) and bool(ref.converged)
+    assert abs(int(fused.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(fused.x), np.asarray(ref.x), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_fused_stencil_poly_parity():
+    # Poly-PCG fully inside the fused stencil kernel: must track the lap
+    # path's iteration count and beat unpreconditioned lap counts.
+    from tpucg.solver.operators import PoissonOperator
+
+    m = 16
+    n = m ** 3
+    op = PoissonOperator(m=m, kernel="pallas")
+    b = np.ones(n, np.float32)
+    cfg = CGConfig(
+        kernel="pallas", precondition="poly", poly_degree=3,
+        maxiter=4 * n, tol=1e-5 * float(np.linalg.norm(b)),
+    )
+    assert _fused_eligible(
+        cfg, op, "pallas", jnp.float32, False) == "stencil"
+    fused = tpucg.cg_solve(op, b, config=cfg)
+    ref = tpucg.cg_solve(op, b, config=cfg, fused="never")
+    plain = tpucg.cg_solve(op, b, config=cfg, precondition="none")
+    assert bool(fused.converged) and bool(ref.converged)
+    # The two power methods reduce in different orders (in-kernel jnp.sum
+    # vs dot_xla), so w — and with it the lap count — drifts a few laps
+    # (measured: equal on TPU, 16 vs 20 on the CPU interpreter).
+    assert abs(int(fused.iterations) - int(ref.iterations)) <= max(
+        4, int(0.3 * int(ref.iterations))
+    )
+    assert int(fused.iterations) < int(plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(fused.x), np.asarray(ref.x), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_fused_precond_eligibility_edges():
+    from tpucg.io.generator import poisson3d_dia
+    from tpucg.solver.operators import DiaOperator
+
+    # Stencil + jacobi: iterate-exact no-op, stays on the lap path.
+    from tpucg.solver.operators import PoissonOperator
+
+    op_s = PoissonOperator(m=16, kernel="pallas")
+    cfg_j = CGConfig(kernel="pallas", precondition="jacobi")
+    assert _fused_eligible(
+        cfg_j, op_s, "pallas", jnp.float32, False) is None
+    # DIA without a stored main diagonal cannot feed jacobi.
+    dia = poisson3d_dia(16)
+    keep = dia.offsets != 0
+    from tpucg.sparse.formats import DIAMatrix
+
+    nod = DIAMatrix(
+        offsets=dia.offsets[keep], data=dia.data[keep], shape=dia.shape
+    )
+    op_d = DiaOperator.from_dia(nod, backend="pallas")
+    assert _fused_eligible(
+        cfg_j, op_d, "pallas", jnp.float32, False) is None
+    # Direct wrapper validation: jacobi without minv / without a diagonal.
+    with pytest.raises(ValueError, match="minv"):
+        fused_cg_solve_pallas(
+            jnp.eye(128), jnp.zeros(128), jnp.zeros(128),
+            tol=1e-6, maxiter=4, precondition="jacobi",
+        )
+    from tpucg.kernels.fused import (
+        fused_dia_cg_solve_pallas,
+        fused_stencil_cg_solve_pallas,
+    )
+
+    with pytest.raises(ValueError, match="main diagonal"):
+        fused_dia_cg_solve_pallas(
+            op_d.data, op_d.offsets,
+            jnp.zeros(op_d.padded_n), jnp.zeros(op_d.padded_n),
+            tol=1e-6, maxiter=4, precondition="jacobi",
+        )
+    with pytest.raises(ValueError, match="none/poly"):
+        fused_stencil_cg_solve_pallas(
+            jnp.zeros(16 ** 3), jnp.zeros(16 ** 3), 16,
+            tol=1e-6, maxiter=4, precondition="jacobi",
         )

@@ -75,11 +75,16 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 2 ** 20)
 FUSED_BATCH_MAX_N = 2048
 
 
-def _cg_while(mv, b, x0, *, tol, maxiter, safe_alpha):
+def _cg_while(mv, b, x0, *, tol, maxiter, safe_alpha, precond=None):
     """The in-kernel CG recurrence shared by every whole-solve kernel:
     returns ``(x, k, rr)`` under the reference convergence contract
     (``serialConjugate.c:213-244`` — test r.r < tol^2 after the x/r
-    update, before the p update; converged laps freeze p/rsold)."""
+    update, before the p update; converged laps freeze p/rsold).
+
+    With a ``precond`` closure (z = M^-1 r) this is the PCG recurrence
+    instead — same structure as ``solver.cg.cg_loop``: ``rsold`` carries
+    the direction scalar r.z while the stopping test stays on the TRUE
+    residual r.r."""
     f32 = jnp.float32
     tol2 = jnp.asarray(tol, f32) ** 2
 
@@ -88,7 +93,12 @@ def _cg_while(mv, b, x0, *, tol, maxiter, safe_alpha):
 
     r0 = b - mv(x0)
     rr0 = dot(r0, r0)
-    state = (jnp.int32(0), rr0 < tol2, x0, r0, r0, rr0, rr0)
+    if precond is None:
+        p0, rs0 = r0, rr0
+    else:
+        p0 = precond(r0)
+        rs0 = dot(r0, p0)
+    state = (jnp.int32(0), rr0 < tol2, x0, r0, p0, rs0, rr0)
 
     def cond(s):
         k, done = s[0], s[1]
@@ -106,17 +116,71 @@ def _cg_while(mv, b, x0, *, tol, maxiter, safe_alpha):
         r = r - alpha * ap
         rr = dot(r, r)
         done = rr < tol2
-        p = jnp.where(done, p, r + (rr / rsold) * p)
-        rsold = jnp.where(done, rsold, rr)
+        if precond is None:
+            z, rs_new = r, rr
+        else:
+            z = precond(r)
+            rs_new = dot(r, z)
+        p = jnp.where(done, p, z + (rs_new / rsold) * p)
+        rsold = jnp.where(done, rsold, rs_new)
         return (k + 1, done, x, r, p, rsold, rr)
 
     k, done, x, r, p, rsold, rr = jax.lax.while_loop(cond, body, state)
     return x, k, rr
 
 
-def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
-                     out_rr_ref, y_scratch, *, tol, maxiter, safe_alpha,
-                     mv_impl):
+def _in_kernel_poly_precond(mv, flat_idx, degree, power_iters=12):
+    """Build the truncated-Neumann polynomial preconditioner entirely
+    inside the kernel — the fused counterpart of
+    ``solver.cg.make_poly_precond``: a fixed-iteration power-method
+    estimate of lambda_max (pure matvecs + VPU dots, same seed
+    v0 = cos(0.7 * flat_index) + 0.1 as ``lambda_max_estimate``) sets
+    w = 0.95 / lam, then z = w * sum_{i<d} (I - wA)^i r costs
+    ``degree - 1`` extra in-VMEM matvecs per lap."""
+    f32 = jnp.float32
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    v0 = jnp.cos(flat_idx.astype(f32) * jnp.asarray(0.7, f32)) \
+        + jnp.asarray(0.1, f32)
+
+    def power_body(_, v):
+        y = mv(v)
+        return y * jax.lax.rsqrt(dot(y, y) + jnp.asarray(1e-30, f32))
+
+    v = jax.lax.fori_loop(0, power_iters, power_body, v0)
+    lam = dot(v, mv(v)) / (dot(v, v) + jnp.asarray(1e-30, f32))
+    w = jnp.asarray(0.95, f32) / jnp.maximum(lam, jnp.asarray(1e-30, f32))
+
+    def precond(r):
+        z = w * r
+        for _ in range(degree - 1):
+            z = z + w * r - w * mv(z)
+        return z
+
+    return precond
+
+
+def _make_in_kernel_precond(mv, *, precondition, poly_degree, minv,
+                            flat_idx):
+    """Resolve the in-kernel preconditioner closure for a fused solve:
+    ``None`` (plain CG), elementwise Jacobi (``minv`` is the loaded
+    1/diag values array), or the in-kernel polynomial."""
+    if precondition == "jacobi":
+        return lambda r: minv * r
+    if precondition == "poly":
+        return _in_kernel_poly_precond(mv, flat_idx, poly_degree)
+    return None
+
+
+def _fused_cg_kernel(a_ref, b_ref, x0_ref, *refs, tol, maxiter, safe_alpha,
+                     mv_impl, precondition, poly_degree):
+    if precondition == "jacobi":
+        minv_ref, out_x_ref, out_k_ref, out_rr_ref, y_scratch = refs
+    else:
+        out_x_ref, out_k_ref, out_rr_ref, y_scratch = refs
+        minv_ref = None
     f32 = jnp.float32
     npad = a_ref.shape[0]
 
@@ -146,9 +210,14 @@ def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
         return y_scratch[...].T
 
     mv = mv_vpu if mv_impl == "vpu" else mv_mxu
+    precond = _make_in_kernel_precond(
+        mv, precondition=precondition, poly_degree=poly_degree,
+        minv=None if minv_ref is None else minv_ref[...],
+        flat_idx=jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1),
+    )
     x, k, rr = _cg_while(
         mv, b_ref[...], x0_ref[...],
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     out_x_ref[...] = x
     out_k_ref[0, 0] = k
@@ -156,16 +225,24 @@ def _fused_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "mv_impl")
+    jax.jit,
+    static_argnames=(
+        "tol", "maxiter", "safe_alpha", "mv_impl", "precondition",
+        "poly_degree",
+    ),
 )
 def fused_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
-                          mv_impl="vpu"):
+                          mv_impl="vpu", precondition="none", poly_degree=0,
+                          minv=None):
     """Run a complete CG solve in one kernel launch.
 
     ``A`` must be f32, square, 128-aligned (the DenseOperator padding
     contract), with ``A.shape[0] <= FUSED_MAX_N``; ``b``/``x0`` are padded
-    (npad,) f32 vectors. Returns ``(x, k, rr)``: the padded solution, the
-    iteration count, and the final exact r.r.
+    (npad,) f32 vectors. ``precondition`` runs the PCG recurrence fully
+    in-kernel: ``"jacobi"`` takes the padded (npad,) 1/diag values as
+    ``minv``; ``"poly"`` builds the truncated-Neumann polynomial (power
+    method included) from the VMEM-resident matvec. Returns ``(x, k, rr)``:
+    the padded solution, the iteration count, and the final exact r.r.
     """
     npad = A.shape[0]
     if A.shape != (npad, npad):
@@ -176,11 +253,24 @@ def fused_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
         )
     if A.dtype != jnp.float32:
         raise ValueError(f"fused solve is f32-only, got {A.dtype}")
+    if precondition == "jacobi" and minv is None:
+        raise ValueError("precondition='jacobi' requires minv")
+    vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = [
+        A,
+        b.astype(jnp.float32).reshape(1, npad),
+        x0.astype(jnp.float32).reshape(1, npad),
+    ]
+    in_specs = [vec_spec, vec_spec, vec_spec]
+    if precondition == "jacobi":
+        operands.append(minv.astype(jnp.float32).reshape(1, npad))
+        in_specs.append(vec_spec)
     x2, k, rr = pl.pallas_call(
         functools.partial(
             _fused_cg_kernel,
             tol=float(tol), maxiter=int(maxiter),
             safe_alpha=bool(safe_alpha), mv_impl=mv_impl,
+            precondition=precondition, poly_degree=int(poly_degree),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
@@ -192,19 +282,11 @@ def fused_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         scratch_shapes=[pltpu.VMEM((npad, 1), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret_mode(),
-    )(
-        A,
-        b.astype(jnp.float32).reshape(1, npad),
-        x0.astype(jnp.float32).reshape(1, npad),
-    )
+    )(*operands)
     return x2.reshape(npad), k[0, 0], rr[0, 0]
 
 
@@ -217,7 +299,8 @@ def fused_stencil_supported(m: int) -> bool:
 
 
 def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
-                             out_rr_ref, *, m, tol, maxiter, safe_alpha):
+                             out_rr_ref, *, m, tol, maxiter, safe_alpha,
+                             precondition, poly_degree):
     from tpucg.kernels.stencil import stencil_apply
 
     mm = m * m
@@ -229,9 +312,14 @@ def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
     def mv(u):
         return stencil_apply(u, m, z_id=z_id, y_id=y_id)
 
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, mm), 0)
+    precond = _make_in_kernel_precond(
+        mv, precondition=precondition, poly_degree=poly_degree,
+        minv=None, flat_idx=row * mm + lane,
+    )
     x, k, rr = _cg_while(
         mv, b_ref[...], x0_ref[...],
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     out_x_ref[...] = x
     out_k_ref[0, 0] = k
@@ -239,10 +327,14 @@ def _fused_stencil_cg_kernel(b_ref, x0_ref, out_x_ref, out_k_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "tol", "maxiter", "safe_alpha")
+    jax.jit,
+    static_argnames=(
+        "m", "tol", "maxiter", "safe_alpha", "precondition", "poly_degree",
+    ),
 )
 def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
-                                  safe_alpha=True):
+                                  safe_alpha=True, precondition="none",
+                                  poly_degree=0):
     """Run a complete matrix-free Poisson CG solve in one kernel launch.
 
     The 7-point stencil has no stored matrix, so the entire solve state —
@@ -250,12 +342,21 @@ def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
     VPU work: one fused stencil apply plus the BLAS-1 recurrence, zero
     per-lap kernel launches and zero HBM traffic. Same convergence
     contract as ``_fused_cg_kernel`` (= ``serialConjugate.c:213-244``).
-    Returns ``(x, k, rr)`` with ``x`` flat (m**3,).
+    ``precondition="poly"`` runs polynomial PCG fully in-kernel (each lap
+    costs ``poly_degree - 1`` extra stencil applies, still pure VPU work;
+    Jacobi is pointless here — the stencil's diagonal is constant, so
+    z = r/6 rescales alpha/beta without changing any iterate). Returns
+    ``(x, k, rr)`` with ``x`` flat (m**3,).
     """
     if not fused_stencil_supported(m):
         raise ValueError(
             f"fused stencil solve needs (m*m) % 128 == 0 and "
             f"m <= {FUSED_STENCIL_MAX_M}, got m={m}"
+        )
+    if precondition not in ("none", "poly"):
+        raise ValueError(
+            f"fused stencil solve supports precondition none/poly, "
+            f"got {precondition!r}"
         )
     mm = m * m
     x2, k, rr = pl.pallas_call(
@@ -263,6 +364,7 @@ def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
             _fused_stencil_cg_kernel,
             m=m, tol=float(tol), maxiter=int(maxiter),
             safe_alpha=bool(safe_alpha),
+            precondition=precondition, poly_degree=int(poly_degree),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m, mm), jnp.float32),
@@ -342,7 +444,7 @@ def _dia_apply_values(data, offsets, u, pad_rows, lane):
 
 def _fused_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
                          out_rr_ref, *, offsets, pad_rows, tol, maxiter,
-                         safe_alpha):
+                         safe_alpha, precondition, poly_degree):
     from tpucg.kernels.spmv import LANE
 
     rows = b_ref.shape[0]
@@ -352,9 +454,22 @@ def _fused_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
     def mv(u):
         return _dia_apply_values(data, offsets, u, pad_rows, lane)
 
+    if precondition == "jacobi":
+        # The main diagonal is a column slab of the interleaved data —
+        # already VMEM-resident, no extra operand needed.
+        d0 = offsets.index(0)
+        d = data[:, d0 * LANE:(d0 + 1) * LANE]
+        minv = jnp.where(d != 0, 1.0 / d, jnp.ones_like(d))
+    else:
+        minv = None
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+    precond = _make_in_kernel_precond(
+        mv, precondition=precondition, poly_degree=poly_degree,
+        minv=minv, flat_idx=row * LANE + lane,
+    )
     x, k, rr = _cg_while(
         mv, b_ref[...], x0_ref[...],
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     out_x_ref[...] = x
     out_k_ref[0, 0] = k
@@ -362,10 +477,15 @@ def _fused_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "tol", "maxiter", "safe_alpha")
+    jax.jit,
+    static_argnames=(
+        "offsets", "tol", "maxiter", "safe_alpha", "precondition",
+        "poly_degree",
+    ),
 )
 def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
-                              safe_alpha=True):
+                              safe_alpha=True, precondition="none",
+                              poly_degree=0):
     """Run a complete banded (DIA) CG solve in one kernel launch.
 
     ``data_il`` is the row-interleaved (n//128, ndiag*128) f32 slab
@@ -374,8 +494,11 @@ def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
     The slab and the whole solve state stay VMEM-resident: zero per-lap
     kernel launches AND zero per-lap HBM traffic (the while_loop path
     re-streams the diagonals every lap). Same convergence contract as
-    ``_fused_cg_kernel`` (= ``serialConjugate.c:213-244``). Returns
-    ``(x, k, rr)`` with ``x`` flat (n,).
+    ``_fused_cg_kernel`` (= ``serialConjugate.c:213-244``).
+    ``precondition`` runs PCG fully in-kernel: ``"jacobi"`` reads 1/diag
+    straight from the resident slab; ``"poly"`` builds the
+    truncated-Neumann polynomial (power method included) from the resident
+    matvec. Returns ``(x, k, rr)`` with ``x`` flat (n,).
     """
     from tpucg.kernels.spmv import LANE
 
@@ -388,6 +511,8 @@ def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
         )
     if data_il.dtype != jnp.float32:
         raise ValueError(f"fused DIA solve is f32-only, got {data_il.dtype}")
+    if precondition == "jacobi" and 0 not in offsets:
+        raise ValueError("jacobi needs a stored main diagonal")
     maxo = max(abs(int(o)) for o in offsets)
     pad_rows = -(-maxo // LANE)
     x2, k, rr = pl.pallas_call(
@@ -396,6 +521,7 @@ def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
             offsets=tuple(int(o) for o in offsets), pad_rows=pad_rows,
             tol=float(tol), maxiter=int(maxiter),
             safe_alpha=bool(safe_alpha),
+            precondition=precondition, poly_degree=int(poly_degree),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANE), jnp.float32),

@@ -855,22 +855,27 @@ def cg_solve(
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
-    fused_kind = _fused_eligible(
-        config, op, backend, dtype, record_residuals, minv
+    fused_kind = _fused_eligible(config, op, backend, dtype,
+                                 record_residuals)
+    fused_pc = dict(
+        precondition=config.precondition,
+        poly_degree=(
+            int(config.poly_degree) if config.precondition == "poly" else 0
+        ),
     )
     if fused_kind == "dense":
         from tpucg.kernels.fused import fused_cg_solve_pallas
 
         x, k, rr = fused_cg_solve_pallas(
             op.A, b, x0, tol=float(config.tol), maxiter=int(maxiter),
-            safe_alpha=bool(config.safe_alpha),
+            safe_alpha=bool(config.safe_alpha), minv=minv, **fused_pc,
         )
     elif fused_kind == "stencil":
         from tpucg.kernels.fused import fused_stencil_cg_solve_pallas
 
         x, k, rr = fused_stencil_cg_solve_pallas(
             b, x0, op.m, tol=float(config.tol), maxiter=int(maxiter),
-            safe_alpha=bool(config.safe_alpha),
+            safe_alpha=bool(config.safe_alpha), **fused_pc,
         )
     elif fused_kind == "dia":
         from tpucg.kernels.fused import fused_dia_cg_solve_pallas
@@ -878,6 +883,7 @@ def cg_solve(
         x, k, rr = fused_dia_cg_solve_pallas(
             op.data, op.offsets, b, x0, tol=float(config.tol),
             maxiter=int(maxiter), safe_alpha=bool(config.safe_alpha),
+            **fused_pc,
         )
     if fused_kind is not None:
         res = CGResult(
@@ -898,16 +904,19 @@ def cg_solve(
     return res
 
 
-def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
+def _fused_eligible(config, op, backend, dtype, record_residuals):
     """Route a plain serial f32 Pallas CG through a
     whole-solve-in-one-kernel path (``kernels.fused``) when the solve state
     fits VMEM: returns ``"dense"`` (A-resident GEMV solve, below the
     measured launch-floor crossover), ``"stencil"`` (matrix-free Poisson),
     ``"dia"`` (banded, diagonal slab VMEM-resident) — the sparse kinds
     always win when supported: zero per-lap launches AND zero per-lap HBM
-    traffic — or ``None``. Every other configuration (methods,
-    preconditioners, traces, bf16 storage, other sparse operators) keeps
-    the jitted while_loop path."""
+    traffic — or ``None``. Preconditioned solves stay fused where the
+    kernels run the PCG recurrence in-kernel: jacobi on dense/dia (the
+    stencil's constant diagonal makes it an iterate-exact no-op there —
+    lap path keeps that case honest) and poly everywhere. Every other
+    configuration (methods, traces, bf16 storage, other sparse operators)
+    keeps the jitted while_loop path."""
     from tpucg.kernels.fused import (
         FUSED_AUTO_MAX_N,
         FUSED_MAX_N,
@@ -922,15 +931,20 @@ def _fused_eligible(config, op, backend, dtype, record_residuals, minv):
 
     if config.fused == "never" or backend != "pallas":
         return None
-    if config.method != "cg" or config.precondition != "none":
+    if config.method != "cg":
         return None
-    if record_residuals or minv is not None or dtype != jnp.float32:
+    if record_residuals or dtype != jnp.float32:
         return None
+    pc = config.precondition
     if isinstance(op, PoissonOperator):
+        if pc not in ("none", "poly"):
+            return None
         if op.kernel in ("auto", "pallas") and fused_stencil_supported(op.m):
             return "stencil"
         return None
     if isinstance(op, DiaOperator):
+        if pc == "jacobi" and 0 not in op.offsets:
+            return None
         if (
             op.interleaved
             and op.backend in ("auto", "pallas")
