@@ -238,6 +238,103 @@ def bench_batch(nsys, n, repeats):
     return rows
 
 
+def bench_precond(repeats):
+    """In-kernel preconditioning on a system that actually needs it: a
+    badly diagonally scaled banded SPD matrix (D A D, d log-uniform on
+    [1, 30]) in DIA form. Three arms: fused plain CG (the iteration-count
+    price of the scaling), fused Jacobi-PCG (the PCG recurrence entirely
+    inside the whole-solve kernel — 1/diag sliced from the VMEM-resident
+    slab, zero extra operands/launches), and the lap-path Jacobi-PCG
+    (per-lap kernel launches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import time_run_chain
+    from tpucg.kernels.blas1 import dot_xla, fused_update
+    from tpucg.kernels.fused import (
+        fused_dia_cg_solve_pallas,
+        fused_dia_supported,
+    )
+    from tpucg.solver.cg import cg_loop
+    from tpucg.sparse.formats import DIAMatrix
+    from tpucg.solver.operators import DiaOperator
+
+    n = 262144
+    offsets = (-512, -1, 0, 1, 512)
+    rng = np.random.default_rng(5)
+    d = np.exp(rng.uniform(0.0, np.log(30.0), n))
+    data = np.zeros((len(offsets), n))
+    for k, off in enumerate(offsets):
+        if off == 0:
+            # Base: 4.2 I minus four unit shifts -> spectrum in [0.2, 8.2];
+            # the D A D scaling then inflates kappa by ~spread^2.
+            data[k] = 4.2 * d * d
+        else:
+            lo, hi = max(0, -off), min(n, n - off)
+            idx = np.arange(lo, hi)
+            data[k, idx] = -d[idx] * d[idx + off]
+    dia = DIAMatrix(offsets=np.asarray(offsets, np.int64),
+                    data=data.astype(np.float32), shape=(n, n))
+    dop = DiaOperator.from_dia(dia, backend="pallas")
+    assert dop.interleaved and fused_dia_supported(dop.padded_n, dop.offsets)
+    bs = rng.standard_normal(n).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(bs))
+    bj = jax.device_put(jnp.asarray(bs))
+    x0 = jnp.zeros(n, jnp.float32)
+    minv = jax.device_put(jnp.asarray((1.0 / data[2]).astype(np.float32)))
+    jax.tree_util.tree_map(jax.block_until_ready, (dop.data, bj, minv))
+
+    maxiter = 8 * n
+
+    def run_fused_plain(operands, bb, x0_):
+        (op_,) = operands
+        x, _, _ = fused_dia_cg_solve_pallas(
+            op_.data, op_.offsets, bb, x0_, tol=tol, maxiter=maxiter)
+        return x
+
+    def run_fused_jacobi(operands, bb, x0_):
+        (op_,) = operands
+        x, _, _ = fused_dia_cg_solve_pallas(
+            op_.data, op_.offsets, bb, x0_, tol=tol, maxiter=maxiter,
+            precondition="jacobi")
+        return x
+
+    def run_lap_jacobi(operands, bb, x0_):
+        op_, minv_ = operands
+        import functools
+
+        upd = functools.partial(fused_update, backend="xla")
+        st = cg_loop(op_.matvec, dot_xla, upd, bb, x0_,
+                     tol=tol, maxiter=maxiter,
+                     precond=lambda r: minv_ * r)
+        return st.x
+
+    rows = []
+    for label, run, operands, pre_kw, est_per_lap in (
+        ("cg-fused (no precond)", run_fused_plain, (dop,), dict(), 4e-6),
+        ("jacobi-pcg-fused", run_fused_jacobi, (dop,),
+         dict(precondition="jacobi"), 4e-6),
+        ("jacobi-pcg (lap path)", run_lap_jacobi, (dop, minv),
+         dict(precondition="jacobi", fused="never"), 30e-6),
+    ):
+        res = tpucg.cg_solve(dop, bj, tol=tol, maxiter=maxiter,
+                             kernel="pallas", **pre_kw)
+        iters = int(res.iterations)
+        assert bool(res.converged), (label, iters)
+        s = float(np.median([
+            time_run_chain(run, operands, bj, x0, iters=repeats,
+                           est_solve_s=iters * est_per_lap)
+            for _ in range(3)
+        ]))
+        rows.append(dict(method=label, n=n, iters=iters, solve_ms=s * 1e3,
+                         iters_per_s=iters / s))
+        print(f"precond[{label}]: {s*1e3:.3f} ms, {iters} iters "
+              f"({iters/s:.0f} it/s)", flush=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
@@ -271,6 +368,7 @@ def main():
               f"true ||r||={r['rnorm']:.2e}) [{time.time()-t0:.0f}s]",
               flush=True)
     batch_rows = bench_batch(256, 512, args.repeats)
+    precond_rows = bench_precond(args.repeats)
 
     lines = [
         MARK,
@@ -331,22 +429,46 @@ def main():
             f"| {r['method']} | {r['batch_ms']:.3f} "
             f"| {r['solves_per_s']:.0f} |"
         )
+    lines += [
+        "",
+        "### In-kernel preconditioning (fused whole-solve PCG)",
+        "",
+        f"Badly diagonally scaled banded SPD system (D A D, d log-uniform "
+        f"on [1, 30]), n={precond_rows[0]['n']}, 5 diagonals "
+        "(offsets ±1, ±512), DIA form, tol 1e-5 ||b||. Jacobi undoes the "
+        "scaling; the fused arm runs the FULL PCG recurrence inside the "
+        "whole-solve Pallas kernel (1/diag sliced from the VMEM-resident "
+        "slab — zero per-lap launches and zero extra operands), vs the "
+        "lap path's per-lap kernel launches.",
+        "",
+        "| method | solve (ms) | iters | iters/s |",
+        "|---|---|---|---|",
+    ]
+    for r in precond_rows:
+        lines.append(
+            f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} "
+            f"| {r['iters_per_s']:.0f} |"
+        )
     section = "\n".join(lines) + "\n"
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
-    text = ""
-    if os.path.exists(out):
-        text = open(out).read()
-        if MARK in text:
-            text = text[: text.index(MARK)].rstrip() + "\n"
-    with open(out, "a" if not text else "w") as f:
-        if text:
-            f.write(text + "\n" + section)
-        else:
-            f.write(section)
+    text = open(out).read() if os.path.exists(out) else ""
+    if MARK in text:
+        # Replace ONLY this section (up to the next top-level "## " heading
+        # or EOF) — other regenerated sections may follow it.
+        head, _, rest = text.partition(MARK)
+        after = ""
+        idx = rest.find("\n## ")
+        if idx >= 0:
+            after = rest[idx + 1:]
+        text = head + section + "\n" + after
+    else:
+        text = (text.rstrip("\n") + "\n\n" if text else "") + section
+    with open(out, "w") as f:
+        f.write(text)
     print(f"wrote {out}")
 
 
