@@ -144,7 +144,7 @@ def main():
     # The TPU-first extension of the same thesis: the reference's two arms
     # differ in HOW each lap's 3 blocking reductions travel; these three
     # differ in HOW OFTEN any reduction happens at all (2-3/lap, 1/lap
-    # fused, 1 per s laps + verification).
+    # fused, 1 per s laps + verification, ZERO per lap / 1 per check chunk).
     P_m = max(procs)
     mesh_m = tpucg.make_mesh(P_m)
     method_results = {}
@@ -160,7 +160,7 @@ def main():
         # (RESULTS.md extensions caveat) — give all three arms the same
         # reachable target so iteration counts are comparable.
         tol_m = 1e-5 * float(np.linalg.norm(b))
-        for method in ("cg", "pipelined", "ca"):
+        for method in ("cg", "pipelined", "ca", "chebyshev"):
             solve = lambda: tpucg.sharded_cg_solve(
                 Ad, bd, x0d, mesh=mesh_m, strategy="allgather", n=n,
                 method=method, tol=tol_m,
@@ -267,12 +267,12 @@ def main():
         f"floor caveat), functional/CPU mesh — reduction-latency wins need "
         f"a real multi-chip mesh where psum latency is nonzero:",
         "",
-        "| n | classic CG (s/iters) | pipelined (s/iters) | ca s=3 (s/iters) |",
-        "|---|---|---|---|",
+        "| n | classic CG (s/iters) | pipelined (s/iters) | ca s=3 (s/iters) | chebyshev (s/iters) |",
+        "|---|---|---|---|---|",
     ]
     for n in sizes:
         row = f"| {n} "
-        for method in ("cg", "pipelined", "ca"):
+        for method in ("cg", "pipelined", "ca", "chebyshev"):
             mr = method_results[(n, method)]
             row += f"| {mr['cg_s']:.4f} / {mr['iters']} "
         lines.append(row + "|")
@@ -282,7 +282,11 @@ def main():
         "matvecs estimating the Chebyshev interval — which dwarfs the 3-4 "
         "solve laps of this well-conditioned family; the per-s-laps "
         "reduction saving amortizes only over many-iteration solves on "
-        "latency-bound meshes.",
+        "latency-bound meshes. The chebyshev arm (`method='chebyshev'`, "
+        "ZERO reductions per lap, one exact check per 8 laps) pays the "
+        "same interval setup plus a no-minimization rate penalty — its "
+        "iteration counts round up to the check cadence; it is the "
+        "extreme latency point, not a bandwidth winner.",
         "",
     ]
     section = "\n".join(lines)

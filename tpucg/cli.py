@@ -41,13 +41,18 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for sharded strategies (default: all)")
     p.add_argument("--method", default="cg",
-                   choices=("cg", "pipelined", "ca"),
+                   choices=("cg", "pipelined", "ca", "chebyshev"),
                    help="pipelined = Ghysels-Vanroose single-reduction CG; "
                         "ca = communication-avoiding s-step CG (one fused "
-                        "Gram reduction per --s-step laps)")
+                        "Gram reduction per --s-step laps); chebyshev = "
+                        "Chebyshev iteration (ZERO reductions per lap, one "
+                        "exact residual check per --check-every laps)")
     p.add_argument("--s-step", type=int, default=3, dest="s_step",
                    help="block size s for --method ca (3-4 is the usual "
                         "f32 sweet spot)")
+    p.add_argument("--check-every", type=int, default=8, dest="check_every",
+                   help="laps between exact residual checks for --method "
+                        "chebyshev")
     p.add_argument("--fused", default="auto",
                    choices=("auto", "always", "never"),
                    help="whole-solve-in-one-kernel dispatch for small "
@@ -84,7 +89,7 @@ def _solve_args(args, A, b, x0):
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
         poly_degree=args.poly_degree, s_step=args.s_step,
-        fused=args.fused,
+        check_every=args.check_every, fused=args.fused,
         record_residuals=record,
     )
     jax.block_until_ready(res.x)
@@ -126,6 +131,7 @@ def cmd_solve(args) -> int:
             strategy=args.strategy, method=args.method,
             precondition=args.precondition,
             poly_degree=args.poly_degree, s_step=args.s_step,
+            check_every=args.check_every,
         )
         jax.block_until_ready(res.x)
         solve_s = time.perf_counter() - t0
@@ -427,7 +433,8 @@ def _bench_one(args, strategy, backend):
         tol = 1.0e-5 * float(np.linalg.norm(b))
     kw = dict(tol=tol, method=args.method,
               precondition=args.precondition, poly_degree=args.poly_degree,
-              s_step=args.s_step, kernel=args.kernel, fused=args.fused)
+              s_step=args.s_step, check_every=args.check_every,
+              kernel=args.kernel, fused=args.fused)
     t0 = time.perf_counter()
     if strategy == "serial":
         op = as_operator(A, backend=backend)

@@ -50,11 +50,23 @@ class CGConfig:
         (Ghysels-Vanroose communication-hiding CG: ONE fused scalar reduction
         per lap, overlappable with the matvec — an extension for
         latency-bound distributed solves; see solver.cg.pipelined_cg_loop),
-        or ``"ca"`` (communication-AVOIDING s-step CG: ONE fused Gram
+        ``"ca"`` (communication-AVOIDING s-step CG: ONE fused Gram
         reduction per ``s_step`` laps at ~2x matvec cost — the far end of
-        the latency/bandwidth trade; see solver.cg.ca_cg_loop).
+        the latency/bandwidth trade; see solver.cg.ca_cg_loop), or
+        ``"chebyshev"`` (Chebyshev iteration: ZERO reductions per lap —
+        every scalar comes from a spectral-interval recurrence — with
+        reductions only at ``check_every``-lap chunk boundaries; the
+        terminal point of the reduction-cadence spectrum. Needs more
+        iterations than CG
+        (no minimization, rate fixed by the interval estimate) — it wins
+        only where reduction latency dominates the lap; see
+        solver.cg.chebyshev_loop).
       s_step: block size s for ``method="ca"`` (>= 1; 3-4 is the usual
         f32 sweet spot — monomial-basis conditioning grows with s).
+      check_every: laps between exact residual checks for
+        ``method="chebyshev"`` (>= 1). Convergence is only observed at
+        checks, so reported iteration counts round up to a multiple of
+        ``check_every``.
       fused: whole-solve-in-one-Pallas-kernel dispatch for small
         VMEM-resident dense systems (``kernels.fused``): "auto" (default —
         engage below the measured crossover ``FUSED_AUTO_MAX_N`` when the
@@ -73,15 +85,18 @@ class CGConfig:
     poly_degree: int = 3
     method: str = "cg"
     s_step: int = 3
+    check_every: int = 8
     fused: str = "auto"
 
     def __post_init__(self):
         if self.strategy not in ("allgather", "overlap"):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.method not in ("cg", "pipelined", "ca"):
+        if self.method not in ("cg", "pipelined", "ca", "chebyshev"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.s_step < 1:
             raise ValueError("s_step must be >= 1")
+        if self.check_every < 1:
+            raise ValueError("check_every must be >= 1")
         if self.method == "ca" and self.precondition != "none":
             raise ValueError(
                 "method='ca' supports precondition='none' (a preconditioned "

@@ -526,15 +526,195 @@ def ca_cg_loop(
     return jax.lax.while_loop(cond, body, state)
 
 
+def chebyshev_loop(
+    matvec: Callable,
+    dot: Callable,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    tol: float,
+    maxiter,
+    check_every: int = 8,
+    power_iters: int = 16,
+    precond: Optional[Callable] = None,
+) -> _State:
+    """Chebyshev iteration (Saad, *Iterative Methods*, alg. 12.1) — the
+    terminal point of tpucg's reduction-cadence spectrum: classic CG pays
+    2-3 scalar psums per lap, pipelined 1, CA-CG 2 per s laps — Chebyshev
+    pays **ZERO reductions per lap**. Every alpha/beta analogue comes from
+    a scalar recurrence on an estimated spectral interval [a, bnd], so a
+    distributed lap is matvec communication ONLY (allgather/ring); the
+    only reductions are two dots per ``check_every``-lap chunk boundary
+    (the recurrence-residual stopping test and the true-residual anchor -
+    fusable into one psum if ever latency-critical) plus the setup-time
+    power-method interval estimate (reusing ``lambda_max_estimate``; same
+    two-sided construction as ``ca_cg_loop``). Convergence is observed at
+    chunk boundaries, so reported iteration counts round up to a multiple
+    of ``check_every``.
+
+    Stopping is a recurrence-residual test CONFIRMED against the true
+    residual (the CA loop's confirm/refute pattern): a tentative stop
+    whose b - A x still exceeds tol is refuted — r re-anchors to ground
+    truth and the solve continues — unless the true residual has stopped
+    improving since the last refute, which is the f32 true-residual floor
+    (O(eps * ||A|| * ||x||), measurably ABOVE an absolute tol at large n);
+    there the solve accepts, exactly as classic CG (whose contract
+    quantity is the recurrence residual, ``serialConjugate.c:235``) does
+    implicitly.
+
+    The price (documented; benchmarked in the A/B ledger): no
+    minimization - the rate is fixed by sqrt(a/bnd) with NO CG
+    superlinearity, and a WRONG interval (spectrum outside [a, bnd])
+    diverges instead of merely slowing. The defenses: asymmetric interval
+    pads (bnd up 10%; a down 25% - the reflected power method
+    systematically OVERestimates lambda_min, the dangerous direction),
+    and a two-tier chunk guard - on a stalled check, re-anchor r to the
+    true residual (residual replacement, van der Vorst & Ye) and restart
+    the direction; on a >1.5x divergence, additionally widen the interval
+    (a halves; bnd grows 25%) -
+    so a bad estimate degrades toward a safe, wider-interval iteration
+    rather than diverging.
+
+    With ``precond`` (z = M^-1 r; Jacobi or the Neumann polynomial — both
+    reduction-free per application) this is preconditioned Chebyshev on
+    M^-1 A: the interval is estimated on the preconditioned operator and
+    laps stay reduction-free.
+    """
+    f32 = b.dtype
+    tol2 = jnp.asarray(tol, f32) ** 2
+    pmv = matvec if precond is None else (lambda v: precond(matvec(v)))
+
+    lam_hi = lambda_max_estimate(pmv, dot, b, power_iters)
+    refl = lambda_max_estimate(
+        lambda v: lam_hi * v - pmv(v), dot, b, power_iters, absolute=True
+    )
+    lam_lo = jnp.clip(lam_hi - refl, 0.0, lam_hi)
+    bnd0 = 1.10 * lam_hi
+    a0 = jnp.maximum(0.75 * lam_lo, jnp.asarray(1e-8, f32) * lam_hi)
+
+    def scalars(a, bnd):
+        theta = 0.5 * (bnd + a)
+        # Width floor guards A = const*I (delta = 0 would NaN sigma1; any
+        # tiny delta just makes rho ~ 0 and the lap a Richardson step).
+        delta = jnp.maximum(0.5 * (bnd - a), jnp.asarray(1e-20, f32) * bnd)
+        return theta, delta, theta / delta
+
+    r0 = b - matvec(x0)
+    rr0 = dot(r0, r0)
+    theta0, _, sigma0 = scalars(a0, bnd0)
+    z0 = r0 if precond is None else precond(r0)
+    state = (
+        jnp.int32(0), rr0 < tol2, x0, r0, z0 / theta0, 1.0 / sigma0,
+        a0, bnd0, rr0, jnp.asarray(jnp.inf, f32),
+    )
+
+    def cond(s):
+        k, done = s[0], s[1]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(s):
+        k, done, x, r, d, rho, a, bnd, rr_prev, refute_rr = s
+        theta, delta, sigma1 = scalars(a, bnd)
+
+        def lap(_, t):
+            k, x, r, d, rho = t
+            active = k < maxiter
+            xn = x + d
+            rn = r - matvec(d)
+            zn = rn if precond is None else precond(rn)
+            rho_n = 1.0 / (2.0 * sigma1 - rho)
+            dn = rho_n * rho * d + (2.0 * rho_n / delta) * zn
+            x = jnp.where(active, xn, x)
+            r = jnp.where(active, rn, r)
+            d = jnp.where(active, dn, d)
+            rho = jnp.where(active, rho_n, rho)
+            return (k + active.astype(jnp.int32), x, r, d, rho)
+
+        k, x, r, d, rho = jax.lax.fori_loop(
+            0, check_every, lap, (k, x, r, d, rho)
+        )
+        # Stopping test on the RECURRENCE residual — the reference's (and
+        # classic CG's) contract quantity (``serialConjugate.c:235`` tests
+        # the incrementally-updated r). An f32 TRUE residual b - A x
+        # carries an O(eps * ||A|| * ||x||) floor that an absolute tol can
+        # sit BELOW (measured: ~5e-6 floor vs tol 1e-6 at n=4096 on the
+        # reference generator family) — testing ground truth there would
+        # spin to the cap on solves classic CG finishes; the recurrence
+        # residual, like CG's, grinds below the floor.
+        rr = dot(r, r)
+        r_true = b - matvec(x)
+        rr_true = dot(r_true, r_true)
+        # Confirm/refute at a tentative stop (same pattern as ca_cg_loop's
+        # exact block-end verification): a long Chebyshev trajectory drifts
+        # the recurrence r off b - A x (measured 3.3e-6 true residual on a
+        # recurrence-converged 1e-6 golden), so a recurrence stop is only
+        # CONFIRMED when the true residual also clears tol. A refuted stop
+        # re-anchors r to the true residual and continues — UNLESS the true
+        # residual has made no progress (>= 90%) since the last refute:
+        # that is the f32 true-residual floor, O(eps * ||A|| * ||x||),
+        # which can sit ABOVE an absolute tol (measured ~5e-6 vs tol 1e-6
+        # at n=4096 on the reference generator family); accept there, as
+        # classic CG (whose contract quantity is the recurrence residual,
+        # ``serialConjugate.c:235``) does implicitly.
+        tentative = rr < tol2
+        confirmed = jnp.logical_and(tentative, rr_true < tol2)
+        floor_hit = jnp.logical_and(tentative, rr_true >= 0.9 * refute_rr)
+        done = jnp.logical_or(confirmed, floor_hit)
+        refuted = jnp.logical_and(tentative, jnp.logical_not(done))
+        # Two-tier chunk guard for non-tentative chunks:
+        # - STALL (rr failed to decrease): re-anchor r to the TRUE
+        #   residual (residual replacement, van der Vorst & Ye) and
+        #   restart the direction recurrence at d = z/theta.
+        # - DIVERGENCE (rr grew > 1.5x): the interval misses spectrum —
+        #   additionally widen it (a halves; bnd grows 25% — measured on
+        #   Poisson m=8: a 16-iter power method UNDERestimates lambda_max
+        #   by 13%, the escaped top mode grows a steady ~2.4x/chunk, and a
+        #   laxer 4x threshold with a timid 5% bnd bump never catches up;
+        #   OVERshooting bnd only costs rate where UNDERshooting diverges).
+        #   A mere stall must NOT widen: near the floor rr stalls chunk
+        #   after chunk, and halving `a` each time would destroy the rate
+        #   on a solve that only needs to grind.
+        stall = jnp.logical_and(jnp.logical_not(tentative), rr >= rr_prev)
+        div = jnp.logical_and(jnp.logical_not(tentative), rr > 1.5 * rr_prev)
+        a = jnp.where(div, 0.5 * a, a)
+        bnd = jnp.where(div, 1.25 * bnd, bnd)
+        reanchor = jnp.logical_or(stall, refuted)
+        r = jnp.where(reanchor, r_true, r)
+        theta_r, _, sigma_r = scalars(a, bnd)
+        z = r if precond is None else precond(r)
+        d = jnp.where(reanchor, z / theta_r, d)
+        rho = jnp.where(reanchor, 1.0 / sigma_r, rho)
+        rr_prev = jnp.where(reanchor, rr_true, rr)
+        refute_rr = jnp.where(refuted, rr_true, refute_rr)
+        return (k, done, x, r, d, rho, a, bnd, rr_prev, refute_rr)
+
+    k, done, x, r, d, rho, a, bnd, rr, _refute = jax.lax.while_loop(
+        cond, body, state
+    )
+    return _State(k=k, x=x, r=r, p=d, rsold=rr, rslast=rr, done=done)
+
+
+def _run_chebyshev(matvec, dot, b, x0, *, tol, maxiter, check_every,
+                   precond=None):
+    """Chebyshev loop -> the (x, k, rnorm, done) result tuple shared by the
+    serial and sharded drivers."""
+    st = chebyshev_loop(
+        matvec, dot, b, x0,
+        tol=tol, maxiter=maxiter, check_every=check_every, precond=precond,
+    )
+    return st.x, st.k, jnp.sqrt(st.rslast), st.done
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tol", "maxiter", "blas_backend", "safe_alpha", "method", "record",
-        "poly_degree", "s_step",
+        "poly_degree", "s_step", "check_every",
     ),
 )
 def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
-            method="cg", record=False, poly_degree=0, s_step=3):
+            method="cg", record=False, poly_degree=0, s_step=3,
+            check_every=8):
     matvec = op.matvec
     dot = dot_xla
     if poly_degree:
@@ -576,6 +756,13 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
             residual_norm=jnp.sqrt(st.rslast),
             converged=st.done,
         )
+    if method == "chebyshev":
+        x, k, rn, done = _run_chebyshev(
+            matvec, dot, b, x0,
+            tol=tol, maxiter=maxiter, check_every=check_every,
+            precond=precond,
+        )
+        return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
     update = functools.partial(fused_update, backend=blas_backend)
     s = cg_loop(
         matvec, dot, update, b, x0,
@@ -897,7 +1084,7 @@ def cg_solve(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
         bool(config.safe_alpha), config.method, bool(record_residuals),
         config.poly_degree if config.precondition == "poly" else 0,
-        int(config.s_step),
+        int(config.s_step), int(config.check_every),
     )
     if npad != n:
         res = res._replace(x=res.x[:n])

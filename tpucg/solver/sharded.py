@@ -43,6 +43,7 @@ from tpucg.kernels.matvec import matvec
 from tpucg.kernels.spmv import bsr_ell_spmv, ell_spmv
 from tpucg.solver.cg import (
     CGResult,
+    _run_chebyshev,
     ca_cg_loop,
     cg_loop,
     dataclasses_replace,
@@ -165,11 +166,13 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
         "precondition", "method", "poly_degree", "record", "s_step",
+        "check_every",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
     precondition="none", method="cg", poly_degree=0, record=False, s_step=3,
+    check_every=8,
 ):
     num = mesh.devices.size
 
@@ -197,6 +200,15 @@ def _sharded_cg_jit(
                 mv, dot, b_blk, x_blk, axis,
                 s_step=s_step, tol=tol, maxiter=maxiter,
                 safe_alpha=safe_alpha,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "chebyshev":
+            # ZERO psums per lap (matvec comm only); one exact-residual
+            # psum per check_every laps.
+            x, k, rn, done = _run_chebyshev(
+                mv, dot, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, check_every=check_every,
+                precond=precond,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -702,12 +714,13 @@ def _colperm_2d(npad: int, R: int, C: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "mesh", "backend", "tol", "maxiter", "safe_alpha", "method",
-        "precondition", "poly_degree", "record", "s_step",
+        "precondition", "poly_degree", "record", "s_step", "check_every",
     ),
 )
 def _sharded2d_cg_jit(
     A, b, x0, minv, *, mesh, backend, tol, maxiter, safe_alpha, method="cg",
     precondition="none", poly_degree=0, record=False, s_step=3,
+    check_every=8,
 ):
     """2-D block decomposition (SUMMA-style GEMV) — beyond the reference
     (which only row-stripes, SURVEY.md §2.4): A sharded P('rows','cols'),
@@ -741,6 +754,13 @@ def _sharded2d_cg_jit(
                 mv, dot, b_blk, x_blk, (r_ax, c_ax),
                 s_step=s_step, tol=tol, maxiter=maxiter,
                 safe_alpha=safe_alpha,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "chebyshev":
+            x, k, rn, done = _run_chebyshev(
+                mv, dot, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, check_every=check_every,
+                precond=precond,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -919,13 +939,14 @@ def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
     static_argnames=(
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
         "m_padded", "precondition", "poly_degree", "offsets", "backend",
-        "record", "s_step",
+        "record", "s_step", "check_every",
     ),
 )
 def _sharded_operator_cg_jit(
     op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
     method="cg", kind="ell", m=None, m_padded=None, precondition="none",
     poly_degree=0, offsets=None, backend="xla", record=False, s_step=3,
+    check_every=8,
 ):
     num = mesh.devices.size
 
@@ -950,6 +971,13 @@ def _sharded_operator_cg_jit(
                 mv, dot, b_blk, x_blk, axis,
                 s_step=s_step, tol=tol, maxiter=maxiter,
                 safe_alpha=safe_alpha,
+            )
+            return x, k, rn, done, jnp.zeros((1,), jnp.float32)
+        if method == "chebyshev":
+            x, k, rn, done = _run_chebyshev(
+                mv, dot, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, check_every=check_every,
+                precond=precond,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -1070,6 +1098,7 @@ def sharded_operator_cg_solve(
         ),
         record=record_residuals,
         s_step=int(config.s_step),
+        check_every=int(config.check_every),
         **statics,
     )
     if npad != n:
@@ -1422,6 +1451,7 @@ def sharded_cg_solve(
         ),
         record=record_residuals,
         s_step=int(config.s_step),
+        check_every=int(config.check_every),
     )
     if part.n_padded != n:
         x = x[:n]
@@ -1483,6 +1513,7 @@ def _sharded2d_solve(
         ),
         record=record_residuals,
         s_step=int(config.s_step),
+        check_every=int(config.check_every),
     )
     if npad != n:
         x = x[:n]
