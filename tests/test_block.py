@@ -1,0 +1,175 @@
+"""TRUE block-CG tests (``cg_solve_block`` / ``sharded_cg_solve_block``).
+
+Block CG (O'Leary 1980) couples the k right-hand sides into ONE shared
+block-Krylov space — contrast ``cg_solve_multi``, whose vmapped lanes search
+independently. The win is ITERATIONS (the block deflates k eigendirections
+per lap); the per-lap cost is one (n, k) operator GEMM + one fused
+(2k x 2k) Gram reduction + k x k replicated coordinate solves."""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.solver.operators import PoissonOperator
+from tpucg.solver.oracle import oracle_cg
+
+
+def _laplacian1d(n):
+    return (
+        2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    ).astype(np.float32)
+
+
+def test_block_parity_with_oracle():
+    n, k = 128, 4
+    A, b0, _ = tpucg.generate_spd_system(n, seed=0)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    res = tpucg.cg_solve_block(A, B)
+    assert np.asarray(res.converged).all()
+    assert np.asarray(res.x).shape == (n, k)
+    for j in range(k):
+        x_ref, _, _ = oracle_cg(np.asarray(A), B[:, j],
+                                np.zeros(n, np.float32))
+        np.testing.assert_allclose(
+            np.asarray(res.x)[:, j], x_ref, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_block_beats_single_vector_iterations():
+    # Spread spectrum (1-D Laplacian): the shared block space must cut the
+    # lap count vs single-vector CG on the same tolerance.
+    n, k = 256, 8
+    A = _laplacian1d(n)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    tol = 1e-4 * float(np.linalg.norm(B[:, 0]))
+    res = tpucg.cg_solve_block(A, B, tol=tol, maxiter=4 * n)
+    assert np.asarray(res.converged).all()
+    worst_single = 0
+    for j in range(k):
+        r1 = tpucg.cg_solve(A, B[:, j], tol=tol, maxiter=4 * n)
+        assert bool(r1.converged)
+        worst_single = max(worst_single, int(r1.iterations))
+    assert int(res.iterations) < worst_single
+    # And vs the independent-lane multi solver (same laps as single CG).
+    multi = tpucg.cg_solve_multi(A, B, tol=tol, maxiter=4 * n)
+    assert int(res.iterations) < int(np.asarray(multi.iterations).max())
+
+
+def test_block_k1_degenerates_to_cg():
+    n = 96
+    A, b, x0 = tpucg.generate_spd_system(n, seed=3)
+    ref = tpucg.cg_solve(A, b, x0)
+    res = tpucg.cg_solve_block(
+        np.asarray(A), np.asarray(b)[:, None], np.asarray(x0)[:, None]
+    )
+    assert np.asarray(res.converged).all()
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x)[:, 0], np.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_block_duplicate_columns_rank_deficient():
+    # Two identical RHS make the direction block rank-deficient from lap 0;
+    # the relative ridge must keep the coordinate solves finite and both
+    # columns must converge to the same solution.
+    n = 96
+    A, b, _ = tpucg.generate_spd_system(n, seed=4)
+    B = np.stack([np.asarray(b), np.asarray(b)], axis=1).astype(np.float32)
+    res = tpucg.cg_solve_block(A, B)
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(res.x)[:, 0], np.asarray(res.x)[:, 1],
+        rtol=1e-5, atol=1e-6,
+    )
+    x_ref, _, _ = oracle_cg(np.asarray(A), B[:, 0], np.zeros(n, np.float32))
+    np.testing.assert_allclose(
+        np.asarray(res.x)[:, 0], x_ref, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_block_mixed_difficulty_freezes_converged_columns():
+    # Column 0 is an eigenvector image (converges in ~1 lap) — it must
+    # freeze while the random columns keep iterating, and stay correct.
+    n, k = 192, 3
+    A = _laplacian1d(n)
+    w, V = np.linalg.eigh(A)
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    B[:, 0] = (A @ V[:, n // 2]).astype(np.float32)  # x* = eigenvector
+    tol = 1e-4 * float(np.linalg.norm(B[:, 1]))
+    res = tpucg.cg_solve_block(A, B, tol=tol, maxiter=4 * n)
+    assert np.asarray(res.converged).all()
+    for j in range(k):
+        resid = np.linalg.norm(B[:, j] - A @ np.asarray(res.x)[:, j])
+        assert resid < 5 * tol, j
+
+
+def test_block_operator_stencil():
+    # Matrix-free operator path: the vmapped stencil matvec carries the
+    # (n, k) block.
+    m, k = 8, 4
+    op = PoissonOperator(m=m)
+    n = m ** 3
+    rng = np.random.default_rng(6)
+    X_true = rng.standard_normal((n, k)).astype(np.float32)
+    import jax
+
+    B = np.stack(
+        [np.asarray(op.matvec(X_true[:, j])) for j in range(k)], axis=1
+    )
+    tol = 1e-5 * float(np.linalg.norm(B[:, 0]))
+    res = tpucg.cg_solve_block(op, B, tol=tol, maxiter=4 * n)
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(np.asarray(res.x), X_true, atol=1e-3)
+    # Fewer shared laps than the worst independent lane.
+    multi = tpucg.cg_solve_multi(op, B, tol=tol, maxiter=4 * n)
+    assert int(res.iterations) <= int(np.asarray(multi.iterations).max())
+
+
+def test_block_sharded_parity():
+    n, k = 192, 4
+    A, _, _ = tpucg.generate_spd_system(n, seed=7)
+    rng = np.random.default_rng(8)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    ser = tpucg.cg_solve_block(A, B)
+    sh = tpucg.sharded_cg_solve_block(np.asarray(A), B)
+    assert np.asarray(sh.converged).all()
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_block_sharded_padded_uneven():
+    # n=67 row-pads to the mesh: identity-tail pad rows must stay inert
+    # through the block Gram.
+    n, k = 67, 3
+    A, _, _ = tpucg.generate_spd_system(n, seed=9)
+    rng = np.random.default_rng(10)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    sh = tpucg.sharded_cg_solve_block(np.asarray(A), B)
+    assert np.asarray(sh.converged).all()
+    assert np.asarray(sh.x).shape == (n, k)
+    for j in range(k):
+        x_ref, _, _ = oracle_cg(np.asarray(A), B[:, j],
+                                np.zeros(n, np.float32))
+        np.testing.assert_allclose(
+            np.asarray(sh.x)[:, j], x_ref, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_block_validation():
+    A, b, _ = tpucg.generate_spd_system(32, seed=0)
+    with pytest.raises(ValueError, match="shape"):
+        tpucg.cg_solve_block(A, np.asarray(b))  # 1-D B
+    with pytest.raises(ValueError, match="precondition"):
+        tpucg.cg_solve_block(
+            A, np.asarray(b)[:, None], precondition="jacobi"
+        )
+    with pytest.raises(ValueError, match="method"):
+        tpucg.sharded_cg_solve_block(
+            np.asarray(A), np.asarray(b)[:, None], method="pipelined"
+        )

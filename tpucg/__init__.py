@@ -22,6 +22,7 @@ from tpucg.solver.cg import (
     CGResult,
     cg_solve,
     cg_solve_batch,
+    cg_solve_block,
     cg_solve_multi,
 )
 from tpucg.solver.checkpoint import (
@@ -33,6 +34,7 @@ from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
+    sharded_cg_solve_block,
     sharded_cg_solve_multi,
     sharded_operator_cg_solve,
 )
@@ -56,6 +58,7 @@ __all__ = [
     "CGResult",
     "cg_solve",
     "cg_solve_batch",
+    "cg_solve_block",
     "cg_solve_multi",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",
@@ -64,6 +67,7 @@ __all__ = [
     "cg_solve_ir",
     "sharded_cg_solve_ir",
     "sharded_cg_solve",
+    "sharded_cg_solve_block",
     "sharded_cg_solve_multi",
     "sharded_operator_cg_solve",
     "load_system_sharded",

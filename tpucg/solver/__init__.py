@@ -1,6 +1,11 @@
 """CG solvers: single-device jitted loop, sharded SPMD loops, NumPy oracle."""
 
-from tpucg.solver.cg import CGResult, cg_solve, cg_solve_multi
+from tpucg.solver.cg import (
+    CGResult,
+    cg_solve,
+    cg_solve_block,
+    cg_solve_multi,
+)
 from tpucg.solver.checkpoint import (
     cg_solve_checkpointed,
     sharded_cg_solve_checkpointed,
@@ -10,6 +15,7 @@ from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
+    sharded_cg_solve_block,
     sharded_cg_solve_multi,
     sharded_operator_cg_solve,
 )
@@ -27,6 +33,7 @@ from tpucg.solver.operators import (
 __all__ = [
     "CGResult",
     "cg_solve",
+    "cg_solve_block",
     "cg_solve_multi",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",
@@ -35,6 +42,7 @@ __all__ = [
     "cg_solve_ir",
     "sharded_cg_solve_ir",
     "sharded_cg_solve",
+    "sharded_cg_solve_block",
     "sharded_cg_solve_multi",
     "sharded_operator_cg_solve",
     "load_system_sharded",

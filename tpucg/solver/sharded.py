@@ -338,6 +338,104 @@ def sharded_cg_solve_multi(
     return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "tol", "maxiter", "axis")
+)
+def _sharded_block_jit(A, B, X0, *, mesh, tol, maxiter, axis):
+    """Row-sharded TRUE block CG in BCGrQ form (``solver.cg.block_cg_loop``):
+    the (n, k) matvec GEMM all_gathers ONE direction block per lap; the
+    S^T A S Gram and the CholeskyQR2 thin-QR passes are three (k, k) psums
+    per lap; all k x k algebra runs on replicated scalars."""
+    from tpucg.kernels.matvec import matvec_xla
+    from tpucg.solver.cg import block_cg_loop
+
+    def solve(A_blk, B_blk, X_blk):
+        def mv(P_blk):
+            p_full = jax.lax.all_gather(P_blk, axis, tiled=True)
+            return matvec_xla(A_blk, p_full)
+
+        def gram(U_blk, V_blk):
+            return jax.lax.psum(
+                jnp.matmul(
+                    U_blk.T, V_blk, precision=jax.lax.Precision.HIGHEST
+                ),
+                axis,
+            )
+
+        k, X, rr, done = block_cg_loop(
+            mv, gram, B_blk, X_blk, tol=tol, maxiter=maxiter
+        )
+        return X, k, jnp.sqrt(rr), done
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(), P(), P()),
+    )(A, B, X0)
+
+
+def sharded_cg_solve_block(
+    A,
+    B,
+    X0=None,
+    mesh: Optional[Mesh] = None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Distributed TRUE block CG: A row-block-sharded, the k right-hand
+    sides sharing one block-Krylov space (``cg_solve_block``'s distributed
+    composition; contrast ``sharded_cg_solve_multi``, whose k lanes search
+    independently). Result fields as ``cg_solve_block``."""
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg" or config.precondition != "none":
+        raise ValueError(
+            "sharded_cg_solve_block supports method='cg', "
+            "precondition='none'"
+        )
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("sharded_cg_solve_block runs on 1-D meshes")
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    B = np.asarray(B, np.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    X0 = (
+        np.zeros((n, k), np.float32)
+        if X0 is None
+        else np.asarray(X0, np.float32)
+    )
+    part = RowPartition(n=n, num_shards=num, align=row_align("xla"))
+    npad = part.n_padded
+    Ap = pad_identity_tail(A, npad)
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    X0p = np.zeros((npad, k), np.float32)
+    X0p[:n] = X0
+    shard2 = NamedSharding(mesh, P(axis, None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded_block_jit(
+        jax.device_put(Ap, shard2),
+        jax.device_put(Bp, shard2),
+        jax.device_put(X0p, shard2),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        axis=axis,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
+
+
 # --- Segmented (checkpointable) sharded execution -------------------------
 # The CG state is the carried tuple (k, x, r, p, rsold, rslast, done);
 # exposing init / run-one-segment as separate shard_map programs lets a host
