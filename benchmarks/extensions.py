@@ -238,6 +238,87 @@ def bench_batch(nsys, n, repeats):
     return rows
 
 
+def bench_block(n, k, repeats):
+    """TRUE block CG vs the independent-lane alternatives on a spread
+    spectrum (shifted 1-D Laplacian, kappa ~ 1e3 — the regime where shared
+    block-Krylov deflation pays): one (A, B) problem, three arms — k
+    sequential single-vector solves, the vmapped lockstep multi solver,
+    and BCGrQ block CG."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import time_run_chain
+    from tpucg.solver.cg import _cg_block_jit, _cg_jit, _cg_multi_jit
+    from tpucg.solver.operators import as_operator
+
+    # UNSHIFTED Laplacian: its low modes are quadratically SPREAD
+    # (lambda_j ~ j^2), exactly where deflating the k lowest pays ~k-fold;
+    # a shift s >> pi^2/n^2 would cluster them at s and erase the win
+    # (measured: +4e-3 shift left block at 127 vs 153 lockstep laps).
+    A = (2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)).astype(
+        np.float32)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    # 3e-4 ||b||: safely above the f32 true-residual floor at this kappa
+    # (1e-4 ||b|| leaves two columns floor-accepted at ~1.2e-4 ||b||).
+    tol = 3e-4 * float(np.linalg.norm(B[:, 0]))
+    maxiter = 4 * n
+    op = as_operator(jnp.asarray(A), backend="xla")
+    Bj = jax.device_put(jnp.asarray(B))
+    X0 = jnp.zeros_like(Bj)
+    jax.block_until_ready((op.A, Bj))
+
+    res_b = tpucg.cg_solve_block(A, B, tol=tol, maxiter=maxiter)
+    assert np.asarray(res_b.converged).all()
+    res_m = tpucg.cg_solve_multi(A, B, tol=tol, maxiter=maxiter)
+    assert np.asarray(res_m.converged).all()
+
+    def run_block(operands, bb, x0_):
+        (op_,) = operands
+        return _cg_block_jit(op_, bb, x0_, tol, maxiter).x
+
+    def run_multi(operands, bb, x0_):
+        (op_,) = operands
+        return _cg_multi_jit(op_, bb, x0_, None, tol, maxiter, True).x
+
+    def run_singles(operands, bb, x0_):
+        (op_,) = operands
+        cols = []
+        for j in range(k):
+            cols.append(
+                _cg_jit(op_, bb[:, j], x0_[:, j], None, tol, maxiter,
+                        "xla", True).x
+            )
+        return jnp.stack(cols, axis=1)
+
+    rows = []
+    iters_map = {
+        "block-cg (BCGrQ)": int(res_b.iterations),
+        "multi (vmap lockstep)": int(np.asarray(res_m.iterations).max()),
+        "k sequential solves": int(np.asarray(res_m.iterations).max()),
+    }
+    for label, run, est in (
+        ("block-cg (BCGrQ)", run_block,
+         int(res_b.iterations) * 3 * 50e-6),
+        ("multi (vmap lockstep)", run_multi,
+         int(np.asarray(res_m.iterations).max()) * 50e-6),
+        ("k sequential solves", run_singles,
+         k * int(np.asarray(res_m.iterations).max()) * 30e-6),
+    ):
+        s = float(np.median([
+            time_run_chain(run, (op,), Bj, X0, iters=repeats,
+                           est_solve_s=est)
+            for _ in range(3)
+        ]))
+        rows.append(dict(method=label, n=n, k=k, iters=iters_map[label],
+                         solve_ms=s * 1e3))
+        print(f"block[{label}]: {s*1e3:.3f} ms ({iters_map[label]} laps)",
+              flush=True)
+    return rows
+
+
 def bench_precond(repeats):
     """In-kernel preconditioning on a system that actually needs it: a
     badly diagonally scaled banded SPD matrix (D A D, d log-uniform on
@@ -369,6 +450,7 @@ def main():
               flush=True)
     batch_rows = bench_batch(256, 512, args.repeats)
     precond_rows = bench_precond(args.repeats)
+    block_rows = bench_block(512, 8, args.repeats)
 
     lines = [
         MARK,
@@ -448,6 +530,27 @@ def main():
         lines.append(
             f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} "
             f"| {r['iters_per_s']:.0f} |"
+        )
+    lines += [
+        "",
+        "### TRUE block CG (`tpucg.cg_solve_block`, BCGrQ)",
+        "",
+        f"One 1-D Laplacian system (n={block_rows[0]['n']}, quadratically "
+        "spread low modes) with "
+        f"k={block_rows[0]['k']} random right-hand sides, tol 3e-4 ||b||. "
+        "Block CG couples the k solves into ONE shared block-Krylov space "
+        "(O'Leary, in Dubrulle's f32-stable rQ form: the residual block "
+        "stays orthonormal via CholeskyQR2), deflating k eigendirections "
+        "per lap — versus the vmapped lockstep multi solver (independent "
+        "search spaces, laps = the worst lane) and k sequential "
+        "single-vector solves.",
+        "",
+        "| method | solve (ms) | laps |",
+        "|---|---|---|",
+    ]
+    for r in block_rows:
+        lines.append(
+            f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
         )
     section = "\n".join(lines) + "\n"
 
