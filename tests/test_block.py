@@ -167,9 +167,38 @@ def test_block_validation():
         tpucg.cg_solve_block(A, np.asarray(b))  # 1-D B
     with pytest.raises(ValueError, match="precondition"):
         tpucg.cg_solve_block(
-            A, np.asarray(b)[:, None], precondition="jacobi"
+            A, np.asarray(b)[:, None], precondition="poly"
         )
     with pytest.raises(ValueError, match="method"):
         tpucg.sharded_cg_solve_block(
             np.asarray(A), np.asarray(b)[:, None], method="pipelined"
+        )
+
+def test_block_jacobi_equilibration():
+    # Badly diagonally scaled SPD system: jacobi block CG is EXACT
+    # symmetric equilibration — stopping is on the D^-1/2-weighted
+    # residual (the natural PCG norm; documented deviation from the
+    # single-RHS arms' unweighted contract). It must converge in the
+    # equilibrated system's few laps and satisfy the weighted contract.
+    n, k = 192, 4
+    rng = np.random.default_rng(11)
+    A, _, _ = tpucg.generate_spd_system(n, seed=11)
+    d = np.exp(rng.uniform(0.0, np.log(1e3), n)).astype(np.float32)
+    A = (np.asarray(A) * d[:, None] * d[None, :]).astype(np.float32)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    scale = 1.0 / np.sqrt(np.diag(A))
+    tol = 1e-5 * float(np.linalg.norm(scale * B[:, 0]))
+    pc = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                              maxiter=4 * n)
+    assert np.asarray(pc.converged).all()
+    # Equilibration restores the generator family's few-lap convergence.
+    assert int(pc.iterations) <= 40
+    for j in range(k):
+        wres = np.linalg.norm(scale * (B[:, j] - A @ np.asarray(pc.x)[:, j]))
+        assert wres < 5 * tol, (j, wres, tol)
+    # Non-dense operators refuse loudly.
+    with pytest.raises(ValueError, match="dense"):
+        tpucg.cg_solve_block(
+            PoissonOperator(m=8), np.ones((512, 2), np.float32),
+            precondition="jacobi",
         )

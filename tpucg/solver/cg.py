@@ -1172,11 +1172,13 @@ def cg_solve_block(
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
-    if config.method != "cg" or config.precondition != "none":
+    if config.method != "cg" or config.precondition not in (
+        "none", "jacobi"
+    ):
         raise ValueError(
-            "cg_solve_block supports method='cg', precondition='none' "
-            "(a preconditioned block recurrence needs M^-1-weighted Gram "
-            "solves; use cg_solve_multi for preconditioned multi-RHS)"
+            "cg_solve_block supports method='cg' with precondition "
+            "'none' or 'jacobi' (poly needs M^-1-weighted Gram solves; "
+            "use cg_solve_multi for poly multi-RHS)"
         )
     # Same kernel rationale as cg_solve_multi: under the (n, k) block GEMM
     # the XLA path is right regardless of config.kernel.
@@ -1185,6 +1187,24 @@ def cg_solve_block(
     op = as_operator(A, backend="xla")
     if isinstance(op, DenseOperator) and op.backend == "pallas":
         op = DenseOperator(A=op.A, n=op.n, backend="xla")
+    scale = None
+    if config.precondition == "jacobi":
+        # Jacobi block CG = EXACT symmetric equilibration: solve
+        # (D^-1/2 A D^-1/2) Y = D^-1/2 B, X = D^-1/2 Y — the same iterates
+        # as Jacobi-PCG, at zero per-lap cost. Dense only (the scaled
+        # matrix is materialized once); the stopping test is then on the
+        # D^-1/2-weighted residual — the natural PCG norm (documented
+        # deviation from the unweighted contract of the single-RHS arms).
+        if not isinstance(op, DenseOperator) or op.A.dtype != jnp.float32:
+            raise ValueError(
+                "block precondition='jacobi' supports dense f32 operators"
+            )
+        d = op.diagonal()
+        scale = jnp.where(d > 0, jax.lax.rsqrt(d), jnp.ones_like(d))
+        op = DenseOperator(
+            A=scale[:, None] * op.A * scale[None, :], n=op.n,
+            backend="xla",
+        )
     n, npad = op.n, op.padded_n
     B = jnp.asarray(B, jnp.float32)
     if B.ndim != 2 or B.shape[0] != n:
@@ -1200,8 +1220,13 @@ def cg_solve_block(
     if npad != n:
         B = jnp.pad(B, ((0, npad - n), (0, 0)))
         X0 = jnp.pad(X0, ((0, npad - n), (0, 0)))
+    if scale is not None:
+        B = scale[:, None] * B
+        X0 = X0 / scale[:, None]
     maxiter = config.maxiter if config.maxiter is not None else n
     res = _cg_block_jit(op, B, X0, float(config.tol), int(maxiter))
+    if scale is not None:
+        res = res._replace(x=scale[:, None] * res.x)
     if npad != n:
         res = res._replace(x=res.x[:n])
     return res
