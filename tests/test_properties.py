@@ -81,3 +81,28 @@ def test_scaled_system_scaled_solution():
     np.testing.assert_allclose(
         np.asarray(r2.x), np.asarray(r1.x), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("method", ["chebyshev", "block"])
+def test_new_solver_arms_match_oracle_random(seed, method):
+    # Every solver arm must recover the oracle solution across random
+    # diag-dominant systems (SURVEY.md §4.3) — extended to the round-2
+    # additions. Chebyshev's lap counts are cadence-rounded and
+    # non-minimizing, block CG's are shared; only the solution and the
+    # converged flag are oracle-comparable.
+    n = 100
+    A, b, x0 = tpucg.generate_spd_system(n, seed=seed)
+    x_ref, _, _ = oracle_cg(A, b, x0)
+    if method == "chebyshev":
+        r = tpucg.cg_solve(A, b, x0, method="chebyshev", maxiter=64 * n)
+        assert bool(r.converged)
+        x = np.asarray(r.x)
+    else:
+        r = tpucg.cg_solve_block(
+            np.asarray(A), np.asarray(b)[:, None],
+            np.asarray(x0)[:, None],
+        )
+        assert np.asarray(r.converged).all()
+        x = np.asarray(r.x)[:, 0]
+    np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-5)
