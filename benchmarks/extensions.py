@@ -240,8 +240,9 @@ def bench_batch(nsys, n, repeats):
 
 def bench_block(n, k, repeats):
     """TRUE block CG vs the independent-lane alternatives on a spread
-    spectrum (shifted 1-D Laplacian, kappa ~ 1e3 — the regime where shared
-    block-Krylov deflation pays): one (A, B) problem, three arms — k
+    spectrum (UNSHIFTED 1-D Laplacian, lambda_j ~ j^2 — the regime where
+    shared block-Krylov deflation pays; see the shift warning at the
+    matrix construction below): one (A, B) problem, three arms — k
     sequential single-vector solves, the vmapped lockstep multi solver,
     and BCGrQ block CG."""
     import jax

@@ -202,3 +202,25 @@ def test_block_jacobi_equilibration():
             PoissonOperator(m=8), np.ones((512, 2), np.float32),
             precondition="jacobi",
         )
+
+
+def test_block_zero_columns_do_not_nan():
+    # Regression (review finding): an exactly-zero RHS column underflowed
+    # the old 1e-30-relative column-scale floor — outer(d, d) hit 0 in f32
+    # and 0/0 NaN-poisoned the whole block. The floor must survive its own
+    # square.
+    n = 32
+    A, b, _ = tpucg.generate_spd_system(n, seed=0)
+    r = tpucg.cg_solve_block(np.asarray(A), np.zeros((n, 2), np.float32))
+    assert np.asarray(r.converged).all()
+    assert np.isfinite(np.asarray(r.x)).all()
+    assert np.abs(np.asarray(r.x)).max() == 0.0
+    B = np.stack([np.zeros(n, np.float32), np.asarray(b)], axis=1)
+    r2 = tpucg.cg_solve_block(np.asarray(A), B)
+    assert np.asarray(r2.converged).all()
+    assert np.abs(np.asarray(r2.x)[:, 0]).max() == 0.0
+    x_ref, _, _ = oracle_cg(np.asarray(A), np.asarray(b),
+                            np.zeros(n, np.float32))
+    np.testing.assert_allclose(
+        np.asarray(r2.x)[:, 1], x_ref, rtol=1e-4, atol=1e-5
+    )

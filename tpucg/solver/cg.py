@@ -658,7 +658,11 @@ def chebyshev_loop(
         # ``serialConjugate.c:235``) does implicitly.
         tentative = rr < tol2
         confirmed = jnp.logical_and(tentative, rr_true < tol2)
-        floor_hit = jnp.logical_and(tentative, rr_true >= 0.9 * refute_rr)
+        # 0.81 = (0.9)^2: refute_rr carries SQUARED norms, and the
+        # documented '>= 90% progress' contract (matching
+        # block_cg_loop's boundary) is on residual NORMS.
+        floor_hit = jnp.logical_and(tentative,
+                                    rr_true >= 0.81 * refute_rr)
         done = jnp.logical_or(confirmed, floor_hit)
         refuted = jnp.logical_and(tentative, jnp.logical_not(done))
         # Two-tier chunk guard for non-tentative chunks:
@@ -705,24 +709,85 @@ def _run_chebyshev(matvec, dot, b, x0, *, tol, maxiter, check_every,
     return st.x, st.k, jnp.sqrt(st.rslast), st.done
 
 
+def _chol_lower(G, k: int):
+    """Hand-rolled k x k Cholesky (k static and small). The point vs
+    ``jnp.linalg.cholesky``: every multiply here is a VPU elementwise op or
+    an explicit ``precision=HIGHEST`` dot, so nothing can fall onto the
+    MXU's default 1-pass bf16 truncation (the repo's f32 invariant —
+    XLA's blocked Cholesky/TriangularSolve lowerings expose no precision
+    control). Diagonal is floored so a ridged-but-rounded Gram can never
+    NaN the sqrt."""
+    f32 = G.dtype
+    L = jnp.zeros_like(G)
+    for j in range(k):
+        s = G[j, j]
+        if j:
+            s = s - jnp.dot(L[j, :j], L[j, :j],
+                            precision=jax.lax.Precision.HIGHEST)
+        ljj = jnp.sqrt(jnp.maximum(s, jnp.asarray(1e-30, f32)))
+        L = L.at[j, j].set(ljj)
+        if j + 1 < k:
+            col = G[j + 1:, j]
+            if j:
+                col = col - jnp.matmul(
+                    L[j + 1:, :j], L[j, :j],
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            L = L.at[j + 1:, j].set(col / ljj)
+    return L
+
+
+def _tri_solve_lower(L, M, k: int):
+    """Solve L Z = M (L (k, k) lower-triangular, M (k, m)) by explicit
+    forward substitution — k static rows of HIGHEST-precision GEMVs, for
+    the same MXU-truncation reason as ``_chol_lower`` (the (k, n) solve is
+    exactly the matmul shape XLA would otherwise run at default
+    precision)."""
+    rows = []
+    for i in range(k):
+        acc = M[i]
+        if i:
+            acc = acc - jnp.matmul(
+                L[i, :i], jnp.stack(rows),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        rows.append(acc / L[i, i])
+    return jnp.stack(rows)
+
+
+def _spd_inv(T, eyek, k: int):
+    """Inverse of a (ridged) k x k SPD matrix via the hand-rolled Cholesky
+    and substitutions: T^-1 = L^-T L^-1, all HIGHEST-precision."""
+    L = _chol_lower(T, k)
+    Linv = _tri_solve_lower(L, eyek, k)
+    return jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST)
+
+
 def _cholqr(gram, Y, eyek, ridge):
     """Column-equilibrated Cholesky QR of the (n_loc, k) block ``Y`` via the
     ``gram`` closure (ONE reduction): Y = Q R with Q orthonormal. The
     equilibration (scale columns to unit norm before the Cholesky) is what
     makes the f32 Gram factorizable when column norms span orders of
     magnitude — the raw Gram's round-off exceeds any trace-relative ridge
-    there. A ~zero column (converged residual) gets a guarded scale and a
-    ~zero R entry: harmless noise directions the triangular factor kills."""
+    there. A ~zero column (converged residual — or an exactly-zero RHS)
+    gets a guarded scale whose SQUARE still survives f32 (floors 1e-15
+    relative / 1e-18 absolute: a 1e-30-relative floor squared to 1e-60
+    underflowed ``jnp.outer`` to 0 and NaN-poisoned the whole solve) and a
+    ~zero R entry: noise directions the triangular factor kills."""
     f32 = Y.dtype
+    k = eyek.shape[0]
     G = gram(Y, Y)
     G = 0.5 * (G + G.T)
     d = jnp.sqrt(jnp.clip(jnp.diagonal(G), 0.0, None))
-    d = jnp.maximum(d, jnp.asarray(1e-30, f32)
-                    * jnp.maximum(jnp.max(d), jnp.asarray(1e-30, f32)))
+    d = jnp.maximum(
+        d,
+        jnp.maximum(
+            jnp.asarray(1e-15, f32) * jnp.max(d), jnp.asarray(1e-18, f32)
+        ),
+    )
     Gn = G / jnp.outer(d, d) + jnp.asarray(ridge, f32) * eyek
-    L = jnp.linalg.cholesky(Gn)
-    Qt = jax.scipy.linalg.solve_triangular(L, (Y / d[None, :]).T,
-                                           lower=True)
+    L = _chol_lower(Gn, k)
+    Qt = _tri_solve_lower(L, (Y / d[None, :]).T, k)
     return Qt.T, L.T * d[None, :]
 
 
@@ -812,7 +877,7 @@ def block_cg_loop(
         T = 0.5 * (T + T.T)
         delta = jnp.asarray(ridge, f32) * (jnp.trace(T) / krhs) \
             + jnp.asarray(1e-30, f32)
-        alpha = jnp.linalg.inv(T + delta * eyek)
+        alpha = _spd_inv(T + delta * eyek, eyek, krhs)
         X = X + mmk(S, mmk(alpha, C))
         Qn, rho = _cholqr2(gram, Q - mmk(AS, alpha), eyek, ridge)
         C = mmk(rho, C)
