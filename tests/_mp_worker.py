@@ -124,6 +124,47 @@ def main() -> None:
                 f,
             )
 
+    # --- Round-2 arms across OS processes -----------------------------
+    # Chebyshev: the zero-psum laps + chunk-boundary dots over the
+    # cross-process (gloo) mesh.
+    res_ch = sharded_cg_solve(
+        Ad, bd, x0d, mesh=mesh, n=n, method="chebyshev", maxiter=8 * n
+    )
+    x_ch = np.asarray(
+        multihost_utils.process_allgather(res_ch.x, tiled=True)
+    )
+    # Block CG: the (n, k) all_gather GEMM + CholeskyQR2 Gram psums. Every
+    # process holds the same host copy of the small system (device_put
+    # extracts only addressable shards).
+    from tpucg.solver.sharded import sharded_cg_solve_block
+
+    A_full, b_full, _ = tpucg.load_system(
+        os.path.join(workdir, "A.txt"),
+        os.path.join(workdir, "b.txt"),
+        os.path.join(workdir, "x0.txt"),
+    )
+    rngB = np.random.default_rng(3)
+    Bk = rngB.standard_normal((n, 3)).astype(np.float32)
+    res_blk = sharded_cg_solve_block(np.asarray(A_full), Bk, mesh=mesh)
+    x_blk = np.asarray(
+        multihost_utils.process_allgather(res_blk.x, tiled=True)
+    )
+    if pid == 0:
+        np.save(os.path.join(workdir, "x_cheb.npy"), x_ch)
+        np.save(os.path.join(workdir, "x_block.npy"), x_blk)
+        with open(os.path.join(workdir, "meta_arms.json"), "w") as f:
+            json.dump(
+                {
+                    "cheb_converged": bool(res_ch.converged),
+                    "cheb_iterations": int(res_ch.iterations),
+                    "block_converged": bool(
+                        np.asarray(res_blk.converged).all()
+                    ),
+                    "block_iterations": int(res_blk.iterations),
+                },
+                f,
+            )
+
     with open(os.path.join(workdir, f"reads_{pid}.json"), "w") as f:
         json.dump(sorted(reads), f)
     print(f"worker {pid}/{nproc} done", flush=True)

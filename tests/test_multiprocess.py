@@ -65,7 +65,7 @@ def mp_run(tmp_path_factory):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=420)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
@@ -105,6 +105,28 @@ def test_multiprocess_checkpoint_resume(mp_run):
     assert abs(meta["iterations"] - oiters) <= 1
     np.testing.assert_array_equal(x_ck, x_plain)
     np.testing.assert_allclose(x_ck, ox, rtol=1e-4, atol=1e-5)
+
+
+def test_multiprocess_round2_arms(mp_run):
+    """Chebyshev (zero-psum laps) and TRUE block CG (CholeskyQR2 Gram
+    psums) across the same 2-OS-process mesh: both must recover the
+    oracle solutions through the cross-process collectives."""
+    from tpucg.solver.oracle import oracle_cg
+
+    workdir, (A, b, x0, n) = mp_run
+    with open(os.path.join(workdir, "meta_arms.json")) as f:
+        meta = json.load(f)
+    assert meta["cheb_converged"] and meta["block_converged"]
+    ox, _, _ = oracle_cg(A, b, x0)
+    x_ch = np.load(os.path.join(workdir, "x_cheb.npy"))
+    np.testing.assert_allclose(x_ch, ox, rtol=1e-3, atol=1e-4)
+    x_blk = np.load(os.path.join(workdir, "x_block.npy"))
+    rngB = np.random.default_rng(3)
+    Bk = rngB.standard_normal((n, 3)).astype(np.float32)
+    assert x_blk.shape == (n, 3)
+    for j in range(3):
+        xj, _, _ = oracle_cg(A, Bk[:, j], np.zeros(n, np.float32))
+        np.testing.assert_allclose(x_blk[:, j], xj, rtol=1e-4, atol=1e-5)
 
 
 def test_multiprocess_loading_is_host_sharded(mp_run):
