@@ -202,3 +202,17 @@ def test_cli_checkpoint_rejects_pipelined_and_prints_solution(tmp_path, capsys):
     rc = main(["solve", pa, pb, "--checkpoint", ck, "--print-solution"])
     assert rc == 0
     assert "x                    :" in capsys.readouterr().out
+
+
+def test_solve_chebyshev_flags(golden_files, capsys):
+    pa, pb, px = golden_files
+    rc = main(["solve", pa, pb, px, "--method", "chebyshev",
+               "--check-every", "4", "--maxiter", "256"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "converged            : True" in out
+    rc = main(["solve", pa, pb, px, "--method", "chebyshev",
+               "--check-every", "4", "--precondition", "jacobi",
+               "--maxiter", "256"])
+    assert rc == 0
+    assert "converged            : True" in capsys.readouterr().out
