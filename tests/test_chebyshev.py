@@ -237,3 +237,33 @@ def test_chebyshev_config_validation():
     A, b, x0 = tpucg.generate_spd_system(32, seed=0)
     with pytest.raises(ValueError, match="record_residuals"):
         tpucg.cg_solve(A, b, x0, method="chebyshev", record_residuals=True)
+
+
+@pytest.mark.parametrize("power_iters", [1, 2, 4])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chebyshev_guard_fuzz(power_iters, seed):
+    # Guard robustness: deliberately starved interval estimates across
+    # random spectra must still converge via the widen-and-restart path.
+    import jax.numpy as jnp
+
+    from tpucg.kernels.blas1 import dot_xla
+    from tpucg.solver.cg import chebyshev_loop
+
+    n = 96
+    rng = np.random.default_rng(seed)
+    # Log-spread eigenvalues over ~3 decades with a random orthogonal basis.
+    w = np.exp(rng.uniform(np.log(1e-2), np.log(10.0), n))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Q * w) @ Q.T
+    A = 0.5 * (A + A.T)
+    b = rng.standard_normal(n).astype(np.float32)
+    Aj = jnp.asarray(A.astype(np.float32))
+    tol = 1e-4 * float(np.linalg.norm(b))
+    st = chebyshev_loop(
+        lambda v: jnp.dot(Aj, v, precision="highest"), dot_xla,
+        jnp.asarray(b), jnp.zeros(n, jnp.float32),
+        tol=tol, maxiter=65536, check_every=4, power_iters=power_iters,
+    )
+    assert bool(st.done), (power_iters, seed, float(st.rslast))
+    resid = np.linalg.norm(b - A @ np.asarray(st.x, np.float64))
+    assert resid < 10 * tol
