@@ -115,3 +115,23 @@ def test_residual_history():
     plain = tpucg.cg_solve(A, b, x0)
     assert plain.residual_history is None
     np.testing.assert_array_equal(np.asarray(plain.x), np.asarray(res.x))
+
+
+def test_spectral_interval_estimates():
+    # Public two-sided spectrum estimate: on a known-spectrum matrix the
+    # bounds must bracket-ish the truth (finite-iteration estimates:
+    # lam_hi slightly under, lam_lo slightly over).
+    import numpy as np
+
+    n = 128
+    rng = np.random.default_rng(0)
+    w = np.linspace(0.5, 20.0, n)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((Q * w) @ Q.T).astype(np.float32)
+    A = 0.5 * (A + A.T)
+    from tpucg import spectral_interval
+
+    lo, hi, kappa = spectral_interval(A)
+    assert 0.8 * 20.0 <= hi <= 1.05 * 20.0
+    assert 0.5 * 0.95 <= lo <= 3.0 * 0.5
+    assert 0.2 * 40.0 <= kappa <= 2.0 * 40.0

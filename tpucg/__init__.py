@@ -24,6 +24,7 @@ from tpucg.solver.cg import (
     cg_solve_batch,
     cg_solve_block,
     cg_solve_multi,
+    spectral_interval,
 )
 from tpucg.solver.checkpoint import (
     cg_solve_checkpointed,
@@ -60,6 +61,7 @@ __all__ = [
     "cg_solve_batch",
     "cg_solve_block",
     "cg_solve_multi",
+    "spectral_interval",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",
     "sharded_operator_cg_solve_checkpointed",

@@ -93,6 +93,27 @@ def lambda_max_estimate(matvec: Callable, dot: Callable, like: jax.Array,
     return jnp.maximum(lam, jnp.asarray(1e-30, like.dtype))
 
 
+def spectral_interval_estimate(matvec: Callable, dot: Callable,
+                               like: jax.Array,
+                               power_iters: int = 16):
+    """Two-sided power-method spectrum bounds of an SPD operator:
+    ``lam_hi`` from a direct power iteration, ``lam_lo`` from one on the
+    REFLECTED operator lam_hi*I - A (whose dominant eigenvalue is
+    lam_hi - lam_min). Shared by CA-CG's basis interval, the Chebyshev
+    iteration, and the public ``tpucg.spectral_interval``; both
+    estimates ride the same matvec/dot closures, so they work unchanged
+    under every decomposition. NOTE both are finite-iteration estimates:
+    lam_hi is typically an UNDERestimate and lam_lo an OVERestimate —
+    consumers must pad (each caller documents its pads and guards)."""
+    lam_hi = lambda_max_estimate(matvec, dot, like, power_iters)
+    refl = lambda_max_estimate(
+        lambda v: lam_hi * v - matvec(v), dot, like, power_iters,
+        absolute=True,
+    )
+    lam_lo = jnp.clip(lam_hi - refl, 0.0, lam_hi)
+    return lam_lo, lam_hi
+
+
 def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
                       degree: int, power_iters: int = 12) -> Callable:
     """Truncated-Neumann polynomial preconditioner: M^-1 = w * sum_{i<d} (I - wA)^i.
@@ -421,13 +442,9 @@ def ca_cg_loop(
             D[base + i, base + i] = 1.0
     S1, S2, D = jnp.asarray(S1), jnp.asarray(S2), jnp.asarray(D)
 
-    lam_hi = lambda_max_estimate(matvec, dot, b, power_iters)
-    # rho(lam_hi I - A) ~ lam_hi - lambda_min -> interval lower end.
-    refl = lambda_max_estimate(
-        lambda v: lam_hi * v - matvec(v), dot, b, power_iters,
-        absolute=True,
+    lam_lo, lam_hi = spectral_interval_estimate(
+        matvec, dot, b, power_iters
     )
-    lam_lo = jnp.clip(lam_hi - refl, 0.0, lam_hi)
     # 5% pad absorbs power-method under/over-shoot (eigenvalues slightly
     # outside the interval only grow T_i mildly); the width floor guards
     # the exactly-scalar operator A = const*I (h = 0 would NaN — any tiny
@@ -584,11 +601,7 @@ def chebyshev_loop(
     tol2 = jnp.asarray(tol, f32) ** 2
     pmv = matvec if precond is None else (lambda v: precond(matvec(v)))
 
-    lam_hi = lambda_max_estimate(pmv, dot, b, power_iters)
-    refl = lambda_max_estimate(
-        lambda v: lam_hi * v - pmv(v), dot, b, power_iters, absolute=True
-    )
-    lam_lo = jnp.clip(lam_hi - refl, 0.0, lam_hi)
+    lam_lo, lam_hi = spectral_interval_estimate(pmv, dot, b, power_iters)
     bnd0 = 1.10 * lam_hi
     a0 = jnp.maximum(0.75 * lam_lo, jnp.asarray(1e-8, f32) * lam_hi)
 
@@ -1132,6 +1145,32 @@ def cg_solve_batch(
     if npad != n:
         res = res._replace(x=res.x[:, :n])
     return res
+
+
+@functools.partial(jax.jit, static_argnames=("power_iters",))
+def _interval_jit(op, like, power_iters):
+    return spectral_interval_estimate(
+        op.matvec, dot_xla, like, power_iters
+    )
+
+
+def spectral_interval(A, power_iters: int = 16):
+    """Estimate an SPD operator's spectrum bounds: returns
+    ``(lam_lo, lam_hi, kappa)`` as floats from the two-sided power method
+    (``spectral_interval_estimate``). The bounds are what the CA-CG basis
+    and the Chebyshev iteration derive their scalars from — useful for
+    picking ``method``/``s_step``/``check_every`` and for diagnosing
+    f32 residual floors (O(eps * kappa) relative). Estimates, not bounds
+    proper: lam_hi is typically slightly UNDER, lam_lo slightly OVER.
+    """
+    op = as_operator(A, backend="xla")
+    like = jnp.zeros((op.padded_n,), jnp.float32)
+    lam_lo, lam_hi = _interval_jit(op, like, int(power_iters))
+    lam_lo_f, lam_hi_f = float(lam_lo), float(lam_hi)
+    # NB an identity-padded operator's tail block contributes eigenvalue
+    # 1.0, which can widen the reported interval — the same spectrum the
+    # in-solver estimates see, so the numbers stay decision-relevant.
+    return lam_lo_f, lam_hi_f, lam_hi_f / max(lam_lo_f, 1e-30)
 
 
 def cg_solve_multi(
