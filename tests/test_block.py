@@ -224,3 +224,25 @@ def test_block_zero_columns_do_not_nan():
     np.testing.assert_allclose(
         np.asarray(r2.x)[:, 1], x_ref, rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed,k", [(0, 1), (1, 2), (2, 5), (3, 6)])
+def test_block_fuzz_random_spectra(seed, k):
+    # Random log-spread spectra and batch widths: every column must meet
+    # the exact true-residual contract at the confirm boundary.
+    n = 96
+    rng = np.random.default_rng(seed)
+    w = np.exp(rng.uniform(np.log(0.1), np.log(10.0), n))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((Q * w) @ Q.T).astype(np.float32)
+    A = 0.5 * (A + A.T)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    tol = 1e-4 * float(np.linalg.norm(B[:, 0]))
+    res = tpucg.cg_solve_block(A, B, tol=tol, maxiter=8 * n)
+    assert np.asarray(res.converged).all(), (seed, k)
+    for j in range(k):
+        resid = np.linalg.norm(
+            B[:, j].astype(np.float64)
+            - A.astype(np.float64) @ np.asarray(res.x)[:, j]
+        )
+        assert resid < 5 * tol, (seed, k, j, resid)
