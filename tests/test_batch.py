@@ -124,3 +124,37 @@ def test_batch_kernel_rejects_oversize():
             jnp.zeros((1, n, n)), jnp.zeros((1, n)), jnp.zeros((1, n)),
             tol=1e-6, maxiter=4,
         )
+
+
+def test_batch_jacobi_rides_the_grid_kernel():
+    # precondition='jacobi' on a small f32 batch must route through the
+    # fused grid kernel (in-kernel PCG, per-system 1/diag operand) and
+    # match the per-system lap-path PCG exactly.
+    nsys, n = 4, 96
+    rng = np.random.default_rng(0)
+    As, bs = [], []
+    for i in range(nsys):
+        M = rng.standard_normal((n, n)).astype(np.float32)
+        A = 0.5 * (M + M.T) + n * np.eye(n, dtype=np.float32)
+        d = np.exp(rng.uniform(0.0, np.log(30.0), n)).astype(np.float32)
+        As.append((A * d[:, None] * d[None, :]).astype(np.float32))
+        bs.append(rng.standard_normal(n).astype(np.float32))
+    As, bs = np.stack(As), np.stack(bs)
+    tol = 1e-5 * float(np.linalg.norm(bs[0]))
+    res = tpucg.cg_solve_batch(As, bs, kernel="pallas",
+                               precondition="jacobi", tol=tol,
+                               maxiter=4 * n)
+    assert bool(np.all(np.asarray(res.converged)))
+    for i in range(nsys):
+        ref = tpucg.cg_solve(As[i], bs[i], precondition="jacobi", tol=tol,
+                             maxiter=4 * n, fused="never")
+        assert bool(ref.converged)
+        assert abs(int(np.asarray(res.iterations)[i])
+                   - int(ref.iterations)) <= 2
+        np.testing.assert_allclose(
+            np.asarray(res.x)[i], np.asarray(ref.x), rtol=2e-3, atol=2e-4
+        )
+        # Preconditioning must genuinely cut laps on the scaled systems.
+        plain = tpucg.cg_solve(As[i], bs[i], tol=tol, maxiter=4 * n,
+                               fused="never")
+        assert int(np.asarray(res.iterations)[i]) < int(plain.iterations)

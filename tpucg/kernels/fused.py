@@ -548,9 +548,13 @@ def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
     return x2.reshape(n), k[0, 0], rr[0, 0]
 
 
-def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
-                           out_rr_ref, y_scratch, *, tol, maxiter,
-                           safe_alpha, mv_impl):
+def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, *refs, tol, maxiter,
+                           safe_alpha, mv_impl, precondition):
+    if precondition == "jacobi":
+        minv_ref, out_x_ref, out_k_ref, out_rr_ref, y_scratch = refs
+    else:
+        out_x_ref, out_k_ref, out_rr_ref, y_scratch = refs
+        minv_ref = None
     f32 = jnp.float32
     npad = a_ref.shape[1]
     i = pl.program_id(0)
@@ -572,9 +576,13 @@ def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
         return y_scratch[...].T
 
     mv = mv_vpu if mv_impl == "vpu" else mv_mxu
+    precond = None
+    if precondition == "jacobi":
+        minv = minv_ref[0]
+        precond = lambda r: minv * r
     x, k, rr = _cg_while(
         mv, b_ref[0], x0_ref[0],
-        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
     )
     out_x_ref[0] = x
     # k/rr live whole-array in SMEM (Mosaic requires either a trivial
@@ -585,10 +593,13 @@ def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "mv_impl")
+    jax.jit,
+    static_argnames=("tol", "maxiter", "safe_alpha", "mv_impl",
+                     "precondition"),
 )
 def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
-                                mv_impl="vpu"):
+                                mv_impl="vpu", precondition="none",
+                                minv=None):
     """Solve a BATCH of independent SPD systems, one whole solve per grid
     step of a single Pallas launch.
 
@@ -597,7 +608,9 @@ def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
     iterates entirely in VMEM, the pipeline prefetches system i+1's matrix
     from HBM — so a batch of small solves costs ONE kernel launch total and
     the per-solve launch floor (the reference pays a whole process per
-    system) vanishes. Returns ``(x, k, rr)`` shaped (B, npad) / (B,) / (B,).
+    system) vanishes. ``precondition="jacobi"`` runs the PCG recurrence
+    in-kernel with per-system 1/diag values passed as ``minv`` (B, npad).
+    Returns ``(x, k, rr)`` shaped (B, npad) / (B,) / (B,).
     """
     B, npad = A.shape[0], A.shape[1]
     if A.shape != (B, npad, npad):
@@ -609,11 +622,30 @@ def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
         )
     if A.dtype != jnp.float32:
         raise ValueError(f"batched fused solve is f32-only, got {A.dtype}")
+    if precondition == "jacobi" and minv is None:
+        raise ValueError("precondition='jacobi' requires minv")
+    vec_spec = pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    operands = [
+        A,
+        b.astype(jnp.float32).reshape(B, 1, npad),
+        x0.astype(jnp.float32).reshape(B, 1, npad),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, npad, npad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vec_spec,
+        vec_spec,
+    ]
+    if precondition == "jacobi":
+        operands.append(minv.astype(jnp.float32).reshape(B, 1, npad))
+        in_specs.append(vec_spec)
     x, k, rr = pl.pallas_call(
         functools.partial(
             _fused_batch_cg_kernel,
             tol=float(tol), maxiter=int(maxiter),
             safe_alpha=bool(safe_alpha), mv_impl=mv_impl,
+            precondition=precondition,
         ),
         grid=(B,),
         out_shape=(
@@ -627,20 +659,9 @@ def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        in_specs=[
-            pl.BlockSpec((1, npad, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         scratch_shapes=[pltpu.VMEM((npad, 1), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret_mode(),
-    )(
-        A,
-        b.astype(jnp.float32).reshape(B, 1, npad),
-        x0.astype(jnp.float32).reshape(B, 1, npad),
-    )
+    )(*operands)
     return x.reshape(B, npad), k[:, 0], rr[:, 0]

@@ -1119,14 +1119,19 @@ def cg_solve_batch(
     if (
         backend == "pallas"
         and config.fused != "never"
-        and config.precondition == "none"
+        and config.precondition in ("none", "jacobi")
         and npad <= FUSED_BATCH_MAX_N
     ):
         from tpucg.kernels.fused import fused_batch_cg_solve_pallas
 
+        minv = None
+        if config.precondition == "jacobi":
+            d = jnp.diagonal(A, axis1=1, axis2=2)
+            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
         x, k, rr = fused_batch_cg_solve_pallas(
             A, b, X0, tol=float(config.tol), maxiter=int(maxiter),
             safe_alpha=bool(config.safe_alpha),
+            precondition=config.precondition, minv=minv,
         )
         res = CGResult(
             x=x, iterations=k, residual_norm=jnp.sqrt(rr),
