@@ -246,3 +246,12 @@ def test_block_fuzz_random_spectra(seed, k):
             - A.astype(np.float64) @ np.asarray(res.x)[:, j]
         )
         assert resid < 5 * tol, (seed, k, j, resid)
+
+
+def test_block_k_cap():
+    A, _, _ = tpucg.generate_spd_system(64, seed=0)
+    B = np.ones((64, 33), np.float32)
+    with pytest.raises(ValueError, match="k <= 32"):
+        tpucg.cg_solve_block(np.asarray(A), B)
+    with pytest.raises(ValueError, match="k <= 32"):
+        tpucg.sharded_cg_solve_block(np.asarray(A), B)

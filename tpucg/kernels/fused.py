@@ -576,10 +576,11 @@ def _fused_batch_cg_kernel(a_ref, b_ref, x0_ref, *refs, tol, maxiter,
         return y_scratch[...].T
 
     mv = mv_vpu if mv_impl == "vpu" else mv_mxu
-    precond = None
-    if precondition == "jacobi":
-        minv = minv_ref[0]
-        precond = lambda r: minv * r
+    precond = _make_in_kernel_precond(
+        mv, precondition=precondition, poly_degree=0,
+        minv=None if minv_ref is None else minv_ref[0],
+        flat_idx=jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1),
+    )
     x, k, rr = _cg_while(
         mv, b_ref[0], x0_ref[0],
         tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,

@@ -722,6 +722,12 @@ def _run_chebyshev(matvec, dot, b, x0, *, tol, maxiter, check_every,
     return st.x, st.k, jnp.sqrt(st.rslast), st.done
 
 
+# The hand-rolled k x k algebra unrolls O(k^2) traced ops per lap; keep
+# block widths where that stays trivially cheap (use cg_solve_multi for
+# wide batches of unrelated systems).
+BLOCK_CG_MAX_K = 32
+
+
 def _chol_lower(G, k: int):
     """Hand-rolled k x k Cholesky (k static and small). The point vs
     ``jnp.linalg.cholesky``: every multiply here is a VPU elementwise op or
@@ -1078,9 +1084,11 @@ def cg_solve_batch(
     On the Pallas path small f32 systems route through
     ``kernels.fused.fused_batch_cg_solve_pallas`` — ONE kernel launch for
     the whole batch, each system solved entirely in VMEM while the grid
-    pipeline prefetches the next system's matrix from HBM. Everything else
-    (large n, preconditioned, XLA backend) runs a vmapped while_loop whose
-    per-lap matvecs batch into one MXU GEMM. Result fields are batched:
+    pipeline prefetches the next system's matrix from HBM;
+    ``precondition="jacobi"`` rides the same kernel (in-kernel PCG with
+    per-system 1/diag operands). Everything else (large n, poly, XLA
+    backend) runs a vmapped while_loop whose per-lap matvecs batch into
+    one MXU GEMM. Result fields are batched:
     ``x`` is (B, n); ``iterations``/``residual_norm``/``converged`` (B,).
     """
     if config is None:
@@ -1116,6 +1124,10 @@ def cg_solve_batch(
     backend = resolve_backend(config.kernel)
     from tpucg.kernels.fused import FUSED_BATCH_MAX_N
 
+    minv = None
+    if config.precondition == "jacobi":
+        d = jnp.diagonal(A, axis1=1, axis2=2)
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
     if (
         backend == "pallas"
         and config.fused != "never"
@@ -1124,10 +1136,6 @@ def cg_solve_batch(
     ):
         from tpucg.kernels.fused import fused_batch_cg_solve_pallas
 
-        minv = None
-        if config.precondition == "jacobi":
-            d = jnp.diagonal(A, axis1=1, axis2=2)
-            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
         x, k, rr = fused_batch_cg_solve_pallas(
             A, b, X0, tol=float(config.tol), maxiter=int(maxiter),
             safe_alpha=bool(config.safe_alpha),
@@ -1138,10 +1146,6 @@ def cg_solve_batch(
             converged=rr < jnp.asarray(float(config.tol), rr.dtype) ** 2,
         )
     else:
-        minv = None
-        if config.precondition == "jacobi":
-            d = jnp.diagonal(A, axis1=1, axis2=2)
-            minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
         res = _cg_batch_jit(
             A, b, X0, minv, float(config.tol), int(maxiter),
             bool(config.safe_alpha),
@@ -1275,7 +1279,11 @@ def cg_solve_block(
     Result fields: ``x`` is (n, k); ``iterations`` is the SHARED lap
     count (all columns advance together); ``residual_norm``/``converged``
     are per-column (k,), reported from the EXACT true residual at the
-    final confirm/refute boundary.
+    final confirm/refute boundary. With ``precondition="jacobi"`` the
+    solve is EXACT symmetric equilibration (D^-1/2 A D^-1/2) and the
+    residual contract — stopping, ``residual_norm``, ``converged`` — is
+    on the D^-1/2-WEIGHTED residual (the natural PCG norm), which on a
+    badly scaled diagonal can sit far below the unweighted ||B - A X||.
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -1319,6 +1327,12 @@ def cg_solve_block(
     if B.ndim != 2 or B.shape[0] != n:
         raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
     k = B.shape[1]
+    if k > BLOCK_CG_MAX_K:
+        raise ValueError(
+            f"block CG supports k <= {BLOCK_CG_MAX_K} right-hand sides "
+            f"(got {k}): the MXU-safe k x k algebra unrolls O(k^2) traced "
+            "ops per lap — use cg_solve_multi for wide batches"
+        )
     X0 = (
         jnp.zeros((n, k), jnp.float32)
         if X0 is None

@@ -408,6 +408,13 @@ def sharded_cg_solve_block(
     if B.ndim != 2 or B.shape[0] != n:
         raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
     k = B.shape[1]
+    from tpucg.solver.cg import BLOCK_CG_MAX_K
+
+    if k > BLOCK_CG_MAX_K:
+        raise ValueError(
+            f"block CG supports k <= {BLOCK_CG_MAX_K} right-hand sides "
+            f"(got {k}); use sharded_cg_solve_multi for wide batches"
+        )
     X0 = (
         np.zeros((n, k), np.float32)
         if X0 is None
