@@ -117,4 +117,38 @@ np.testing.assert_allclose(np.asarray(sh.x), np.asarray(rb.x),
                            rtol=1e-3, atol=1e-5)
 lap("block sharded (mesh of 1) parity ok")
 
+# --- preconditioned block CG (round-2-late flexible paths) ------------------
+# poly block (flexible M^-1-inner-product BCGrQ) on the Pallas stencil op
+Bp4 = rng.standard_normal((n3, 4)).astype(np.float32)
+tolp = 1e-5 * float(np.linalg.norm(Bp4[:, 0]))
+bp_poly = tpucg.cg_solve_block(op, Bp4, tol=tolp, maxiter=4 * n3,
+                               precondition="poly", poly_degree=3)
+bp_plain = tpucg.cg_solve_block(op, Bp4, tol=tolp, maxiter=4 * n3)
+assert np.asarray(bp_poly.converged).all()
+assert int(bp_poly.iterations) < int(bp_plain.iterations)
+for j in range(4):
+    ref1 = tpucg.cg_solve(op, Bp4[:, j], tol=tolp, maxiter=4 * n3,
+                          precondition="poly", poly_degree=3)
+    np.testing.assert_allclose(np.asarray(bp_poly.x)[:, j],
+                               np.asarray(ref1.x), rtol=1e-3, atol=1e-4)
+lap(f"block poly (stencil): {int(bp_poly.iterations)} laps vs plain "
+    f"{int(bp_plain.iterations)}, parity ok")
+
+# jacobi block on a matrix-free op = matrix-free symmetric equilibration
+bj = tpucg.cg_solve_block(op, Bp4, tol=tolp, maxiter=4 * n3,
+                          precondition="jacobi")
+assert np.asarray(bj.converged).all()
+lap(f"block jacobi matrix-free (const diag): {int(bj.iterations)} laps ok")
+
+# sharded preconditioned block arms (mesh of 1 on chip)
+shj = tpucg.sharded_cg_solve_block(Asc, Bg, precondition="jacobi",
+                                   tol=tolj, maxiter=4096)
+assert np.asarray(shj.converged).all()
+np.testing.assert_allclose(np.asarray(shj.x), np.asarray(rj.x),
+                           rtol=1e-3, atol=1e-4)
+shp = tpucg.sharded_cg_solve_block(np.asarray(Ag), Bg,
+                                   precondition="poly", poly_degree=2)
+assert np.asarray(shp.converged).all()
+lap("sharded preconditioned block (jacobi/poly) ok")
+
 print("ALL ON-CHIP DRIVES PASSED", flush=True)

@@ -165,10 +165,6 @@ def test_block_validation():
     A, b, _ = tpucg.generate_spd_system(32, seed=0)
     with pytest.raises(ValueError, match="shape"):
         tpucg.cg_solve_block(A, np.asarray(b))  # 1-D B
-    with pytest.raises(ValueError, match="precondition"):
-        tpucg.cg_solve_block(
-            A, np.asarray(b)[:, None], precondition="poly"
-        )
     with pytest.raises(ValueError, match="method"):
         tpucg.sharded_cg_solve_block(
             np.asarray(A), np.asarray(b)[:, None], method="pipelined"
@@ -196,12 +192,111 @@ def test_block_jacobi_equilibration():
     for j in range(k):
         wres = np.linalg.norm(scale * (B[:, j] - A @ np.asarray(pc.x)[:, j]))
         assert wres < 5 * tol, (j, wres, tol)
-    # Non-dense operators refuse loudly.
-    with pytest.raises(ValueError, match="dense"):
-        tpucg.cg_solve_block(
-            PoissonOperator(m=8), np.ones((512, 2), np.float32),
-            precondition="jacobi",
+
+
+def test_block_jacobi_matrix_free_operator():
+    # Jacobi block CG on a NON-dense operator: matrix-free symmetric
+    # equilibration (two elementwise scales around the vmapped matvec).
+    # A badly row/col-scaled diagonally-dominant band; must converge in
+    # the equilibrated few laps and match the dense equilibrated path.
+    from tpucg.solver.operators import DiaOperator
+    from tpucg.sparse.formats import DIAMatrix
+
+    n, k = 192, 4
+    rng = np.random.default_rng(12)
+    band = (3 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)).astype(
+        np.float32
+    )
+    d = np.exp(rng.uniform(0.0, np.log(100.0), n)).astype(np.float32)
+    A = (band * d[:, None] * d[None, :]).astype(np.float32)
+    idx = np.arange(n)
+    data = np.zeros((3, n), np.float32)
+    data[0, idx[1:]] = A[idx[1:], idx[1:] - 1]
+    data[1] = np.diag(A)
+    data[2, idx[:-1]] = A[idx[:-1], idx[:-1] + 1]
+    dia = DIAMatrix(offsets=np.array([-1, 0, 1]), data=data, shape=(n, n))
+    np.testing.assert_allclose(dia.to_dense(), A)
+    op = DiaOperator.from_dia(dia, backend="xla")
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    scale = 1.0 / np.sqrt(np.diag(A))
+    tol = 1e-5 * float(np.linalg.norm(scale * B[:, 0]))
+    mf = tpucg.cg_solve_block(op, B, precondition="jacobi", tol=tol,
+                              maxiter=4 * n)
+    assert np.asarray(mf.converged).all()
+    plain = tpucg.cg_solve_block(op, B, tol=tol, maxiter=4 * n)
+    assert int(mf.iterations) < int(plain.iterations)
+    dense = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                                 maxiter=4 * n)
+    for j in range(k):
+        wres = np.linalg.norm(scale * (B[:, j] - A @ np.asarray(mf.x)[:, j]))
+        assert wres < 5 * tol, (j, wres, tol)
+    np.testing.assert_allclose(
+        np.asarray(mf.x), np.asarray(dense.x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_block_poly_preconditioned():
+    # Poly block CG (flexible M^-1-inner-product BCGrQ, block_pcg_loop):
+    # must cut laps vs plain block CG on the stencil-conditioned Poisson
+    # system and match the single-vector poly-PCG solutions.
+    m, k = 8, 4
+    op = PoissonOperator(m=m, kernel="xla")
+    n = m ** 3
+    rng = np.random.default_rng(13)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    tol = 1e-5 * float(np.linalg.norm(B[:, 0]))
+    pr = tpucg.cg_solve_block(op, B, tol=tol, maxiter=4 * n,
+                              precondition="poly", poly_degree=3)
+    assert np.asarray(pr.converged).all()
+    plain = tpucg.cg_solve_block(op, B, tol=tol, maxiter=4 * n)
+    assert int(pr.iterations) < int(plain.iterations)
+    for j in range(k):
+        ref = tpucg.cg_solve(op, B[:, j], tol=tol, maxiter=4 * n,
+                             precondition="poly", poly_degree=3)
+        np.testing.assert_allclose(
+            np.asarray(pr.x)[:, j], np.asarray(ref.x), rtol=1e-3, atol=1e-4
         )
+    # Zero columns must stay finite through the signed pair Gram
+    # (clip-and-pin guard in _cholqr_pc).
+    rz = tpucg.cg_solve_block(op, np.zeros((n, 2), np.float32),
+                              precondition="poly", poly_degree=2)
+    assert np.asarray(rz.converged).all()
+    assert np.isfinite(np.asarray(rz.x)).all()
+
+
+def test_block_sharded_preconditioned_parity():
+    # Sharded jacobi (matrix-free equilibration, shard-local scales) and
+    # sharded poly (flexible loop, psum Grams) must match their serial
+    # counterparts on an uneven (padded) n.
+    n, k = 131, 3
+    rng = np.random.default_rng(14)
+    A0, _, _ = tpucg.generate_spd_system(n, seed=14)
+    d = np.exp(rng.uniform(0.0, np.log(100.0), n)).astype(np.float32)
+    A = (np.asarray(A0) * d[:, None] * d[None, :]).astype(np.float32)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    scale = 1.0 / np.sqrt(np.diag(A))
+    tol = 1e-5 * float(np.linalg.norm(scale * B[:, 0]))
+    ser = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                               maxiter=4 * n)
+    sh = tpucg.sharded_cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                                      maxiter=4 * n)
+    assert np.asarray(sh.converged).all()
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-3, atol=1e-4
+    )
+    B2 = rng.standard_normal((n, k)).astype(np.float32)
+    tol2 = 1e-5 * float(np.linalg.norm(B2[:, 0]))
+    serp = tpucg.cg_solve_block(np.asarray(A0), B2, precondition="poly",
+                                poly_degree=2, tol=tol2, maxiter=4 * n)
+    shp = tpucg.sharded_cg_solve_block(
+        np.asarray(A0), B2, precondition="poly", poly_degree=2, tol=tol2,
+        maxiter=4 * n,
+    )
+    assert np.asarray(shp.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(shp.x), np.asarray(serp.x), rtol=1e-3, atol=1e-4
+    )
 
 
 def test_block_zero_columns_do_not_nan():

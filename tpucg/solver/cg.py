@@ -820,6 +820,175 @@ def _cholqr2(gram, Y, eyek, ridge=1e-6):
     return Q2, jnp.matmul(R2, R1, precision=jax.lax.Precision.HIGHEST)
 
 
+def _cholqr_pc(gram, pc, Y, Z, eyek, ridge):
+    """M^-1-inner-product Cholesky QR of the residual-side block ``Y``
+    (``Z = pc(Y) = M^-1 Y``, supplied so callers can reuse one they
+    already have): returns ``(U, V, Rfac)`` with Y = V Rfac,
+    V M^-1-orthonormal (V^T M^-1 V = I), and U = M^-1 V REDERIVED by a
+    fresh ``pc`` application — never by transforming Z. The M^-1-Gram
+    needs no M: Y^T M^-1 Y = Z^T Y (``gram(Z, Y)``, one reduction).
+
+    Why rederive instead of applying the triangular transform to both
+    sides (which is exact-arithmetic-equivalent and saves the pc call):
+    near-rank-deficient blocks make the ridged triangular solve amplify
+    by ~1/sqrt(ridge) per pass, and a TRANSFORMED companion drifts from
+    M^-1 V by that factor times f32 roundoff (measured ||U - M^-1 V||
+    ~ 9 after two passes on a converging block) — the pair Gram then
+    stops being PSD and the recurrence NaNs. A fresh pc keeps the pair
+    consistent BY CONSTRUCTION, so every Gram is an honest inner product
+    of stored vectors and the self-correcting property of the
+    unpreconditioned ``_cholqr`` carries over.
+
+    Guards: same column equilibration and zero-column floors as
+    ``_cholqr``, plus — because diag(Z^T Y) is a sum of SIGNED f32
+    products, unlike the always->= 0 diag(Y^T Y) — the normalized Gram
+    is clipped to its exact-arithmetic range (off-diagonals in [-1, 1]
+    by Cauchy-Schwarz) and its diagonal pinned at 1."""
+    f32 = Y.dtype
+    k = eyek.shape[0]
+    G = gram(Z, Y)
+    G = 0.5 * (G + G.T)
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(G), 0.0, None))
+    d = jnp.maximum(
+        d,
+        jnp.maximum(
+            jnp.asarray(1e-15, f32) * jnp.max(d), jnp.asarray(1e-18, f32)
+        ),
+    )
+    Gn = jnp.clip(G / jnp.outer(d, d), -1.0, 1.0)
+    Gn = Gn - jnp.diag(jnp.diagonal(Gn)) \
+        + (1.0 + jnp.asarray(ridge, f32)) * eyek
+    L = _chol_lower(Gn, k)
+    Vt = _tri_solve_lower(L, (Y / d[None, :]).T, k)
+    V = Vt.T
+    return pc(V), V, L.T * d[None, :]
+
+
+def _cholqr2_pc(gram, pc, Y, Z, eyek, ridge=1e-6):
+    """Two-pass M^-1-inner-product CholeskyQR (the ``_cholqr2`` of the
+    preconditioned world): the second pass re-orthonormalizes V1 to
+    O(eps). 2 Gram reductions (both (k, k) psums under shard_map) and
+    2 preconditioner applications; pass 2 reuses pass 1's fresh U1 as
+    its Z side."""
+    U1, V1, R1 = _cholqr_pc(gram, pc, Y, Z, eyek, ridge)
+    U2, V2, R2 = _cholqr_pc(gram, pc, V1, U1, eyek, ridge)
+    return U2, V2, jnp.matmul(R2, R1, precision=jax.lax.Precision.HIGHEST)
+
+
+def block_pcg_loop(
+    mv: Callable,
+    gram: Callable,
+    pc: Callable,
+    B: jax.Array,
+    X0: jax.Array,
+    *,
+    tol: float,
+    maxiter,
+    ridge: float = 1e-6,
+):
+    """Preconditioned TRUE block CG: ``block_cg_loop``'s BCGrQ recurrence
+    run on the split-preconditioned system M^-1/2 A M^-1/2 — WITHOUT ever
+    forming M^1/2 or M^-1/2. Everything lives in the original variables:
+    the hat-space residual block factors as R_hat = M^-1/2 V C with V
+    M^-1-ORTHONORMAL (the hat residual's orthonormal factor, pulled back
+    to the residual side), and the loop carries the consistent pair
+    (U = M^-1 V, V), U always produced by a FRESH ``pc`` application
+    (see ``_cholqr_pc`` for why transforming it instead diverges). Cost:
+    one operator GEMM and three M^-1 applications per lap on (n, k)
+    blocks (one on A S alpha, two inside the CholeskyQR2), plus one
+    GEMM + three M^-1 per confirm/refute boundary.
+
+    Hat-space identities that make each lap cheap in original variables:
+    S_hat^T A_hat S_hat = S^T (A S) (a plain Gram of the operator GEMM),
+    X update X += S (alpha C), and the next residual-side block is
+    MW = V - (A S) alpha with M^-1 side W = pc(MW).
+
+    Stopping contract: the recurrence's C-norm test is on the hat
+    residual ||M^-1/2 r||, so tentative stops, the returned
+    ``residual_norm``, and ``converged`` are all in the M^-1/2-WEIGHTED
+    norm — the natural PCG norm (for Jacobi this is ||D^-1/2 r||,
+    identical to the dense equilibrated path's contract). Confirm/refute
+    boundaries recompute it exactly: rr_hat = diag((M^-1 R_t)^T R_t)
+    with R_t = B - A X the true residual.
+
+    ``mv``/``gram``/``pc`` abstract the execution model exactly as in
+    ``block_cg_loop``; ``pc`` maps an (n_loc, k) block to M^-1 times it
+    (elementwise for Jacobi; operator polynomials for poly — both
+    shard-local given a sharded ``mv``).
+    """
+    f32 = B.dtype
+    krhs = B.shape[1]
+    tol2 = jnp.asarray(tol, f32) ** 2
+    eyek = jnp.eye(krhs, dtype=f32)
+    mmk = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    R0 = B - mv(X0)
+    U0, V0, C0 = _cholqr2_pc(gram, pc, R0, pc(R0), eyek, ridge)
+    state = (
+        jnp.int32(0),            # laps
+        jnp.bool_(False),        # done (set at confirm/floor boundaries)
+        X0, U0, V0, C0, U0,      # X, U=M^-1 V, V, C, S
+        jnp.asarray(jnp.inf, f32),   # worst hat-rr at the last refute
+        jnp.full((krhs,), jnp.inf, f32),  # latest exact per-column hat-rr
+    )
+
+    def outer_cond(s):
+        k, done = s[0], s[1]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def inner_cond(t):
+        k, X, U, V, C, S = t
+        rn2 = jnp.sum(C * C, axis=0)  # per-column hat ||r||^2, replicated
+        return jnp.logical_and(k < maxiter,
+                               jnp.logical_not(jnp.all(rn2 < tol2)))
+
+    def inner_body(t):
+        k, X, U, V, C, S = t
+        AS = mv(S)
+        T = gram(S, AS)
+        T = 0.5 * (T + T.T)
+        delta = jnp.asarray(ridge, f32) * (jnp.trace(T) / krhs) \
+            + jnp.asarray(1e-30, f32)
+        alpha = _spd_inv(T + delta * eyek, eyek, krhs)
+        X = X + mmk(S, mmk(alpha, C))
+        MW = V - mmk(AS, alpha)
+        Un, Vn, rho = _cholqr2_pc(gram, pc, MW, pc(MW), eyek, ridge)
+        C = mmk(rho, C)
+        S = Un + mmk(S, rho.T)
+        return (k + 1, X, Un, Vn, C, S)
+
+    def outer_body(s):
+        k, done, X, U, V, C, S, refute_rr, rr = s
+        k, X, U, V, C, S = jax.lax.while_loop(
+            inner_cond, inner_body, (k, X, U, V, C, S)
+        )
+        # Boundary (tentative stop or cap): exact hat-norm true residual.
+        # diag(Z^T R) is a signed f32 sum — clip roundoff-negatives so the
+        # verdict (and the reported sqrt) stay well-defined at convergence.
+        Rt = B - mv(X)
+        Zt = pc(Rt)
+        rr = jnp.clip(jnp.diagonal(gram(Zt, Rt)), 0.0, None)
+        worst = jnp.max(rr)
+        confirmed = jnp.all(rr < tol2)
+        floor_hit = worst >= jnp.asarray(0.81, f32) * refute_rr  # (0.9)^2
+        done = jnp.logical_or(confirmed,
+                              jnp.logical_or(floor_hit, k >= maxiter))
+        # Refute: re-anchor the recurrence on ground truth and continue.
+        Ur, Vr, Cr = _cholqr2_pc(gram, pc, Rt, Zt, eyek, ridge)
+        reanchor = jnp.logical_not(done)
+        U = jnp.where(reanchor, Ur, U)
+        V = jnp.where(reanchor, Vr, V)
+        C = jnp.where(reanchor, Cr, C)
+        S = jnp.where(reanchor, Ur, S)
+        refute_rr = jnp.where(reanchor, worst, refute_rr)
+        return (k, done, X, U, V, C, S, refute_rr, rr)
+
+    k, done, X, U, V, C, S, refute_rr, rr = jax.lax.while_loop(
+        outer_cond, outer_body, state
+    )
+    return k, X, rr, rr < tol2
+
+
 def block_cg_loop(
     mv: Callable,
     gram: Callable,
@@ -1243,6 +1412,63 @@ def cg_solve_multi(
     return res
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "poly_degree")
+)
+def _cg_block_pjit(op, B, X0, minv, tol, maxiter, poly_degree=0):
+    """Preconditioned block CG on any operator.
+
+    Jacobi (``minv`` = 1/diag, padded length): MATRIX-FREE symmetric
+    equilibration — wrap the operator as D^-1/2 A D^-1/2 with two
+    elementwise row scalings around the matvec (XLA fuses them into the
+    GEMM) and run the plain, f32-proven ``block_cg_loop`` on the scaled
+    system. Exactly the dense equilibration shortcut's iterates, for
+    operators whose scaled matrix can't be materialized. This is
+    deliberately NOT ``block_pcg_loop``: with a badly scaled M the
+    flexible recurrence's attainable f32 accuracy measured ~15x worse
+    than equilibration (the post-convergence junk-direction laps walk X
+    away in ORIGINAL variables, where the error is M^1/2-amplified),
+    while equilibration computes every quantity in the well-scaled hat
+    space.
+
+    Poly (``poly_degree`` > 0): the flexible M^-1-inner-product
+    ``block_pcg_loop`` — a Neumann-polynomial M has no elementwise
+    square root to equilibrate with, and (unlike a raw Jacobi D) is
+    spectrally well-conditioned by construction, which keeps the
+    flexible recurrence at its f32 floor (measured: exact parity with
+    single-vector poly PCG on Poisson)."""
+    mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
+    gram = lambda U, V: jnp.matmul(
+        U.T, V, precision=jax.lax.Precision.HIGHEST
+    )
+    if poly_degree:
+        lam = lambda_max_estimate(op.matvec, dot_xla, B[:, 0])
+        w = jnp.asarray(0.95, B.dtype) / lam
+
+        def pc(R):
+            Z = w * R
+            for _ in range(poly_degree - 1):
+                Z = Z + w * R - w * mv(Z)
+            return Z
+
+        k, X, rr, done = block_pcg_loop(
+            mv, gram, pc, B, X0, tol=tol, maxiter=maxiter
+        )
+        return CGResult(
+            x=X, iterations=k, residual_norm=jnp.sqrt(rr), converged=done
+        )
+    sc = jnp.sqrt(minv)
+    mv_hat = lambda Y: sc[:, None] * mv(sc[:, None] * Y)
+    k, Y, rr, done = block_cg_loop(
+        mv_hat, gram, sc[:, None] * B, X0 / sc[:, None],
+        tol=tol, maxiter=maxiter,
+    )
+    return CGResult(
+        x=sc[:, None] * Y, iterations=k, residual_norm=jnp.sqrt(rr),
+        converged=done,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
 def _cg_block_jit(op, B, X0, tol, maxiter):
     mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
@@ -1279,23 +1505,27 @@ def cg_solve_block(
     Result fields: ``x`` is (n, k); ``iterations`` is the SHARED lap
     count (all columns advance together); ``residual_norm``/``converged``
     are per-column (k,), reported from the EXACT true residual at the
-    final confirm/refute boundary. With ``precondition="jacobi"`` the
-    solve is EXACT symmetric equilibration (D^-1/2 A D^-1/2) and the
-    residual contract — stopping, ``residual_norm``, ``converged`` — is
-    on the D^-1/2-WEIGHTED residual (the natural PCG norm), which on a
-    badly scaled diagonal can sit far below the unweighted ||B - A X||.
+    final confirm/refute boundary.
+
+    Preconditioning (``"jacobi"`` / ``"poly"``, any operator) runs the
+    M-inner-product BCGrQ form (``block_pcg_loop``); dense-f32 Jacobi
+    takes the equivalent zero-per-lap-cost exact-equilibration shortcut
+    (D^-1/2 A D^-1/2). Either way the residual contract — stopping,
+    ``residual_norm``, ``converged`` — is on the M^-1/2-WEIGHTED
+    residual (the natural PCG norm; ``||D^-1/2 (B - A X)||`` per column
+    for Jacobi), which on a badly scaled diagonal can sit far from the
+    unweighted ``||B - A X||``.
     """
     if config is None:
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg" or config.precondition not in (
-        "none", "jacobi"
+        "none", "jacobi", "poly"
     ):
         raise ValueError(
             "cg_solve_block supports method='cg' with precondition "
-            "'none' or 'jacobi' (poly needs M^-1-weighted Gram solves; "
-            "use cg_solve_multi for poly multi-RHS)"
+            "'none', 'jacobi', or 'poly'"
         )
     # Same kernel rationale as cg_solve_multi: under the (n, k) block GEMM
     # the XLA path is right regardless of config.kernel.
@@ -1305,23 +1535,25 @@ def cg_solve_block(
     if isinstance(op, DenseOperator) and op.backend == "pallas":
         op = DenseOperator(A=op.A, n=op.n, backend="xla")
     scale = None
+    flexible = config.precondition == "poly"
     if config.precondition == "jacobi":
-        # Jacobi block CG = EXACT symmetric equilibration: solve
-        # (D^-1/2 A D^-1/2) Y = D^-1/2 B, X = D^-1/2 Y — the same iterates
-        # as Jacobi-PCG, at zero per-lap cost. Dense only (the scaled
-        # matrix is materialized once); the stopping test is then on the
-        # D^-1/2-weighted residual — the natural PCG norm (documented
-        # deviation from the unweighted contract of the single-RHS arms).
-        if not isinstance(op, DenseOperator) or op.A.dtype != jnp.float32:
-            raise ValueError(
-                "block precondition='jacobi' supports dense f32 operators"
+        if isinstance(op, DenseOperator) and op.A.dtype == jnp.float32:
+            # Dense-f32 Jacobi block CG = EXACT symmetric equilibration:
+            # solve (D^-1/2 A D^-1/2) Y = D^-1/2 B, X = D^-1/2 Y — the same
+            # iterates as Jacobi-PCG, at zero per-lap cost (the scaled
+            # matrix is materialized once). The stopping test is then on
+            # the D^-1/2-weighted residual — the same M^-1/2-weighted
+            # contract as the flexible path below.
+            d = op.diagonal()
+            scale = jnp.where(d > 0, jax.lax.rsqrt(d), jnp.ones_like(d))
+            op = DenseOperator(
+                A=scale[:, None] * op.A * scale[None, :], n=op.n,
+                backend="xla",
             )
-        d = op.diagonal()
-        scale = jnp.where(d > 0, jax.lax.rsqrt(d), jnp.ones_like(d))
-        op = DenseOperator(
-            A=scale[:, None] * op.A * scale[None, :], n=op.n,
-            backend="xla",
-        )
+        else:
+            # Sparse / matrix-free / bf16-storage: the M-inner-product
+            # BCGrQ loop, preconditioner applied blockwise per lap.
+            flexible = True
     n, npad = op.n, op.padded_n
     B = jnp.asarray(B, jnp.float32)
     if B.ndim != 2 or B.shape[0] != n:
@@ -1347,7 +1579,20 @@ def cg_solve_block(
         B = scale[:, None] * B
         X0 = X0 / scale[:, None]
     maxiter = config.maxiter if config.maxiter is not None else n
-    res = _cg_block_jit(op, B, X0, float(config.tol), int(maxiter))
+    if flexible:
+        if config.precondition == "jacobi":
+            d = op.diagonal().astype(jnp.float32)
+            minv = jnp.where(d > 0, 1.0 / d, jnp.ones_like(d))
+            res = _cg_block_pjit(
+                op, B, X0, minv, float(config.tol), int(maxiter)
+            )
+        else:
+            res = _cg_block_pjit(
+                op, B, X0, None, float(config.tol), int(maxiter),
+                poly_degree=int(config.poly_degree),
+            )
+    else:
+        res = _cg_block_jit(op, B, X0, float(config.tol), int(maxiter))
     if scale is not None:
         res = res._replace(x=scale[:, None] * res.x)
     if npad != n:

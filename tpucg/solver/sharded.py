@@ -339,15 +339,29 @@ def sharded_cg_solve_multi(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "tol", "maxiter", "axis")
+    jax.jit,
+    static_argnames=(
+        "mesh", "tol", "maxiter", "axis", "precondition", "poly_degree",
+    ),
 )
-def _sharded_block_jit(A, B, X0, *, mesh, tol, maxiter, axis):
+def _sharded_block_jit(
+    A, B, X0, *, mesh, tol, maxiter, axis, precondition="none",
+    poly_degree=0,
+):
     """Row-sharded TRUE block CG in BCGrQ form (``solver.cg.block_cg_loop``):
     the (n, k) matvec GEMM all_gathers ONE direction block per lap; the
     S^T A S Gram and the CholeskyQR2 thin-QR passes are three (k, k) psums
-    per lap; all k x k algebra runs on replicated scalars."""
+    per lap; all k x k algebra runs on replicated scalars.
+
+    Preconditioning mirrors the serial ``_cg_block_pjit`` dispatch:
+    Jacobi is matrix-free symmetric equilibration (shard-local row scale,
+    with the column scale riding the existing all_gather — zero extra
+    collectives); poly runs the flexible M^-1-inner-product
+    ``block_pcg_loop`` whose pc is shard-local given the sharded mv."""
     from tpucg.kernels.matvec import matvec_xla
-    from tpucg.solver.cg import block_cg_loop
+    from tpucg.solver.cg import (
+        block_cg_loop, block_pcg_loop, dot_xla, lambda_max_estimate,
+    )
 
     def solve(A_blk, B_blk, X_blk):
         def mv(P_blk):
@@ -362,6 +376,36 @@ def _sharded_block_jit(A, B, X0, *, mesh, tol, maxiter, axis):
                 axis,
             )
 
+        if precondition == "jacobi":
+            sc_blk = jnp.sqrt(_jacobi_minv_blk(A_blk, axis))
+            # A_hat = D^-1/2 A D^-1/2: the column scale is applied BEFORE
+            # the gather (scale-then-gather == gather-then-scale, one
+            # local multiply), the row scale after the local GEMM.
+            mv_hat = lambda Y_blk: sc_blk[:, None] * mv(
+                sc_blk[:, None] * Y_blk
+            )
+            k, Y, rr, done = block_cg_loop(
+                mv_hat, gram, sc_blk[:, None] * B_blk,
+                X_blk / sc_blk[:, None], tol=tol, maxiter=maxiter,
+            )
+            return sc_blk[:, None] * Y, k, jnp.sqrt(rr), done
+        if precondition == "poly":
+            dot = lambda u, v: jax.lax.psum(dot_xla(u, v), axis)
+            lam = lambda_max_estimate(
+                lambda p: mv(p[:, None])[:, 0], dot, B_blk[:, 0]
+            )
+            w = jnp.asarray(0.95, B_blk.dtype) / lam
+
+            def pc(R_blk):
+                Z = w * R_blk
+                for _ in range(poly_degree - 1):
+                    Z = Z + w * R_blk - w * mv(Z)
+                return Z
+
+            k, X, rr, done = block_pcg_loop(
+                mv, gram, pc, B_blk, X_blk, tol=tol, maxiter=maxiter
+            )
+            return X, k, jnp.sqrt(rr), done
         k, X, rr, done = block_cg_loop(
             mv, gram, B_blk, X_blk, tol=tol, maxiter=maxiter
         )
@@ -386,15 +430,19 @@ def sharded_cg_solve_block(
     """Distributed TRUE block CG: A row-block-sharded, the k right-hand
     sides sharing one block-Krylov space (``cg_solve_block``'s distributed
     composition; contrast ``sharded_cg_solve_multi``, whose k lanes search
-    independently). Result fields as ``cg_solve_block``."""
+    independently). Result fields and the preconditioning contract (the
+    M^-1/2-weighted residual norm for ``"jacobi"``/``"poly"``) as
+    ``cg_solve_block``."""
     if config is None:
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
-    if config.method != "cg" or config.precondition != "none":
+    if config.method != "cg" or config.precondition not in (
+        "none", "jacobi", "poly"
+    ):
         raise ValueError(
-            "sharded_cg_solve_block supports method='cg', "
-            "precondition='none'"
+            "sharded_cg_solve_block supports method='cg' with "
+            "precondition 'none', 'jacobi', or 'poly'"
         )
     if mesh is None:
         mesh = make_mesh()
@@ -437,6 +485,8 @@ def sharded_cg_solve_block(
         tol=float(config.tol),
         maxiter=int(maxiter),
         axis=axis,
+        precondition=config.precondition,
+        poly_degree=int(config.poly_degree),
     )
     if npad != n:
         x = x[:n]
