@@ -320,6 +320,98 @@ def bench_block(n, k, repeats):
     return rows
 
 
+def bench_block_precond(n, k, repeats):
+    """Preconditioning x block CG composed (the round-2-late flexible
+    paths): a badly diagonally scaled 1-D Laplacian (D L D, d log-uniform
+    on [1, 30]) with k random right-hand sides. All arms stop on the SAME
+    D^-1/2-weighted residual norm (Jacobi = exact symmetric
+    equilibration; for this construction the equilibrated system is
+    exactly L/2, so the arms are also directly comparable to the
+    unscaled block table above):
+
+    - block-cg + jacobi: the matrix-free-equilibration block path
+      (`_cg_block_pjit`) on the SCALED operator — deflation and scaling
+      repair composed;
+    - multi + jacobi: vmapped lockstep lanes on the explicitly
+      equilibrated matrix (independent search spaces);
+    - k sequential jacobi solves on the equilibrated matrix.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import time_run_chain
+    from tpucg.solver.cg import _cg_block_pjit, _cg_jit, _cg_multi_jit
+    from tpucg.solver.operators import as_operator
+
+    L = (2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)).astype(
+        np.float32)
+    rng = np.random.default_rng(7)
+    d = np.exp(rng.uniform(0.0, np.log(30.0), n)).astype(np.float32)
+    A = (L * d[:, None] * d[None, :]).astype(np.float32)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    sc = (1.0 / np.sqrt(np.diag(A))).astype(np.float32)
+    # Same floor rationale as bench_block's 3e-4 (the weighted system IS
+    # the Laplacian): stay above the f32 true-residual floor at this kappa.
+    tol = 3e-4 * float(np.linalg.norm(sc * B[:, 0]))
+    maxiter = 4 * n
+
+    op = as_operator(jnp.asarray(A), backend="xla")
+    minv = jax.device_put(jnp.asarray((1.0 / np.diag(A)).astype(np.float32)))
+    op_hat = as_operator(jnp.asarray(sc[:, None] * A * sc[None, :]),
+                         backend="xla")
+    Bj = jax.device_put(jnp.asarray(B))
+    Bhat = jax.device_put(jnp.asarray(sc[:, None] * B))
+    X0 = jnp.zeros_like(Bj)
+    jax.block_until_ready((op.A, op_hat.A, Bj, Bhat, minv))
+
+    res_b = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                                 maxiter=maxiter)
+    assert np.asarray(res_b.converged).all()
+    res_m = _cg_multi_jit(op_hat, Bhat, X0, None, tol, maxiter, True)
+    assert np.asarray(res_m.converged).all()
+
+    def run_block(operands, bb, x0_):
+        op_, minv_ = operands
+        return _cg_block_pjit(op_, bb, x0_, minv_, tol, maxiter).x
+
+    def run_multi(operands, bb, x0_):
+        (op_,) = operands
+        return _cg_multi_jit(op_, bb, x0_, None, tol, maxiter, True).x
+
+    def run_singles(operands, bb, x0_):
+        (op_,) = operands
+        cols = []
+        for j in range(k):
+            cols.append(
+                _cg_jit(op_, bb[:, j], x0_[:, j], None, tol, maxiter,
+                        "xla", True).x
+            )
+        return jnp.stack(cols, axis=1)
+
+    multi_laps = int(np.asarray(res_m.iterations).max())
+    rows = []
+    for label, run, operands, bb, iters, est in (
+        ("block-cg + jacobi", run_block, (op, minv), Bj,
+         int(res_b.iterations), int(res_b.iterations) * 3 * 50e-6),
+        ("multi + jacobi (lockstep)", run_multi, (op_hat,), Bhat,
+         multi_laps, multi_laps * 50e-6),
+        ("k sequential jacobi solves", run_singles, (op_hat,), Bhat,
+         multi_laps, k * multi_laps * 30e-6),
+    ):
+        s = float(np.median([
+            time_run_chain(run, operands, bb, X0, iters=repeats,
+                           est_solve_s=est)
+            for _ in range(3)
+        ]))
+        rows.append(dict(method=label, n=n, k=k, iters=iters,
+                         solve_ms=s * 1e3))
+        print(f"block-pcg[{label}]: {s*1e3:.3f} ms ({iters} laps)",
+              flush=True)
+    return rows
+
+
 def bench_precond(repeats):
     """In-kernel preconditioning on a system that actually needs it: a
     badly diagonally scaled banded SPD matrix (D A D, d log-uniform on
@@ -452,6 +544,7 @@ def main():
     batch_rows = bench_batch(256, 512, args.repeats)
     precond_rows = bench_precond(args.repeats)
     block_rows = bench_block(512, 8, args.repeats)
+    block_pcg_rows = bench_block_precond(512, 8, args.repeats)
 
     lines = [
         MARK,
@@ -550,6 +643,27 @@ def main():
         "|---|---|---|",
     ]
     for r in block_rows:
+        lines.append(
+            f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
+        )
+    lines += [
+        "",
+        "### Preconditioned block CG (jacobi x BCGrQ composed)",
+        "",
+        f"The same Laplacian badly diagonally scaled (D L D, d log-uniform "
+        f"on [1, 30]; n={block_pcg_rows[0]['n']}, "
+        f"k={block_pcg_rows[0]['k']}). All arms stop on the same "
+        "D^-1/2-weighted residual (3e-4): jacobi block CG runs the "
+        "matrix-free symmetric equilibration path on the scaled operator; "
+        "the lockstep/sequential arms solve the explicitly equilibrated "
+        "system. Deflation and scaling repair compose: the shared "
+        "block-Krylov space keeps its ~7x lap cut despite the ~900x "
+        "kappa inflation the scaling adds.",
+        "",
+        "| method | solve (ms) | laps |",
+        "|---|---|---|",
+    ]
+    for r in block_pcg_rows:
         lines.append(
             f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
         )
