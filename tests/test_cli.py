@@ -216,3 +216,12 @@ def test_solve_chebyshev_flags(golden_files, capsys):
                "--maxiter", "256"])
     assert rc == 0
     assert "converged            : True" in capsys.readouterr().out
+
+
+def test_solve_block_jacobi_flags(golden_files, capsys):
+    pa, pb, px = golden_files
+    rc = main(["solve", pa, pb, px, "--precondition", "block_jacobi",
+               "--pc-block-size", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "converged            : True" in out

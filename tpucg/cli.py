@@ -59,9 +59,14 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                         "VMEM-resident dense systems (auto = below the "
                         "measured crossover)")
     p.add_argument("--precondition", default="none",
-                   choices=("none", "jacobi", "poly"))
+                   choices=("none", "jacobi", "block_jacobi", "poly"))
     p.add_argument("--poly-degree", type=int, default=3,
                    help="degree for --precondition poly (truncated Neumann)")
+    p.add_argument("--pc-block-size", type=int, default=64,
+                   dest="pc_block_size",
+                   help="diagonal-block size for --precondition "
+                        "block_jacobi (inverted once, applied as one "
+                        "batched block GEMV per lap)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the reference's informal "
                         "determinism/NaN checking, made a real tool)")
@@ -89,6 +94,7 @@ def _solve_args(args, A, b, x0):
         maxiter=args.maxiter, kernel=args.kernel,
         method=args.method, precondition=args.precondition,
         poly_degree=args.poly_degree, s_step=args.s_step,
+        pc_block_size=args.pc_block_size,
         check_every=args.check_every, fused=args.fused,
         record_residuals=record,
     )
@@ -131,6 +137,7 @@ def cmd_solve(args) -> int:
             strategy=args.strategy, method=args.method,
             precondition=args.precondition,
             poly_degree=args.poly_degree, s_step=args.s_step,
+            pc_block_size=args.pc_block_size,
             check_every=args.check_every,
         )
         jax.block_until_ready(res.x)
@@ -434,6 +441,7 @@ def _bench_one(args, strategy, backend):
     kw = dict(tol=tol, method=args.method,
               precondition=args.precondition, poly_degree=args.poly_degree,
               s_step=args.s_step, check_every=args.check_every,
+              pc_block_size=args.pc_block_size,
               kernel=args.kernel, fused=args.fused)
     t0 = time.perf_counter()
     if strategy == "serial":

@@ -40,12 +40,19 @@ class CGConfig:
         loudly / robustly rather than replicating reference bugs).
       precondition: ``"none"`` (the reference's unpreconditioned CG),
         ``"jacobi"`` (z = r / diag(A); cuts iterations on badly
-        diagonally-scaled systems at one extra O(n) multiply per lap), or
+        diagonally-scaled systems at one extra O(n) multiply per lap),
+        ``"block_jacobi"`` (z = blockdiag(A)^-1 r with ``pc_block_size``
+        blocks, inverted once at setup and applied as ONE batched
+        (bs, bs) block GEMV per lap — the MXU-native strong
+        preconditioner; also absorbs within-block coupling, e.g. bands
+        and per-node DOF blocks; dense/DIA/Poisson operators), or
         ``"poly"`` (truncated-Neumann polynomial of degree ``poly_degree`` —
-        ``poly_degree - 1`` extra matvecs per lap, no triangular solves; the
-        TPU-idiomatic strong preconditioner). The stopping test stays on the
-        true residual in every case.
+        ``poly_degree - 1`` extra matvecs per lap, no triangular solves).
+        The stopping test stays on the true residual in every case.
       poly_degree: polynomial degree for ``precondition="poly"`` (>= 1).
+      pc_block_size: diagonal-block size for
+        ``precondition="block_jacobi"`` (>= 2; setup inverts
+        ceil(n/bs) bs x bs blocks once).
       method: ``"cg"`` (the reference recurrence), ``"pipelined"``
         (Ghysels-Vanroose communication-hiding CG: ONE fused scalar reduction
         per lap, overlappable with the matvec — an extension for
@@ -83,6 +90,7 @@ class CGConfig:
     safe_alpha: bool = True
     precondition: str = "none"
     poly_degree: int = 3
+    pc_block_size: int = 64
     method: str = "cg"
     s_step: int = 3
     check_every: int = 8
@@ -107,10 +115,14 @@ class CGConfig:
             raise ValueError(f"unknown kernel backend {self.kernel!r}")
         if self.fused not in ("auto", "always", "never"):
             raise ValueError(f"unknown fused mode {self.fused!r}")
-        if self.precondition not in ("none", "jacobi", "poly"):
+        if self.precondition not in (
+            "none", "jacobi", "block_jacobi", "poly"
+        ):
             raise ValueError(f"unknown preconditioner {self.precondition!r}")
         if self.poly_degree < 1:
             raise ValueError("poly_degree must be >= 1")
+        if self.pc_block_size < 2:
+            raise ValueError("pc_block_size must be >= 2")
         if self.tol <= 0:
             raise ValueError("tol must be positive")
         if jnp.dtype(self.dtype) not in (jnp.float32, jnp.float64):

@@ -140,6 +140,50 @@ def make_poly_precond(matvec: Callable, dot: Callable, b: jax.Array,
     return precond
 
 
+def block_jacobi_minv(op, bs: int) -> jax.Array:
+    """One-time setup of the block-Jacobi preconditioner: the
+    (nb, bs, bs) batch of INVERTED diagonal blocks of A, symmetrized.
+    Where point Jacobi undoes diagonal scaling only, block Jacobi also
+    absorbs within-block coupling (tridiagonal bands, per-node DOF
+    blocks) — and its per-lap apply is ONE batched (bs, bs) x (bs,)
+    GEMM, the MXU-native preconditioner shape (contrast incomplete
+    factorizations, whose triangular solves serialize on TPU).
+
+    The inverse is computed ONCE by ``jnp.linalg.inv`` (plus a tiny
+    trace-relative ridge): preconditioner quality, not the f32 solve
+    contract, depends on it — PCG needs M fixed and SPD, not exact, and
+    the stopping test stays on the true residual — so XLA's
+    uncontrolled-precision LU is acceptable here where it is not in the
+    solve path. Symmetrizing restores the exact-arithmetic symmetry of
+    an SPD inverse that LU roundoff breaks."""
+    blocks = op.diagonal_blocks(bs)
+    f32 = blocks.dtype
+    nb = blocks.shape[0]
+    tr = jnp.trace(blocks, axis1=1, axis2=2) / bs  # (nb,)
+    ridge = jnp.asarray(1e-6, f32) * tr + jnp.asarray(1e-30, f32)
+    eye = jnp.eye(bs, dtype=f32)
+    minv = jnp.linalg.inv(blocks + ridge[:, None, None] * eye[None])
+    return 0.5 * (minv + jnp.transpose(minv, (0, 2, 1)))
+
+
+def make_block_precond(minv: jax.Array, npad: int) -> Callable:
+    """z = M^-1 r for the block-Jacobi ``minv`` (nb, bs, bs): one batched
+    block GEMV per application (``precision=HIGHEST`` — it IS a matmul on
+    the solve path). Pads r when bs does not divide the vector length
+    (the pad blocks are identity, so the pad coordinates pass through)."""
+    nb, bs, _ = minv.shape
+
+    def precond(r):
+        rp = jnp.pad(r, (0, nb * bs - npad)) if nb * bs != npad else r
+        z = jnp.einsum(
+            "qij,qj->qi", minv, rp.reshape(nb, bs),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1)
+        return z[:npad] if nb * bs != npad else z
+
+    return precond
+
+
 def init_state(matvec: Callable, dot: Callable, b: jax.Array,
                x0: jax.Array, tol: float,
                precond: Optional[Callable] = None,
@@ -1115,7 +1159,13 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
     if poly_degree:
         precond = make_poly_precond(matvec, dot, b, poly_degree)
     elif minv is not None:
-        precond = lambda r: minv * r
+        # 1-D minv = point Jacobi (elementwise); 3-D = block Jacobi
+        # (batched inverted diagonal blocks, one block GEMV per apply).
+        precond = (
+            make_block_precond(minv, b.shape[0])
+            if minv.ndim == 3
+            else (lambda r: minv * r)
+        )
     else:
         precond = None
     if method == "pipelined":
@@ -1185,8 +1235,16 @@ def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha, poly_degree=0):
 
         if poly_degree:
             precond = make_poly_precond(op.matvec, dot_xla, b, poly_degree)
+        elif minv is not None:
+            # 3-D minv = block Jacobi; the per-lane block GEMVs batch
+            # under the enclosing vmap like the matvec does.
+            precond = (
+                make_block_precond(minv, b.shape[0])
+                if minv.ndim == 3
+                else (lambda r: minv * r)
+            )
         else:
-            precond = None if minv is None else (lambda r: minv * r)
+            precond = None
         s = cg_loop(
             op.matvec, dot_xla, update, b, x0,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
@@ -1293,6 +1351,11 @@ def cg_solve_batch(
     backend = resolve_backend(config.kernel)
     from tpucg.kernels.fused import FUSED_BATCH_MAX_N
 
+    if config.precondition == "block_jacobi":
+        raise ValueError(
+            "cg_solve_batch supports precondition 'none', 'jacobi', or "
+            "'poly' (per-system block inverses are unimplemented)"
+        )
     minv = None
     if config.precondition == "jacobi":
         d = jnp.diagonal(A, axis1=1, axis2=2)
@@ -1401,6 +1464,8 @@ def cg_solve_multi(
     if config.precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    elif config.precondition == "block_jacobi":
+        minv = block_jacobi_minv(op, int(config.pc_block_size))
     maxiter = config.maxiter if config.maxiter is not None else n
     res = _cg_multi_jit(
         op, B, X0, minv, float(config.tol), int(maxiter),
@@ -1652,6 +1717,8 @@ def cg_solve(
     if config.precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(dtype)
+    elif config.precondition == "block_jacobi":
+        minv = block_jacobi_minv(op, int(config.pc_block_size)).astype(dtype)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
     fused_kind = _fused_eligible(config, op, backend, dtype,
@@ -1735,6 +1802,10 @@ def _fused_eligible(config, op, backend, dtype, record_residuals):
     if record_residuals or dtype != jnp.float32:
         return None
     pc = config.precondition
+    if pc == "block_jacobi":
+        # The in-kernel PCG recurrences know jacobi/poly only; block
+        # Jacobi's batched block GEMV rides the lap path.
+        return None
     if isinstance(op, PoissonOperator):
         if pc not in ("none", "poly"):
             return None

@@ -51,8 +51,48 @@ class LinearOperator:
             "precondition='jacobi' is unavailable for it"
         )
 
+    def diagonal_blocks(self, bs: int) -> jax.Array:
+        """The (ceil(padded_n/bs), bs, bs) diagonal blocks of A — for the
+        block-Jacobi preconditioner. Rows past padded_n (when bs does not
+        divide it) are identity. Exact extraction is format-specific
+        (probing with strided basis vectors aliases off-block entries for
+        ANY nonzero bandwidth), so only formats that store their
+        diagonal-block entries addressably implement it."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose diagonal blocks; "
+            "precondition='block_jacobi' is unavailable for it"
+        )
+
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.matvec(x)
+
+
+def _blocks_from_diag_data(offsets, data, bs: int) -> jax.Array:
+    """Assemble (nb, bs, bs) diagonal blocks from DIA-style storage:
+    ``data[d, i] = A[i, i + offsets[d]]`` (canonical (ndiag, N)). An entry
+    lands in a block iff its row AND column share the block, i.e.
+    r = i mod bs satisfies 0 <= r + off < bs — offsets with |off| >= bs
+    never contribute. Rows in the bs-alignment tail (>= N) get identity."""
+    ndiag, N = len(offsets), data.shape[1]
+    nb = -(-N // bs)
+    dtype = jnp.promote_types(data.dtype, jnp.float32)
+    if nb * bs != N:
+        data = jnp.pad(data, ((0, 0), (0, nb * bs - N)))
+    blocks = jnp.zeros((nb, bs, bs), dtype)
+    for d in range(ndiag):
+        off = int(offsets[d])
+        if abs(off) >= bs:
+            continue
+        rs = np.arange(max(0, -off), bs - max(0, off))
+        blocks = blocks.at[:, rs, rs + off].set(
+            data[d].reshape(nb, bs)[:, rs].astype(dtype)
+        )
+    if nb * bs != N:
+        tail = jnp.arange(nb * bs).reshape(nb, bs) >= N
+        blocks = jnp.where(
+            tail[:, :, None] | tail[:, None, :], 0.0, blocks
+        ) + jnp.eye(bs, dtype=dtype)[None] * tail[:, :, None]
+    return blocks
 
 
 @jax.tree_util.register_dataclass
@@ -98,6 +138,23 @@ class DenseOperator(LinearOperator):
         # Identity pad tail -> 1.0, safe to invert; bf16 storage upcast.
         return jnp.diagonal(self.A).astype(
             jnp.promote_types(self.A.dtype, jnp.float32)
+        )
+
+    def diagonal_blocks(self, bs: int) -> jax.Array:
+        # One-time setup gather of (nb, bs, bs) entries; out-of-range tail
+        # indices (bs not dividing padded_n) clamp, get zeroed by the
+        # validity mask, and take identity diagonals.
+        N = self.padded_n
+        nb = -(-N // bs)
+        dtype = jnp.promote_types(self.A.dtype, jnp.float32)
+        idx = jnp.arange(nb * bs)
+        valid = (idx < N).reshape(nb, bs)
+        idxc = jnp.minimum(idx, N - 1).reshape(nb, bs)
+        blocks = self.A[idxc[:, :, None], idxc[:, None, :]].astype(dtype)
+        both = valid[:, :, None] & valid[:, None, :]
+        blocks = jnp.where(both, blocks, 0.0)
+        return blocks + jnp.eye(bs, dtype=dtype)[None] * (
+            ~valid[:, :, None]
         )
 
 
@@ -241,6 +298,20 @@ class DiaOperator(LinearOperator):
             ).reshape(-1)
         return self.data[d0]
 
+    def diagonal_blocks(self, bs: int) -> jax.Array:
+        from tpucg.kernels.spmv import LANE
+
+        data = self.data
+        if self.interleaved:
+            # On-device inverse of kernels.spmv.dia_interleave:
+            # (N/128, ndiag*128) -> canonical (ndiag, N).
+            rows = data.shape[0]
+            ndiag = data.shape[1] // LANE
+            data = jnp.transpose(
+                data.reshape(rows, ndiag, LANE), (1, 0, 2)
+            ).reshape(ndiag, rows * LANE)
+        return _blocks_from_diag_data(self.offsets, data, bs)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -356,6 +427,28 @@ class PoissonOperator(LinearOperator):
 
     def diagonal(self) -> jax.Array:
         return jnp.full(self.n, 6.0, jnp.float32)
+
+    def diagonal_blocks(self, bs: int) -> jax.Array:
+        # Stencil offsets are +-1 (x, broken at each x-line end), +-m (y,
+        # broken at slab ends), +-m^2 (z); build their DIA rows with the
+        # grid-boundary masks and assemble like any banded operator.
+        m, N = self.m, self.n
+        i = jnp.arange(N)
+        offsets, rows = [0], [jnp.full(N, 6.0, jnp.float32)]
+        for off, ok_fwd in (
+            (1, (i % m) != m - 1),
+            (m, ((i // m) % m) != m - 1),
+            (m * m, (i // (m * m)) != m - 1),
+        ):
+            if off >= bs:
+                continue  # never lands inside a bs-block
+            fwd = jnp.where(ok_fwd & (i + off < N), -1.0, 0.0)
+            bwd = jnp.where(
+                (i >= off) & jnp.roll(ok_fwd, off), -1.0, 0.0
+            )
+            offsets += [off, -off]
+            rows += [fwd.astype(jnp.float32), bwd.astype(jnp.float32)]
+        return _blocks_from_diag_data(offsets, jnp.stack(rows), bs)
 
 
 def best_sparse_operator(

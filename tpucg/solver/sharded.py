@@ -166,13 +166,13 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
         "precondition", "method", "poly_degree", "record", "s_step",
-        "check_every",
+        "check_every", "pc_block_size",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
     precondition="none", method="cg", poly_degree=0, record=False, s_step=3,
-    check_every=8,
+    check_every=8, pc_block_size=64,
 ):
     num = mesh.devices.size
 
@@ -183,6 +183,32 @@ def _sharded_cg_jit(
         if precondition == "jacobi":
             minv = _jacobi_minv_blk(A_blk, axis)
             precond = lambda r: minv * r
+        if precondition == "block_jacobi":
+            # Block Jacobi is perfectly shard-local under row-block
+            # sharding (the wrapper enforces bs | block_rows): slice the
+            # shard's diagonal square, gather its (bs, bs) blocks, invert
+            # once (same rationale as solver.cg.block_jacobi_minv), and
+            # apply as one LOCAL batched block GEMV per lap — zero extra
+            # collectives.
+            from tpucg.solver.cg import make_block_precond
+
+            block_rows = A_blk.shape[0]
+            my = jax.lax.axis_index(axis)
+            sq = jax.lax.dynamic_slice(
+                A_blk,
+                (jnp.int32(0), (my * block_rows).astype(jnp.int32)),
+                (block_rows, block_rows),
+            ).astype(jnp.float32)
+            nbl, bs = block_rows // pc_block_size, pc_block_size
+            ridx = jnp.arange(block_rows).reshape(nbl, bs)
+            blocks = sq[ridx[:, :, None], ridx[:, None, :]]
+            tr = jnp.trace(blocks, axis1=1, axis2=2) / bs
+            eye = jnp.eye(bs, dtype=jnp.float32)
+            inv = jnp.linalg.inv(
+                blocks + (1e-6 * tr + 1e-30)[:, None, None] * eye[None]
+            )
+            minv3 = 0.5 * (inv + jnp.transpose(inv, (0, 2, 1)))
+            precond = make_block_precond(minv3, block_rows)
 
         dot, dots, update = _make_reductions(axis)
         if precondition == "poly":
@@ -1216,6 +1242,13 @@ def sharded_operator_cg_solve(
         config = dataclasses_replace(config, **overrides)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
+    if config.precondition == "block_jacobi":
+        raise ValueError(
+            "sharded_operator_cg_solve supports precondition 'none', "
+            "'jacobi', or 'poly' (block Jacobi on sharded sparse "
+            "operators is unimplemented; the serial cg_solve supports it "
+            "on DIA/Poisson)"
+        )
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -1549,6 +1582,11 @@ def sharded_cg_solve(
             raise ValueError(
                 "bfloat16 storage is supported on 1-D meshes"
             )
+        if config.precondition == "block_jacobi":
+            raise ValueError(
+                "precondition='block_jacobi' is supported on 1-D meshes "
+                "(the 2-D decomposition stores column-permuted blocks)"
+            )
         return _sharded2d_solve(
             A, b, x0, mesh, config, backend, record_residuals
         )
@@ -1589,6 +1627,15 @@ def sharded_cg_solve(
             axis,
             storage_dtype=storage_dtype,
         )
+    if (
+        config.precondition == "block_jacobi"
+        and (part.n_padded // num) % config.pc_block_size != 0
+    ):
+        raise ValueError(
+            f"pc_block_size={config.pc_block_size} must divide the shard "
+            f"block ({part.n_padded // num} rows) so the diagonal blocks "
+            "stay shard-local"
+        )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded_cg_jit(
         Ad, bd, x0d,
@@ -1607,6 +1654,7 @@ def sharded_cg_solve(
         record=record_residuals,
         s_step=int(config.s_step),
         check_every=int(config.check_every),
+        pc_block_size=int(config.pc_block_size),
     )
     if part.n_padded != n:
         x = x[:n]
