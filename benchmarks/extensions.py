@@ -320,6 +320,70 @@ def bench_block(n, k, repeats):
     return rows
 
 
+def bench_block_jacobi(n, repeats):
+    """Block Jacobi where it structurally wins: a DENSE system (the
+    matvec's n^2 streaming makes the n*bs block-inverse traffic free —
+    on thin sparse operators the inverse stream would dominate the lap)
+    whose conditioning lives INSIDE the diagonal blocks: a badly scaled
+    near-singular band (D (2.05 I - band) D). Point Jacobi undoes only
+    the scaling; block Jacobi also absorbs each block's band. Arms share
+    the lap path (fused='never': the fused kernels don't know block
+    GEMV preconds) so the delta is laps + one batched block GEMV."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import time_run_chain
+    from tpucg.solver.cg import _cg_jit, block_jacobi_minv
+    from tpucg.solver.operators import as_operator
+
+    rng = np.random.default_rng(9)
+    band = (2.05 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1))
+    d = np.exp(rng.uniform(0.0, np.log(30.0), n))
+    A = (band * d[:, None] * d[None, :]).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    sc = (1.0 / np.sqrt(np.diag(A))).astype(np.float32)
+    # kappa(band) ~ 80: comfortably above trivial, comfortably inside the
+    # f32 floor. Weighted-equivalent tol (the hat system is band/2.05).
+    tol = 1e-4 * float(np.linalg.norm(b))
+    maxiter = 8 * n
+    op = as_operator(jnp.asarray(A), backend="xla")
+    minv_pt = jnp.where(jnp.diag(op.A) != 0, 1.0 / jnp.diag(op.A), 1.0)
+    minv_bj = block_jacobi_minv(op, 64)
+    bj_ = jax.device_put(jnp.asarray(b))
+    x0 = jnp.zeros(n, jnp.float32)
+    jax.block_until_ready((op.A, minv_pt, minv_bj))
+
+    def run(minv_arg):
+        def f(operands, bb, x0_):
+            op_ = operands[0]
+            m = operands[1] if len(operands) > 1 else None
+            return _cg_jit(op_, bb, x0_, m, tol, maxiter, "xla", True).x
+        return f
+
+    rows = []
+    for label, operands, pre_kw in (
+        ("plain CG", (op,), dict()),
+        ("jacobi", (op, minv_pt), dict(precondition="jacobi")),
+        ("block-jacobi bs=64", (op, minv_bj),
+         dict(precondition="block_jacobi", pc_block_size=64)),
+    ):
+        res = tpucg.cg_solve(A, b, tol=tol, maxiter=maxiter, kernel="xla",
+                             fused="never", **pre_kw)
+        iters = int(res.iterations)
+        s = float(np.median([
+            time_run_chain(run(operands), operands, bj_, x0,
+                           iters=repeats, est_solve_s=iters * 100e-6)
+            for _ in range(3)
+        ]))
+        rows.append(dict(method=label, n=n, iters=iters,
+                         converged=bool(res.converged), solve_ms=s * 1e3))
+        print(f"block-jacobi[{label}]: {s*1e3:.3f} ms ({iters} laps, "
+              f"conv {bool(res.converged)})", flush=True)
+    return rows
+
+
 def bench_block_precond(n, k, repeats):
     """Preconditioning x block CG composed (the round-2-late flexible
     paths): a badly diagonally scaled 1-D Laplacian (D L D, d log-uniform
@@ -545,6 +609,7 @@ def main():
     precond_rows = bench_precond(args.repeats)
     block_rows = bench_block(512, 8, args.repeats)
     block_pcg_rows = bench_block_precond(512, 8, args.repeats)
+    bj_rows = bench_block_jacobi(8192, args.repeats)
 
     lines = [
         MARK,
@@ -666,6 +731,27 @@ def main():
     for r in block_pcg_rows:
         lines.append(
             f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
+        )
+    lines += [
+        "",
+        "### Block-Jacobi preconditioner (`precondition=\"block_jacobi\"`)",
+        "",
+        f"Dense badly scaled near-singular band (D (2.05 I - band) D, "
+        f"n={bj_rows[0]['n']}, single RHS, tol 1e-4 ||b||), all arms on "
+        "the lap path. Point Jacobi undoes the scaling only; block "
+        "Jacobi's bs=64 inverted diagonal blocks (one batched block GEMV "
+        "per lap, 2 MB streamed vs the 268 MB dense matvec) also absorb "
+        "each block's band. On thin SPARSE operators the inverse stream "
+        "would dominate the lap — dense/block-structured systems are "
+        "where block Jacobi structurally wins.",
+        "",
+        "| method | solve (ms) | iters | converged |",
+        "|---|---|---|---|",
+    ]
+    for r in bj_rows:
+        lines.append(
+            f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} "
+            f"| {r['converged']} |"
         )
     section = "\n".join(lines) + "\n"
 
