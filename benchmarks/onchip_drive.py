@@ -175,4 +175,25 @@ assert bool(r_shj.converged)
 lap(f"block-jacobi stencil {int(r_bj3.iterations)} / sharded "
     f"{int(r_shj.iterations)} laps ok")
 
+# block CG x block-jacobi (blockwise equilibration: batched eigh + GEMMs)
+rng2 = np.random.default_rng(9)
+band = 2.05 * np.eye(512) - np.eye(512, k=1) - np.eye(512, k=-1)
+d2 = np.exp(rng2.uniform(0.0, np.log(30.0), 512))
+Abb = (band * d2[:, None] * d2[None, :]).astype(np.float32)
+Bbb = rng2.standard_normal((512, 4)).astype(np.float32)
+sc2 = 1.0 / np.sqrt(np.diag(Abb))
+tol2 = 1e-4 * float(np.linalg.norm(sc2 * Bbb[:, 0]))
+rbj_blk = tpucg.cg_solve_block(Abb, Bbb, precondition="block_jacobi",
+                               pc_block_size=64, tol=tol2, maxiter=4096)
+rj_blk = tpucg.cg_solve_block(Abb, Bbb, precondition="jacobi",
+                              tol=tol2, maxiter=4096)
+assert np.asarray(rbj_blk.converged).all()
+assert int(rbj_blk.iterations) < int(rj_blk.iterations)
+shbj = tpucg.sharded_cg_solve_block(Abb, Bbb, precondition="block_jacobi",
+                                    pc_block_size=64, tol=tol2,
+                                    maxiter=4096)
+assert np.asarray(shbj.converged).all()
+lap(f"block-cg x block-jacobi: {int(rbj_blk.iterations)} laps vs jacobi "
+    f"{int(rj_blk.iterations)}; sharded {int(shbj.iterations)} ok")
+
 print("ALL ON-CHIP DRIVES PASSED", flush=True)

@@ -350,3 +350,45 @@ def test_block_k_cap():
         tpucg.cg_solve_block(np.asarray(A), B)
     with pytest.raises(ValueError, match="k <= 32"):
         tpucg.sharded_cg_solve_block(np.asarray(A), B)
+
+
+def test_block_cg_block_jacobi():
+    # block_jacobi x block CG: BLOCKWISE equilibration (per-block
+    # M^(+-1/2) pairs from one batched eigh) wrapped around the plain
+    # BCGrQ loop. On an in-block-conditioned scaled band it must beat
+    # point-jacobi block CG and match the single-vector block_jacobi
+    # solutions; the sharded arm (shard-local blocks) must match serial.
+    n, k = 512, 4
+    rng = np.random.default_rng(15)
+    band = 2.05 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    d = np.exp(rng.uniform(0.0, np.log(30.0), n))
+    A = (band * d[:, None] * d[None, :]).astype(np.float32)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    sc = 1.0 / np.sqrt(np.diag(A))
+    tol = 1e-4 * float(np.linalg.norm(sc * B[:, 0]))
+    rj = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
+                              maxiter=8 * n)
+    rbj = tpucg.cg_solve_block(A, B, precondition="block_jacobi",
+                               pc_block_size=64, tol=tol, maxiter=8 * n)
+    assert np.asarray(rbj.converged).all()
+    assert int(rbj.iterations) < int(rj.iterations)
+    for j in range(k):
+        ref = tpucg.cg_solve(A, B[:, j], precondition="block_jacobi",
+                             pc_block_size=64, tol=tol, maxiter=8 * n)
+        np.testing.assert_allclose(
+            np.asarray(rbj.x)[:, j], np.asarray(ref.x),
+            rtol=5e-3, atol=1e-3,
+        )
+    # Sharded: bs=16 divides this mesh's 64-row shards.
+    sh = tpucg.sharded_cg_solve_block(A, B, precondition="block_jacobi",
+                                      pc_block_size=16, tol=tol,
+                                      maxiter=8 * n)
+    assert np.asarray(sh.converged).all()
+    ser16 = tpucg.cg_solve_block(A, B, precondition="block_jacobi",
+                                 pc_block_size=16, tol=tol, maxiter=8 * n)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser16.x),
+                               rtol=5e-3, atol=1e-3)
+    # bs must divide the shard block.
+    with pytest.raises(ValueError, match="divide the shard"):
+        tpucg.sharded_cg_solve_block(A, B, precondition="block_jacobi",
+                                     pc_block_size=24)

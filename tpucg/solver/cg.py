@@ -166,6 +166,54 @@ def block_jacobi_minv(op, bs: int) -> jax.Array:
     return 0.5 * (minv + jnp.transpose(minv, (0, 2, 1)))
 
 
+def block_jacobi_sqrt_pair(op, bs: int):
+    """Setup for BLOCKWISE symmetric equilibration: the (nb, bs, bs)
+    batches M^-1/2 and M^1/2 of the block-diagonal M = blockdiag(A),
+    from ONE batched ``eigh`` (eigenvalues floored relative to each
+    block's largest, so a singular tail block cannot NaN the rsqrt).
+    Same precision rationale as ``block_jacobi_minv``: this runs once at
+    setup and only preconditioner quality depends on it. Used by the
+    block-CG arm, where equilibration is the f32-stable way to
+    precondition (see ``_cg_block_pjit``)."""
+    blocks = op.diagonal_blocks(bs)
+    f32 = blocks.dtype
+    w, V = jnp.linalg.eigh(blocks)
+    w = jnp.maximum(
+        w,
+        jnp.maximum(
+            jnp.asarray(1e-12, f32) * w[:, -1:],
+            jnp.asarray(1e-30, f32),
+        ),
+    )
+    mm = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    isq = mm("qij,qj,qkj->qik", V, jax.lax.rsqrt(w), V)
+    sq = mm("qij,qj,qkj->qik", V, jnp.sqrt(w), V)
+    sym = lambda T: 0.5 * (T + jnp.transpose(T, (0, 2, 1)))
+    return sym(isq), sym(sq)
+
+
+def make_block_apply(S: jax.Array, npad: int) -> Callable:
+    """Apply a block-diagonal matrix (the (nb, bs, bs) batch ``S``) to an
+    (npad, k) column block: one batched (bs, bs) x (bs, k) GEMM. The
+    2-D-block sibling of ``make_block_precond`` (which serves 1-D
+    vectors); identity pad blocks make the row tail pass through."""
+    nb, bs, _ = S.shape
+
+    def apply(Y):
+        Yp = (
+            jnp.pad(Y, ((0, nb * bs - npad), (0, 0)))
+            if nb * bs != npad
+            else Y
+        )
+        Z = jnp.einsum(
+            "qij,qjc->qic", S, Yp.reshape(nb, bs, -1),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(nb * bs, -1)
+        return Z[:npad] if nb * bs != npad else Z
+
+    return apply
+
+
 def make_block_precond(minv: jax.Array, npad: int) -> Callable:
     """z = M^-1 r for the block-Jacobi ``minv`` (nb, bs, bs): one batched
     block GEMV per application (``precision=HIGHEST`` — it IS a matmul on
@@ -1496,6 +1544,12 @@ def _cg_block_pjit(op, B, X0, minv, tol, maxiter, poly_degree=0):
     while equilibration computes every quantity in the well-scaled hat
     space.
 
+    Block Jacobi (``minv`` = the (M^-1/2, M^1/2) pair from
+    ``block_jacobi_sqrt_pair``): the SAME equilibration strategy
+    blockwise — M^-1/2 exists explicitly for a block-diagonal M (one
+    batched eigh at setup), so the hat operator is two batched block
+    GEMMs around the matvec and the plain loop runs unchanged.
+
     Poly (``poly_degree`` > 0): the flexible M^-1-inner-product
     ``block_pcg_loop`` — a Neumann-polynomial M has no elementwise
     square root to equilibrate with, and (unlike a raw Jacobi D) is
@@ -1521,6 +1575,19 @@ def _cg_block_pjit(op, B, X0, minv, tol, maxiter, poly_degree=0):
         )
         return CGResult(
             x=X, iterations=k, residual_norm=jnp.sqrt(rr), converged=done
+        )
+    if isinstance(minv, tuple):
+        isq, sq = minv
+        npad = B.shape[0]
+        sapp = make_block_apply(isq, npad)
+        sqapp = make_block_apply(sq, npad)
+        mv_hat = lambda Y: sapp(mv(sapp(Y)))
+        k, Y, rr, done = block_cg_loop(
+            mv_hat, gram, sapp(B), sqapp(X0), tol=tol, maxiter=maxiter
+        )
+        return CGResult(
+            x=sapp(Y), iterations=k, residual_norm=jnp.sqrt(rr),
+            converged=done,
         )
     sc = jnp.sqrt(minv)
     mv_hat = lambda Y: sc[:, None] * mv(sc[:, None] * Y)
@@ -1572,10 +1639,12 @@ def cg_solve_block(
     are per-column (k,), reported from the EXACT true residual at the
     final confirm/refute boundary.
 
-    Preconditioning (``"jacobi"`` / ``"poly"``, any operator) runs the
-    M-inner-product BCGrQ form (``block_pcg_loop``); dense-f32 Jacobi
-    takes the equivalent zero-per-lap-cost exact-equilibration shortcut
-    (D^-1/2 A D^-1/2). Either way the residual contract — stopping,
+    Preconditioning on any operator: ``"jacobi"`` and ``"block_jacobi"``
+    run as exact symmetric equilibration (elementwise scales /
+    per-block M^(+-1/2) pairs from one batched eigh — the f32-stable
+    form; dense-f32 Jacobi takes the materialized shortcut), ``"poly"``
+    runs the flexible M-inner-product BCGrQ form (``block_pcg_loop``).
+    Either way the residual contract — stopping,
     ``residual_norm``, ``converged`` — is on the M^-1/2-WEIGHTED
     residual (the natural PCG norm; ``||D^-1/2 (B - A X)||`` per column
     for Jacobi), which on a badly scaled diagonal can sit far from the
@@ -1586,11 +1655,11 @@ def cg_solve_block(
     elif overrides:
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg" or config.precondition not in (
-        "none", "jacobi", "poly"
+        "none", "jacobi", "block_jacobi", "poly"
     ):
         raise ValueError(
             "cg_solve_block supports method='cg' with precondition "
-            "'none', 'jacobi', or 'poly'"
+            "'none', 'jacobi', 'block_jacobi', or 'poly'"
         )
     # Same kernel rationale as cg_solve_multi: under the (n, k) block GEMM
     # the XLA path is right regardless of config.kernel.
@@ -1600,7 +1669,7 @@ def cg_solve_block(
     if isinstance(op, DenseOperator) and op.backend == "pallas":
         op = DenseOperator(A=op.A, n=op.n, backend="xla")
     scale = None
-    flexible = config.precondition == "poly"
+    flexible = config.precondition in ("poly", "block_jacobi")
     if config.precondition == "jacobi":
         if isinstance(op, DenseOperator) and op.A.dtype == jnp.float32:
             # Dense-f32 Jacobi block CG = EXACT symmetric equilibration:
@@ -1650,6 +1719,12 @@ def cg_solve_block(
             minv = jnp.where(d > 0, 1.0 / d, jnp.ones_like(d))
             res = _cg_block_pjit(
                 op, B, X0, minv, float(config.tol), int(maxiter)
+            )
+        elif config.precondition == "block_jacobi":
+            res = _cg_block_pjit(
+                op, B, X0,
+                block_jacobi_sqrt_pair(op, int(config.pc_block_size)),
+                float(config.tol), int(maxiter),
             )
         else:
             res = _cg_block_pjit(

@@ -368,11 +368,12 @@ def sharded_cg_solve_multi(
     jax.jit,
     static_argnames=(
         "mesh", "tol", "maxiter", "axis", "precondition", "poly_degree",
+        "pc_block_size",
     ),
 )
 def _sharded_block_jit(
     A, B, X0, *, mesh, tol, maxiter, axis, precondition="none",
-    poly_degree=0,
+    poly_degree=0, pc_block_size=64,
 ):
     """Row-sharded TRUE block CG in BCGrQ form (``solver.cg.block_cg_loop``):
     the (n, k) matvec GEMM all_gathers ONE direction block per lap; the
@@ -415,6 +416,43 @@ def _sharded_block_jit(
                 X_blk / sc_blk[:, None], tol=tol, maxiter=maxiter,
             )
             return sc_blk[:, None] * Y, k, jnp.sqrt(rr), done
+        if precondition == "block_jacobi":
+            # BLOCKWISE equilibration, shard-local exactly like the
+            # single-vector arm (bs | block_rows enforced by the wrapper):
+            # M^-1/2 applied before the gather and after the local GEMM —
+            # valid because blockdiag(M)^-1/2 is block-diagonal on the
+            # same shard-aligned blocks.
+            from tpucg.solver.cg import make_block_apply
+
+            block_rows = A_blk.shape[0]
+            my = jax.lax.axis_index(axis)
+            sqd = jax.lax.dynamic_slice(
+                A_blk,
+                (jnp.int32(0), (my * block_rows).astype(jnp.int32)),
+                (block_rows, block_rows),
+            ).astype(jnp.float32)
+            nbl, bs = block_rows // pc_block_size, pc_block_size
+            ridx = jnp.arange(block_rows).reshape(nbl, bs)
+            blocks = sqd[ridx[:, :, None], ridx[:, None, :]]
+            w, V = jnp.linalg.eigh(blocks)
+            w = jnp.maximum(
+                w, jnp.maximum(1e-12 * w[:, -1:], jnp.float32(1e-30))
+            )
+            mm = functools.partial(
+                jnp.einsum, precision=jax.lax.Precision.HIGHEST
+            )
+            isq = mm("qij,qj,qkj->qik", V, jax.lax.rsqrt(w), V)
+            isq = 0.5 * (isq + jnp.transpose(isq, (0, 2, 1)))
+            sq = mm("qij,qj,qkj->qik", V, jnp.sqrt(w), V)
+            sq = 0.5 * (sq + jnp.transpose(sq, (0, 2, 1)))
+            sapp = make_block_apply(isq, block_rows)
+            sqapp = make_block_apply(sq, block_rows)
+            mv_hat = lambda Y_blk: sapp(mv(sapp(Y_blk)))
+            k, Y, rr, done = block_cg_loop(
+                mv_hat, gram, sapp(B_blk), sqapp(X_blk),
+                tol=tol, maxiter=maxiter,
+            )
+            return sapp(Y), k, jnp.sqrt(rr), done
         if precondition == "poly":
             dot = lambda u, v: jax.lax.psum(dot_xla(u, v), axis)
             lam = lambda_max_estimate(
@@ -464,11 +502,11 @@ def sharded_cg_solve_block(
     elif overrides:
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg" or config.precondition not in (
-        "none", "jacobi", "poly"
+        "none", "jacobi", "block_jacobi", "poly"
     ):
         raise ValueError(
             "sharded_cg_solve_block supports method='cg' with "
-            "precondition 'none', 'jacobi', or 'poly'"
+            "precondition 'none', 'jacobi', 'block_jacobi', or 'poly'"
         )
     if mesh is None:
         mesh = make_mesh()
@@ -503,6 +541,15 @@ def sharded_cg_solve_block(
     X0p[:n] = X0
     shard2 = NamedSharding(mesh, P(axis, None))
     maxiter = config.maxiter if config.maxiter is not None else n
+    if (
+        config.precondition == "block_jacobi"
+        and (npad // num) % config.pc_block_size != 0
+    ):
+        raise ValueError(
+            f"pc_block_size={config.pc_block_size} must divide the shard "
+            f"block ({npad // num} rows) so the diagonal blocks stay "
+            "shard-local"
+        )
     x, kk, rn, done = _sharded_block_jit(
         jax.device_put(Ap, shard2),
         jax.device_put(Bp, shard2),
@@ -513,6 +560,7 @@ def sharded_cg_solve_block(
         axis=axis,
         precondition=config.precondition,
         poly_degree=int(config.poly_degree),
+        pc_block_size=int(config.pc_block_size),
     )
     if npad != n:
         x = x[:n]
