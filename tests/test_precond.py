@@ -304,3 +304,41 @@ def test_block_jacobi_validation():
         tpucg.cg_solve(EllOperator.from_csr(_csr(4)),
                        np.ones(64, np.float32),
                        precondition="block_jacobi")
+
+
+def test_block_jacobi_checkpointed():
+    # Checkpoint/resume must be bit-identical under block_jacobi (same
+    # recomputed block inverses, same recurrence), and the bs is part of
+    # the checkpoint's preconditioner identity.
+    n = 512
+    L = _laplacian1d(n)
+    b = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+    tol = 4e-3 * float(np.linalg.norm(b))
+    ref = tpucg.cg_solve(L, b, tol=tol, maxiter=8 * n,
+                         precondition="block_jacobi", pc_block_size=64)
+    res = tpucg.cg_solve_checkpointed(
+        L, b, tol=tol, maxiter=8 * n, precondition="block_jacobi",
+        pc_block_size=64, segment_iters=7,
+    )
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_block_jacobi_checkpoint_bs_mismatch_refuses(tmp_path):
+    n = 256
+    L = _laplacian1d(n)
+    b = np.ones(n, np.float32)
+    tol = 4e-3 * float(np.linalg.norm(b))
+    path = str(tmp_path / "ck.npz")
+    # Run a few segments at bs=64, cap before convergence, keep the file.
+    r1 = tpucg.cg_solve_checkpointed(
+        L, b, tol=tol, maxiter=4, precondition="block_jacobi",
+        pc_block_size=64, segment_iters=2, checkpoint_path=path,
+        keep_checkpoint=True,
+    )
+    assert not bool(r1.converged)
+    with pytest.raises(ValueError, match="precondition"):
+        tpucg.cg_solve_checkpointed(
+            L, b, tol=tol, maxiter=8 * n, precondition="block_jacobi",
+            pc_block_size=32, segment_iters=2, checkpoint_path=path,
+        )

@@ -490,7 +490,10 @@ def _drive_segments(
     )
 
 
-def _validate_checkpoint_config(config: CGConfig, segment_iters: int) -> None:
+def _validate_checkpoint_config(
+    config: CGConfig, segment_iters: int,
+    allowed=("none", "jacobi"),
+) -> None:
     if segment_iters < 1:
         raise ValueError("segment_iters must be >= 1")
     if config.method != "cg":
@@ -498,11 +501,12 @@ def _validate_checkpoint_config(config: CGConfig, segment_iters: int) -> None:
             "checkpointed solves support method='cg' only (the pipelined "
             "state is not checkpointable)"
         )
-    if config.precondition not in ("none", "jacobi"):
+    if config.precondition not in allowed:
         raise ValueError(
-            "checkpointed solves support precondition='none'/'jacobi' "
+            f"this checkpointed solver supports precondition in {allowed} "
             "(a resumed poly preconditioner would re-estimate lambda_max "
-            "and diverge from the saved trajectory)"
+            "and diverge from the saved trajectory; block_jacobi is "
+            "serial-only so far)"
         )
     if jnp.dtype(config.dtype) != jnp.float32:
         raise ValueError(
@@ -514,14 +518,25 @@ def _validate_checkpoint_config(config: CGConfig, segment_iters: int) -> None:
 # --- Serial driver ---------------------------------------------------------
 
 
-def _precond(minv):
-    return None if minv is None else (lambda r: minv * r)
+def _precond(minv, npad):
+    # 1-D minv = point Jacobi; 3-D = block Jacobi (same dispatch as
+    # solver.cg._cg_jit — the checkpointed segments must run the exact
+    # recurrence the plain solver runs).
+    if minv is None:
+        return None
+    if minv.ndim == 3:
+        from tpucg.solver.cg import make_block_precond
+
+        return make_block_precond(minv, npad)
+    return lambda r: minv * r
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "blas_backend"))
 def _init_jit(op, b, x0, minv, tol, blas_backend):
     del blas_backend
-    return init_state(op.matvec, _dot, b, x0, tol, precond=_precond(minv))
+    return init_state(
+        op.matvec, _dot, b, x0, tol, precond=_precond(minv, b.shape[0])
+    )
 
 
 @functools.partial(
@@ -532,7 +547,7 @@ def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha):
     return cg_loop(
         op.matvec, _dot, update, None, None,
         tol=tol, maxiter=k_target, safe_alpha=safe_alpha, state=state,
-        precond=_precond(minv),
+        precond=_precond(minv, state.x.shape[0]),
     )
 
 
@@ -558,7 +573,9 @@ def cg_solve_checkpointed(
         config = CGConfig(**overrides)
     elif overrides:
         config = dataclasses_replace(config, **overrides)
-    _validate_checkpoint_config(config, segment_iters)
+    _validate_checkpoint_config(
+        config, segment_iters, allowed=("none", "jacobi", "block_jacobi")
+    )
     backend = resolve_backend(config.kernel)
     op = as_operator(A, backend=backend)
     n, npad = op.n, op.padded_n
@@ -566,9 +583,17 @@ def cg_solve_checkpointed(
     maxiter = config.maxiter if config.maxiter is not None else n
     tol = float(config.tol)
     minv = None
+    pre_id = config.precondition
     if config.precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    elif config.precondition == "block_jacobi":
+        from tpucg.solver.cg import block_jacobi_minv
+
+        # bs is part of the preconditioner identity: a cross-bs resume
+        # would silently run a different recurrence, so record it.
+        minv = block_jacobi_minv(op, int(config.pc_block_size))
+        pre_id = f"block_jacobi[bs={int(config.pc_block_size)}]"
 
     bj = jnp.asarray(b, jnp.float32)
     if bj.shape != (n,):
@@ -581,7 +606,7 @@ def cg_solve_checkpointed(
 
     state, sig = _resume_or_none(
         checkpoint_path, n=n, npad=npad, tol=tol,
-        precondition=config.precondition, sig_fn=sig_fn,
+        precondition=pre_id, sig_fn=sig_fn,
     )
     if state is None:
         x0j = (
@@ -603,7 +628,7 @@ def cg_solve_checkpointed(
     return _drive_segments(
         state, segment_fn,
         n=n, npad=npad, tol=tol, maxiter=maxiter,
-        segment_iters=segment_iters, precondition=config.precondition,
+        segment_iters=segment_iters, precondition=pre_id,
         checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
         sig=sig, sig_fn=sig_fn,
     )
