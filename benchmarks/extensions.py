@@ -343,9 +343,9 @@ def bench_block_jacobi(n, repeats):
     d = np.exp(rng.uniform(0.0, np.log(30.0), n))
     A = (band * d[:, None] * d[None, :]).astype(np.float32)
     b = rng.standard_normal(n).astype(np.float32)
-    sc = (1.0 / np.sqrt(np.diag(A))).astype(np.float32)
     # kappa(band) ~ 80: comfortably above trivial, comfortably inside the
-    # f32 floor. Weighted-equivalent tol (the hat system is band/2.05).
+    # f32 floor. All arms stop on the UNWEIGHTED true residual (the
+    # single-vector PCG contract).
     tol = 1e-4 * float(np.linalg.norm(b))
     maxiter = 8 * n
     op = as_operator(jnp.asarray(A), backend="xla")
@@ -355,12 +355,10 @@ def bench_block_jacobi(n, repeats):
     x0 = jnp.zeros(n, jnp.float32)
     jax.block_until_ready((op.A, minv_pt, minv_bj))
 
-    def run(minv_arg):
-        def f(operands, bb, x0_):
-            op_ = operands[0]
-            m = operands[1] if len(operands) > 1 else None
-            return _cg_jit(op_, bb, x0_, m, tol, maxiter, "xla", True).x
-        return f
+    def run(operands, bb, x0_):
+        op_ = operands[0]
+        m = operands[1] if len(operands) > 1 else None
+        return _cg_jit(op_, bb, x0_, m, tol, maxiter, "xla", True).x
 
     rows = []
     for label, operands, pre_kw in (
@@ -373,7 +371,7 @@ def bench_block_jacobi(n, repeats):
                              fused="never", **pre_kw)
         iters = int(res.iterations)
         s = float(np.median([
-            time_run_chain(run(operands), operands, bj_, x0,
+            time_run_chain(run, operands, bj_, x0,
                            iters=repeats, est_solve_s=iters * 100e-6)
             for _ in range(3)
         ]))
@@ -430,8 +428,11 @@ def bench_block_precond(n, k, repeats):
     X0 = jnp.zeros_like(Bj)
     jax.block_until_ready((op.A, op_hat.A, Bj, Bhat, minv))
 
-    res_b = tpucg.cg_solve_block(A, B, precondition="jacobi", tol=tol,
-                                 maxiter=maxiter)
+    # Lap count from the SAME path the chain times (_cg_block_pjit, the
+    # matrix-free equilibration) — the public cg_solve_block would take
+    # the dense materialized shortcut, whose f32 trajectory (and hence
+    # confirm/refute boundary) can differ by a lap.
+    res_b = _cg_block_pjit(op, Bj, X0, minv, tol, maxiter)
     assert np.asarray(res_b.converged).all()
     res_m = _cg_multi_jit(op_hat, Bhat, X0, None, tol, maxiter, True)
     assert np.asarray(res_m.converged).all()

@@ -197,6 +197,7 @@ def _cmd_solve_checkpointed(args, t_total0) -> int:
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, kernel=args.kernel, method=args.method,
         precondition=args.precondition,
+        pc_block_size=args.pc_block_size,
         segment_iters=args.segment_iters,
         checkpoint_path=args.checkpoint,
     )

@@ -156,9 +156,15 @@ def block_jacobi_minv(op, bs: int) -> jax.Array:
     uncontrolled-precision LU is acceptable here where it is not in the
     solve path. Symmetrizing restores the exact-arithmetic symmetry of
     an SPD inverse that LU roundoff breaks."""
-    blocks = op.diagonal_blocks(bs)
+    return invert_blocks(op.diagonal_blocks(bs))
+
+
+def invert_blocks(blocks: jax.Array) -> jax.Array:
+    """``block_jacobi_minv`` on an already-extracted (nb, bs, bs) batch —
+    the single home of the ridge/symmetrization guards, shared by the
+    serial (operator) and sharded (shard-local blocks) paths."""
     f32 = blocks.dtype
-    nb = blocks.shape[0]
+    bs = blocks.shape[1]
     tr = jnp.trace(blocks, axis1=1, axis2=2) / bs  # (nb,)
     ridge = jnp.asarray(1e-6, f32) * tr + jnp.asarray(1e-30, f32)
     eye = jnp.eye(bs, dtype=f32)
@@ -175,7 +181,13 @@ def block_jacobi_sqrt_pair(op, bs: int):
     setup and only preconditioner quality depends on it. Used by the
     block-CG arm, where equilibration is the f32-stable way to
     precondition (see ``_cg_block_pjit``)."""
-    blocks = op.diagonal_blocks(bs)
+    return sqrt_pair_blocks(op.diagonal_blocks(bs))
+
+
+def sqrt_pair_blocks(blocks: jax.Array):
+    """``block_jacobi_sqrt_pair`` on an already-extracted (nb, bs, bs)
+    batch — the single home of the eigenvalue floor, shared by the
+    serial (operator) and sharded (shard-local blocks) paths."""
     f32 = blocks.dtype
     w, V = jnp.linalg.eigh(blocks)
     w = jnp.maximum(
@@ -983,9 +995,9 @@ def block_pcg_loop(
     forming M^1/2 or M^-1/2. Everything lives in the original variables:
     the hat-space residual block factors as R_hat = M^-1/2 V C with V
     M^-1-ORTHONORMAL (the hat residual's orthonormal factor, pulled back
-    to the residual side), and the loop carries the consistent pair
-    (U = M^-1 V, V), U always produced by a FRESH ``pc`` application
-    (see ``_cholqr_pc`` for why transforming it instead diverges). Cost:
+    to the residual side); the loop carries V, and every M^-1-side block
+    it needs is produced by a FRESH ``pc`` application (see
+    ``_cholqr_pc`` for why transforming one instead diverges). Cost:
     one operator GEMM and three M^-1 applications per lap on (n, k)
     blocks (one on A S alpha, two inside the CholeskyQR2), plus one
     GEMM + three M^-1 per confirm/refute boundary.
@@ -1016,10 +1028,14 @@ def block_pcg_loop(
 
     R0 = B - mv(X0)
     U0, V0, C0 = _cholqr2_pc(gram, pc, R0, pc(R0), eyek, ridge)
+    # The M^-1 side U is NOT carried: every consumer rederives it fresh
+    # from the residual side (S is seeded from the QR's U and then self-
+    # propagates), so threading it through the loop would be a dead
+    # (n, k) buffer.
     state = (
         jnp.int32(0),            # laps
         jnp.bool_(False),        # done (set at confirm/floor boundaries)
-        X0, U0, V0, C0, U0,      # X, U=M^-1 V, V, C, S
+        X0, V0, C0, U0,          # X, V (M^-1-orthonormal factor), C, S
         jnp.asarray(jnp.inf, f32),   # worst hat-rr at the last refute
         jnp.full((krhs,), jnp.inf, f32),  # latest exact per-column hat-rr
     )
@@ -1029,13 +1045,13 @@ def block_pcg_loop(
         return jnp.logical_and(k < maxiter, jnp.logical_not(done))
 
     def inner_cond(t):
-        k, X, U, V, C, S = t
+        k, X, V, C, S = t
         rn2 = jnp.sum(C * C, axis=0)  # per-column hat ||r||^2, replicated
         return jnp.logical_and(k < maxiter,
                                jnp.logical_not(jnp.all(rn2 < tol2)))
 
     def inner_body(t):
-        k, X, U, V, C, S = t
+        k, X, V, C, S = t
         AS = mv(S)
         T = gram(S, AS)
         T = 0.5 * (T + T.T)
@@ -1047,12 +1063,12 @@ def block_pcg_loop(
         Un, Vn, rho = _cholqr2_pc(gram, pc, MW, pc(MW), eyek, ridge)
         C = mmk(rho, C)
         S = Un + mmk(S, rho.T)
-        return (k + 1, X, Un, Vn, C, S)
+        return (k + 1, X, Vn, C, S)
 
     def outer_body(s):
-        k, done, X, U, V, C, S, refute_rr, rr = s
-        k, X, U, V, C, S = jax.lax.while_loop(
-            inner_cond, inner_body, (k, X, U, V, C, S)
+        k, done, X, V, C, S, refute_rr, rr = s
+        k, X, V, C, S = jax.lax.while_loop(
+            inner_cond, inner_body, (k, X, V, C, S)
         )
         # Boundary (tentative stop or cap): exact hat-norm true residual.
         # diag(Z^T R) is a signed f32 sum — clip roundoff-negatives so the
@@ -1068,14 +1084,13 @@ def block_pcg_loop(
         # Refute: re-anchor the recurrence on ground truth and continue.
         Ur, Vr, Cr = _cholqr2_pc(gram, pc, Rt, Zt, eyek, ridge)
         reanchor = jnp.logical_not(done)
-        U = jnp.where(reanchor, Ur, U)
         V = jnp.where(reanchor, Vr, V)
         C = jnp.where(reanchor, Cr, C)
         S = jnp.where(reanchor, Ur, S)
         refute_rr = jnp.where(reanchor, worst, refute_rr)
-        return (k, done, X, U, V, C, S, refute_rr, rr)
+        return (k, done, X, V, C, S, refute_rr, rr)
 
-    k, done, X, U, V, C, S, refute_rr, rr = jax.lax.while_loop(
+    k, done, X, V, C, S, refute_rr, rr = jax.lax.while_loop(
         outer_cond, outer_body, state
     )
     return k, X, rr, rr < tol2

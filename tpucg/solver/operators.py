@@ -299,17 +299,14 @@ class DiaOperator(LinearOperator):
         return self.data[d0]
 
     def diagonal_blocks(self, bs: int) -> jax.Array:
-        from tpucg.kernels.spmv import LANE
-
         data = self.data
         if self.interleaved:
-            # On-device inverse of kernels.spmv.dia_interleave:
-            # (N/128, ndiag*128) -> canonical (ndiag, N).
-            rows = data.shape[0]
-            ndiag = data.shape[1] // LANE
-            data = jnp.transpose(
-                data.reshape(rows, ndiag, LANE), (1, 0, 2)
-            ).reshape(ndiag, rows * LANE)
+            # One-time setup (host round-trip is fine and keeps the
+            # inverse transpose in its single canonical home beside the
+            # packer, kernels.spmv.dia_deinterleave).
+            from tpucg.kernels.spmv import dia_deinterleave
+
+            data = jnp.asarray(dia_deinterleave(data))
         return _blocks_from_diag_data(self.offsets, data, bs)
 
 

@@ -185,30 +185,16 @@ def _sharded_cg_jit(
             precond = lambda r: minv * r
         if precondition == "block_jacobi":
             # Block Jacobi is perfectly shard-local under row-block
-            # sharding (the wrapper enforces bs | block_rows): slice the
-            # shard's diagonal square, gather its (bs, bs) blocks, invert
-            # once (same rationale as solver.cg.block_jacobi_minv), and
-            # apply as one LOCAL batched block GEMV per lap — zero extra
-            # collectives.
-            from tpucg.solver.cg import make_block_precond
+            # sharding (the wrapper enforces bs | block_rows): gather this
+            # shard's diagonal blocks, invert once (the shared
+            # solver.cg.invert_blocks guards), and apply as one LOCAL
+            # batched block GEMV per lap — zero extra collectives.
+            from tpucg.solver.cg import invert_blocks, make_block_precond
 
-            block_rows = A_blk.shape[0]
-            my = jax.lax.axis_index(axis)
-            sq = jax.lax.dynamic_slice(
-                A_blk,
-                (jnp.int32(0), (my * block_rows).astype(jnp.int32)),
-                (block_rows, block_rows),
-            ).astype(jnp.float32)
-            nbl, bs = block_rows // pc_block_size, pc_block_size
-            ridx = jnp.arange(block_rows).reshape(nbl, bs)
-            blocks = sq[ridx[:, :, None], ridx[:, None, :]]
-            tr = jnp.trace(blocks, axis1=1, axis2=2) / bs
-            eye = jnp.eye(bs, dtype=jnp.float32)
-            inv = jnp.linalg.inv(
-                blocks + (1e-6 * tr + 1e-30)[:, None, None] * eye[None]
+            blocks = _local_diag_blocks(A_blk, axis, pc_block_size)
+            precond = make_block_precond(
+                invert_blocks(blocks), A_blk.shape[0]
             )
-            minv3 = 0.5 * (inv + jnp.transpose(inv, (0, 2, 1)))
-            precond = make_block_precond(minv3, block_rows)
 
         dot, dots, update = _make_reductions(axis)
         if precondition == "poly":
@@ -421,30 +407,14 @@ def _sharded_block_jit(
             # single-vector arm (bs | block_rows enforced by the wrapper):
             # M^-1/2 applied before the gather and after the local GEMM —
             # valid because blockdiag(M)^-1/2 is block-diagonal on the
-            # same shard-aligned blocks.
-            from tpucg.solver.cg import make_block_apply
+            # same shard-aligned blocks. The eigh/floor guards live in
+            # the shared solver.cg.sqrt_pair_blocks.
+            from tpucg.solver.cg import make_block_apply, sqrt_pair_blocks
 
             block_rows = A_blk.shape[0]
-            my = jax.lax.axis_index(axis)
-            sqd = jax.lax.dynamic_slice(
-                A_blk,
-                (jnp.int32(0), (my * block_rows).astype(jnp.int32)),
-                (block_rows, block_rows),
-            ).astype(jnp.float32)
-            nbl, bs = block_rows // pc_block_size, pc_block_size
-            ridx = jnp.arange(block_rows).reshape(nbl, bs)
-            blocks = sqd[ridx[:, :, None], ridx[:, None, :]]
-            w, V = jnp.linalg.eigh(blocks)
-            w = jnp.maximum(
-                w, jnp.maximum(1e-12 * w[:, -1:], jnp.float32(1e-30))
+            isq, sq = sqrt_pair_blocks(
+                _local_diag_blocks(A_blk, axis, pc_block_size)
             )
-            mm = functools.partial(
-                jnp.einsum, precision=jax.lax.Precision.HIGHEST
-            )
-            isq = mm("qij,qj,qkj->qik", V, jax.lax.rsqrt(w), V)
-            isq = 0.5 * (isq + jnp.transpose(isq, (0, 2, 1)))
-            sq = mm("qij,qj,qkj->qik", V, jnp.sqrt(w), V)
-            sq = 0.5 * (sq + jnp.transpose(sq, (0, 2, 1)))
             sapp = make_block_apply(isq, block_rows)
             sqapp = make_block_apply(sq, block_rows)
             mv_hat = lambda Y_blk: sapp(mv(sapp(Y_blk)))
@@ -577,6 +547,22 @@ def sharded_cg_solve_block(
 def _state_specs(axis):
     vec, rep = P(axis), P()
     return (rep, vec, vec, vec, rep, rep, rep)  # (k, x, r, p, rsold, rslast, done)
+
+
+def _local_diag_blocks(A_blk, axis, bs):
+    """This shard's (block_rows/bs, bs, bs) diagonal blocks of A: slice
+    the shard's diagonal square (each shard's diagonal entries live in
+    its own column block, like ``_jacobi_minv_blk``) and gather the
+    bs-blocks (the caller's wrapper enforces bs | block_rows)."""
+    block_rows = A_blk.shape[0]
+    my = jax.lax.axis_index(axis)
+    sq = jax.lax.dynamic_slice(
+        A_blk,
+        (jnp.int32(0), (my * block_rows).astype(jnp.int32)),
+        (block_rows, block_rows),
+    ).astype(jnp.float32)
+    ridx = jnp.arange(block_rows).reshape(block_rows // bs, bs)
+    return sq[ridx[:, :, None], ridx[:, None, :]]
 
 
 def _jacobi_minv_blk(A_blk, axis):
