@@ -106,3 +106,46 @@ def test_new_solver_arms_match_oracle_random(seed, method):
         assert np.asarray(r.converged).all()
         x = np.asarray(r.x)[:, 0]
     np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize(
+    "pc", ["block_jacobi", "block_cg_jacobi", "block_cg_block_jacobi"]
+)
+def test_preconditioned_arms_match_oracle_random(seed, pc):
+    # Round-2-late preconditioner fuzz: random banded SPD systems with
+    # random log-uniform row/col scaling, random (non-dividing) sizes.
+    # Every arm must recover the oracle solution; preconditioned arms
+    # must never need MORE laps than their unpreconditioned sibling on
+    # the same system (equilibration can only help a scaled system).
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(90, 180))
+    shift = float(rng.uniform(2.05, 3.0))
+    band = (
+        shift * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    )
+    d = np.exp(rng.uniform(0.0, np.log(20.0), n))
+    A = (band * d[:, None] * d[None, :]).astype(np.float32)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = (A.astype(np.float64) @ x_true).astype(np.float32)
+    sc = 1.0 / np.sqrt(np.diag(A))
+    if pc == "block_jacobi":
+        tol = 1e-5 * float(np.linalg.norm(b))
+        r = tpucg.cg_solve(A, b, tol=tol, maxiter=8 * n,
+                           precondition="block_jacobi", pc_block_size=32)
+        plain = tpucg.cg_solve(A, b, tol=tol, maxiter=8 * n)
+        assert bool(r.converged), (seed, n)
+        assert int(r.iterations) <= int(plain.iterations)
+        x = np.asarray(r.x)
+    else:
+        kind = "jacobi" if pc == "block_cg_jacobi" else "block_jacobi"
+        tol = 1e-4 * float(np.linalg.norm(sc * b))
+        r = tpucg.cg_solve_block(
+            A, b[:, None], tol=tol, maxiter=8 * n,
+            precondition=kind, pc_block_size=32,
+        )
+        assert np.asarray(r.converged).all(), (seed, n)
+        x = np.asarray(r.x)[:, 0]
+        wres = np.linalg.norm(sc * (b - A @ x))
+        assert wres < 5 * tol, (seed, n, wres)
+    np.testing.assert_allclose(x, x_true, rtol=2e-2, atol=2e-2)
