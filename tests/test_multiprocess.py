@@ -127,6 +127,11 @@ def test_multiprocess_round2_arms(mp_run):
     for j in range(3):
         xj, _, _ = oracle_cg(A, Bk[:, j], np.zeros(n, np.float32))
         np.testing.assert_allclose(x_blk[:, j], xj, rtol=1e-4, atol=1e-5)
+    # Block-Jacobi PCG (shard-local block inverses, zero extra
+    # collectives) must also recover the oracle solution cross-process.
+    assert meta["bj_converged"]
+    x_bj = np.load(os.path.join(workdir, "x_bj.npy"))
+    np.testing.assert_allclose(x_bj, ox, rtol=1e-3, atol=1e-4)
 
 
 def test_multiprocess_loading_is_host_sharded(mp_run):
