@@ -49,6 +49,7 @@ from tpucg.solver.operators import (
     PoissonOperator,
 )
 from tpucg.io.textio import load_matrix, load_system, load_vector, save_array
+from tpucg.io.mmio import load_matrix_market, save_matrix_market
 from tpucg.io.generator import generate_spd_system, poisson3d_csr
 from tpucg.comm.mesh import make_mesh, make_mesh2d
 
@@ -80,7 +81,9 @@ __all__ = [
     "EllOperator",
     "PoissonOperator",
     "load_matrix",
+    "load_matrix_market",
     "load_system",
+    "save_matrix_market",
     "load_vector",
     "save_array",
     "generate_spd_system",

@@ -102,6 +102,111 @@ def _solve_args(args, A, b, x0):
     return res, time.perf_counter() - t0
 
 
+def _load_rhs_any(path: str, n: int) -> "np.ndarray":
+    """Load a length-n vector from .mtx / .npy / reference text."""
+    import numpy as np
+
+    if path.endswith(".mtx"):
+        from tpucg.io.mmio import load_matrix_market
+        from tpucg.sparse.formats import COOMatrix
+
+        v = load_matrix_market(path)
+        if isinstance(v, COOMatrix):
+            v = v.to_dense()
+        v = np.asarray(v, np.float32).ravel()
+        if v.size != n:
+            raise ValueError(f"{path!r}: expected {n} values, got {v.size}")
+        return v
+    from tpucg.io.textio import load_vector
+
+    return load_vector(path, n=n)
+
+
+def _cmd_solve_mtx(args, t_total0) -> int:
+    """Sparse MatrixMarket solve: auto-promote to the most TPU-honest
+    device format (DIA/BSR/ELL, `best_sparse_operator`) and run the
+    operator CG path, serial or sharded."""
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.mmio import load_matrix_market
+    from tpucg.io.textio import save_array
+
+    if args.checkpoint is not None:
+        raise SystemExit(
+            "--checkpoint with a .mtx matrix is not supported; convert to "
+            ".npy (`tpucg convert A.mtx A.npy`) for the dense "
+            "checkpointed path"
+        )
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    t0 = time.perf_counter()
+    coo = load_matrix_market(args.matrix)
+    if isinstance(coo, np.ndarray):
+        A_or_op = coo  # dense `array`-format file: the dense paths apply
+        n = coo.shape[0]
+        fmt = "dense"
+    else:
+        if coo.shape[0] != coo.shape[1]:
+            raise SystemExit(f"matrix is {coo.shape[0]}x{coo.shape[1]}, "
+                             "CG needs square SPD")
+        A_or_op = tpucg.best_sparse_operator(coo.to_csr(),
+                                             backend=args.kernel)
+        n = coo.shape[0]
+        fmt = type(A_or_op).__name__
+    b = _load_rhs_any(args.rhs, n)
+    x0 = _load_rhs_any(args.x0, n) if args.x0 else None
+    load_s = time.perf_counter() - t0
+    record = bool(
+        getattr(args, "residual_history", False)
+        and args.method == "cg" and args.strategy == "serial"
+    )
+    kw = dict(
+        tol=args.tol if args.tol is not None else 1.0e-6,
+        maxiter=args.maxiter, method=args.method,
+        precondition=args.precondition, poly_degree=args.poly_degree,
+        s_step=args.s_step, pc_block_size=args.pc_block_size,
+        check_every=args.check_every,
+    )
+    t0 = time.perf_counter()
+    if args.strategy == "serial":
+        res = tpucg.cg_solve(A_or_op, b, x0, kernel=args.kernel,
+                             fused=args.fused, record_residuals=record,
+                             **kw)
+    elif isinstance(A_or_op, np.ndarray):
+        res = tpucg.sharded_cg_solve(
+            A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
+            kernel=args.kernel, strategy=args.strategy, **kw)
+    else:
+        res = tpucg.sharded_operator_cg_solve(
+            A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
+            kernel=args.kernel, strategy=args.strategy, **kw)
+    jax.block_until_ready(res.x)
+    solve_s = time.perf_counter() - t0
+    total_s = time.perf_counter() - t_total0
+    print(f"system size          : {n} x {n}  [{fmt}]")
+    print(f"strategy             : {args.strategy} [{args.kernel}]")
+    print(f"data load (s)        : {load_s:.6f}")
+    print(f"CG solve (s)         : {solve_s:.6f}  (includes jit compile)")
+    print(f"total (s)            : {total_s:.6f}")
+    print(f"iterations           : {int(res.iterations)}")
+    print(f"final ||r||          : {float(res.residual_norm):.6e}")
+    print(f"converged            : {bool(res.converged)}")
+    if res.residual_history is not None:
+        hist = np.asarray(res.residual_history)
+        for i in range(int(res.iterations) + 1):
+            print(f"  ||r_{i}||{' ' * (12 - len(str(i)))}: {hist[i]:.6e}")
+    x = np.asarray(res.x)
+    if args.print_solution:
+        np.set_printoptions(threshold=64, precision=7)
+        print(f"x                    : {x}")
+    if args.output:
+        save_array(args.output, x, fmt="%r")
+        print(f"solution written     : {args.output}")
+    return 0 if bool(res.converged) else 3
+
+
 def cmd_solve(args) -> int:
     import jax
     import numpy as np
@@ -110,6 +215,8 @@ def cmd_solve(args) -> int:
 
     t_total0 = time.perf_counter()
     t0 = time.perf_counter()
+    if args.matrix.endswith(".mtx"):
+        return _cmd_solve_mtx(args, t_total0)
     if args.checkpoint is not None:
         return _cmd_solve_checkpointed(args, t_total0)
     if args.strategy != "serial":
@@ -275,7 +382,28 @@ def cmd_convert(args) -> int:
     from tpucg.io.textio import load_matrix, load_vector, save_array
 
     src, dst = args.src, args.dst
-    if dst.endswith(".npy"):
+    if src.endswith(".mtx"):
+        from tpucg.io.mmio import load_matrix_market
+        from tpucg.sparse.formats import COOMatrix
+
+        arr = load_matrix_market(src)
+        if isinstance(arr, COOMatrix):
+            arr = arr.to_dense()  # text/.npy targets are dense formats
+        if dst.endswith(".npy"):
+            np.save(dst, arr)
+        else:
+            save_array(dst, arr, fmt=args.fmt)
+    elif dst.endswith(".mtx"):
+        from tpucg.io.mmio import save_matrix_market
+
+        if src.endswith(".npy"):
+            arr = np.load(src)
+        elif args.kind == "matrix":
+            arr = load_matrix(src, n=args.n)
+        else:
+            arr = load_vector(src, n=args.n)
+        save_matrix_market(dst, arr)
+    elif dst.endswith(".npy"):
         if args.kind == "matrix":
             arr = load_matrix(src, n=args.n)
         else:
@@ -285,7 +413,7 @@ def cmd_convert(args) -> int:
         arr = np.load(src)
         save_array(dst, arr, fmt=args.fmt)
     else:
-        raise SystemExit("one of src/dst must be a .npy file")
+        raise SystemExit("one of src/dst must be a .npy or .mtx file")
     print(f"wrote {dst} ({arr.size} values, shape {arr.shape})")
     return 0
 
@@ -560,8 +688,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="command", required=True)
 
-    ps = sub.add_parser("solve", help="solve A x = b from text files")
-    ps.add_argument("matrix", help="matrix file (one float per line, row-major)")
+    ps = sub.add_parser(
+        "solve", help="solve A x = b from text / .npy / .mtx files"
+    )
+    ps.add_argument("matrix",
+                    help="matrix file: reference text (one float per line, "
+                         "row-major), .npy, or MatrixMarket .mtx (sparse "
+                         "files auto-promote to DIA/BSR/ELL)")
     ps.add_argument("rhs", help="right-hand-side vector file")
     ps.add_argument("x0", nargs="?", default=None,
                     help="initial-guess file (default zeros)")

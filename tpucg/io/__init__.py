@@ -9,6 +9,7 @@ from tpucg.io.textio import (
 )
 from tpucg.io.generator import generate_spd_system, poisson3d_csr
 from tpucg.io.golden import GOLDEN_2X2, GOLDEN_4X4
+from tpucg.io.mmio import load_matrix_market, save_matrix_market
 from tpucg.io.partitioner import RowPartition, pad_identity_tail, pad_system
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "poisson3d_csr",
     "GOLDEN_2X2",
     "GOLDEN_4X4",
+    "load_matrix_market",
+    "save_matrix_market",
     "RowPartition",
     "pad_identity_tail",
     "pad_system",
