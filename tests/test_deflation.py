@@ -1,0 +1,156 @@
+"""Deflated / recycling CG tests (solver/deflation.py).
+
+The reference solves one system per process; these cover the sequence
+use case: deflating known slow eigenvectors and recycling previous
+solutions across right-hand sides.
+"""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.solver.oracle import oracle_cg
+
+
+def _clustered_spd(n=256, n_small=3, seed=0):
+    """SPD with n_small tiny eigenvalues (0.01..) and the rest in [1, 2]:
+    plain CG stalls on the small cluster; deflating it restores the
+    well-conditioned rate. Returns (A, low_eigenvectors)."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([
+        0.01 * (1.0 + np.arange(n_small)),
+        1.0 + rng.uniform(0.0, 1.0, n - n_small),
+    ])
+    A = (Q * lam) @ Q.T
+    return (0.5 * (A + A.T)).astype(np.float32), Q[:, :n_small].astype(
+        np.float32)
+
+
+class TestDeflatedCG:
+    def test_eigen_deflation_cuts_iterations(self):
+        A, V = _clustered_spd()
+        n = A.shape[0]
+        rng = np.random.default_rng(1)
+        b = rng.standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        plain = tpucg.cg_solve(A, b, tol=tol, maxiter=4 * n)
+        defl = tpucg.cg_solve_deflated(A, b, V, tol=tol, maxiter=4 * n)
+        assert bool(defl.converged)
+        # Deflating the 3 small eigenvalues restores the [1,2]-spectrum
+        # rate: a large, not marginal, win.
+        assert int(defl.iterations) * 2 < int(plain.iterations), (
+            int(defl.iterations), int(plain.iterations))
+        x_ref = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        err = np.max(np.abs(np.asarray(defl.x) - x_ref))
+        assert err < 1e-2 * np.max(np.abs(x_ref))
+
+    def test_random_subspace_is_harmless(self):
+        # A random deflation space gives no rate win but must not break
+        # correctness (solution parity with the oracle).
+        A, b, x0 = tpucg.generate_spd_system(192, seed=3)
+        A, b, x0 = map(np.asarray, (A, b, x0))
+        V = np.random.default_rng(4).standard_normal((192, 5)).astype(
+            np.float32)
+        res = tpucg.cg_solve_deflated(A, b, V, x0=x0)
+        assert bool(res.converged)
+        x_ref, k_ref, _ = oracle_cg(A, b, x0, tol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_single_vector_and_padding(self):
+        # n=100 pads to 128; a 1-column V exercises the m=1 small algebra.
+        A, b, _ = tpucg.generate_spd_system(100, seed=5)
+        A, b = np.asarray(A), np.asarray(b)
+        V = np.ones(100, np.float32)  # 1-D accepted as one column
+        res = tpucg.cg_solve_deflated(A, b, V)
+        assert bool(res.converged)
+        x_ref, _, _ = oracle_cg(A, b, np.zeros(100, np.float32), tol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_rank_deficient_subspace(self):
+        # Duplicated columns: the equilibrated CholeskyQR2 must not NaN.
+        A, b, _ = tpucg.generate_spd_system(128, seed=6)
+        A, b = np.asarray(A), np.asarray(b)
+        v = np.random.default_rng(7).standard_normal(128).astype(np.float32)
+        V = np.stack([v, v, 2 * v], axis=1)
+        basis = tpucg.build_deflation_basis(A, V)
+        assert basis.m == 1  # rank-revealing prune
+        res = tpucg.cg_solve_deflated(A, b, basis=basis)
+        assert bool(res.converged)
+        assert np.isfinite(np.asarray(res.x)).all()
+
+    def test_composes_with_jacobi(self):
+        A, Vlow = _clustered_spd(n=192, seed=8)
+        d = np.exp(np.random.default_rng(9).uniform(0, np.log(30), 192))
+        Ascaled = (A * d[:, None] * d[None, :]).astype(np.float32)
+        b = np.random.default_rng(10).standard_normal(192).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b / np.sqrt(np.diag(Ascaled))))
+        res = tpucg.cg_solve_deflated(
+            Ascaled, b, (Vlow / d[:, None]).astype(np.float32),
+            tol=tol, maxiter=4 * 192, precondition="jacobi",
+        )
+        assert bool(res.converged)
+        resid = np.linalg.norm(b - Ascaled @ np.asarray(res.x))
+        assert resid < 10 * tol
+
+    def test_prebuilt_basis_reuse_and_validation(self):
+        A, V = _clustered_spd(n=128, seed=11)
+        basis = tpucg.build_deflation_basis(A, V)
+        b1 = np.random.default_rng(12).standard_normal(128).astype(np.float32)
+        b2 = np.random.default_rng(13).standard_normal(128).astype(np.float32)
+        # f32 deflation noise floors the attainable absolute residual near
+        # eps*||A||*||x||; use a relative tolerance like production callers.
+        tol1 = 1e-5 * float(np.linalg.norm(b1))
+        r1 = tpucg.cg_solve_deflated(A, b1, basis=basis, tol=tol1)
+        r2 = tpucg.cg_solve_deflated(
+            A, b2, basis=basis, tol=1e-5 * float(np.linalg.norm(b2)))
+        assert bool(r1.converged) and bool(r2.converged)
+        with pytest.raises(ValueError, match="exactly one"):
+            tpucg.cg_solve_deflated(A, b1, V, basis=basis)
+        with pytest.raises(ValueError, match="exactly one"):
+            tpucg.cg_solve_deflated(A, b1)
+        with pytest.raises(ValueError, match="method"):
+            tpucg.cg_solve_deflated(A, b1, V, method="pipelined")
+
+    def test_galerkin_warm_start_exact_subspace(self):
+        # If b lies in span(A W), the Galerkin projection alone solves the
+        # system: 0 iterations.
+        A, _ = _clustered_spd(n=128, seed=14)
+        W = np.random.default_rng(15).standard_normal((128, 4)).astype(
+            np.float32)
+        y = np.random.default_rng(16).standard_normal(4).astype(np.float32)
+        b = (A @ W @ y).astype(np.float32)
+        res = tpucg.cg_solve_deflated(A, b, W, tol=1e-4)
+        assert bool(res.converged)
+        assert int(res.iterations) == 0
+
+
+class TestRecyclingCG:
+    def test_sequence_iterations_drop(self):
+        A, _ = _clustered_spd(n=192, n_small=4, seed=20)
+        rng = np.random.default_rng(21)
+        base = rng.standard_normal(192).astype(np.float32)
+        drift = rng.standard_normal(192).astype(np.float32)
+        rec = tpucg.RecyclingCG(A, max_vectors=4, tol=1e-4, maxiter=768)
+        iters = []
+        for t in range(5):
+            b = base + 0.1 * t * drift
+            res = rec.solve(b)
+            assert bool(res.converged)
+            resid = np.linalg.norm(b - A @ np.asarray(res.x))
+            assert resid < 1e-3, (t, resid)
+            iters.append(int(res.iterations))
+        # Later solves recycle the sequence's shared content.
+        assert min(iters[1:]) * 2 < iters[0], iters
+
+    def test_fifo_cap(self):
+        A, b, _ = tpucg.generate_spd_system(96, seed=22)
+        A = np.asarray(A)
+        rec = tpucg.RecyclingCG(A, max_vectors=2)
+        rng = np.random.default_rng(23)
+        for _ in range(4):
+            res = rec.solve(rng.standard_normal(96).astype(np.float32))
+            assert bool(res.converged)
+        assert rec._basis is not None and rec._basis.m == 2

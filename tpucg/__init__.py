@@ -31,6 +31,12 @@ from tpucg.solver.checkpoint import (
     sharded_cg_solve_checkpointed,
     sharded_operator_cg_solve_checkpointed,
 )
+from tpucg.solver.deflation import (
+    DeflationBasis,
+    RecyclingCG,
+    build_deflation_basis,
+    cg_solve_deflated,
+)
 from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
     load_system_sharded,
@@ -63,6 +69,10 @@ __all__ = [
     "cg_solve_block",
     "cg_solve_multi",
     "spectral_interval",
+    "cg_solve_deflated",
+    "build_deflation_basis",
+    "DeflationBasis",
+    "RecyclingCG",
     "cg_solve_checkpointed",
     "sharded_cg_solve_checkpointed",
     "sharded_operator_cg_solve_checkpointed",
