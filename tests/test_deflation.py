@@ -127,6 +127,60 @@ class TestDeflatedCG:
         assert int(res.iterations) == 0
 
 
+class TestShardedDeflatedCG:
+    """8-device CPU mesh (conftest): W/AW row-sharded, Ginv replicated,
+    one extra m-length psum per lap."""
+
+    def test_parity_with_serial_both_strategies(self):
+        A, V = _clustered_spd(n=256, seed=30)
+        b = np.random.default_rng(31).standard_normal(256).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        ser = tpucg.cg_solve_deflated(A, b, V, tol=tol, maxiter=1024)
+        assert bool(ser.converged)
+        for strategy in ("allgather", "overlap"):
+            sh = tpucg.sharded_cg_solve_deflated(
+                A, b, V, tol=tol, maxiter=1024, strategy=strategy)
+            assert bool(sh.converged), strategy
+            assert abs(int(sh.iterations) - int(ser.iterations)) <= 2, (
+                strategy, int(sh.iterations), int(ser.iterations))
+            np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser.x),
+                                       rtol=1e-2, atol=1e-3)
+
+    def test_nondivisible_n_pads(self):
+        # n=100 is not divisible by 8 devices: identity-tail padding.
+        A, b, _ = tpucg.generate_spd_system(100, seed=32)
+        A, b = np.asarray(A), np.asarray(b)
+        V = np.random.default_rng(33).standard_normal((100, 3)).astype(
+            np.float32)
+        res = tpucg.sharded_cg_solve_deflated(A, b, V)
+        assert bool(res.converged)
+        assert res.x.shape == (100,)
+        x_ref, _, _ = oracle_cg(A, b, np.zeros(100, np.float32), tol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_composes_with_jacobi(self):
+        A, Vlow = _clustered_spd(n=192, seed=34)
+        d = np.exp(np.random.default_rng(35).uniform(0, np.log(10), 192))
+        Ascaled = (A * d[:, None] * d[None, :]).astype(np.float32)
+        b = np.random.default_rng(36).standard_normal(192).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b / np.sqrt(np.diag(Ascaled))))
+        res = tpucg.sharded_cg_solve_deflated(
+            Ascaled, b, (Vlow / d[:, None]).astype(np.float32),
+            tol=tol, maxiter=768, precondition="jacobi",
+        )
+        assert bool(res.converged)
+        resid = np.linalg.norm(b - Ascaled @ np.asarray(res.x))
+        assert resid < 10 * tol
+
+    def test_method_guard(self):
+        A, b, _ = tpucg.generate_spd_system(64, seed=37)
+        with pytest.raises(ValueError, match="method"):
+            tpucg.sharded_cg_solve_deflated(
+                np.asarray(A), np.asarray(b),
+                np.ones((64, 1), np.float32), method="pipelined")
+
+
 class TestRecyclingCG:
     def test_sequence_iterations_drop(self):
         A, _ = _clustered_spd(n=192, n_small=4, seed=20)

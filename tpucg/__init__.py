@@ -36,6 +36,7 @@ from tpucg.solver.deflation import (
     RecyclingCG,
     build_deflation_basis,
     cg_solve_deflated,
+    sharded_cg_solve_deflated,
 )
 from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
 from tpucg.solver.sharded import (
@@ -70,6 +71,7 @@ __all__ = [
     "cg_solve_multi",
     "spectral_interval",
     "cg_solve_deflated",
+    "sharded_cg_solve_deflated",
     "build_deflation_basis",
     "DeflationBasis",
     "RecyclingCG",

@@ -240,6 +240,185 @@ def cg_solve_deflated(
     return res
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "strategy", "backend", "tol", "maxiter",
+                     "safe_alpha", "axis", "precondition", "poly_degree",
+                     "pc_block_size"),
+)
+def _sharded_deflated_jit(
+    A, b, x0, W, AW, Ginv, *, mesh, strategy, backend, tol, maxiter,
+    safe_alpha, axis, precondition="none", poly_degree=0, pc_block_size=64,
+):
+    """Row-block-sharded deflated CG. W/AW ride the same P(axis) sharding
+    as A's rows; the deflation coefficients are ONE extra (m,)-length psum
+    per lap (the m x m inverse is replicated); everything else is the
+    shard-local tall-skinny GEMV pair of the serial path."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import (
+        _jacobi_minv_blk,
+        _local_diag_blocks,
+        _make_matvec,
+        _make_reductions,
+    )
+
+    num = mesh.devices.size
+
+    def solve(A_blk, b_blk, x_blk, W_blk, AW_blk, G):
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+        dot, _, update = _make_reductions(axis)
+        base = None
+        if precondition == "jacobi":
+            minv = _jacobi_minv_blk(A_blk, axis)
+            base = lambda r: minv * r
+        elif precondition == "block_jacobi":
+            from tpucg.solver.cg import invert_blocks
+
+            blocks = _local_diag_blocks(A_blk, axis, pc_block_size)
+            base = make_block_precond(invert_blocks(blocks), A_blk.shape[0])
+        elif precondition == "poly":
+            base = make_poly_precond(mv, dot, b_blk, poly_degree)
+
+        def deflate(z_blk):
+            c = jax.lax.psum(
+                jnp.matmul(AW_blk.T, z_blk, precision=_HI), axis
+            )
+            y = jnp.matmul(G, c, precision=_HI)
+            return z_blk - jnp.matmul(W_blk, y, precision=_HI)
+
+        precond = deflate if base is None else (lambda r: deflate(base(r)))
+
+        # Galerkin warm start (shard-local GEMVs + one m-length psum).
+        r0 = b_blk - mv(x_blk)
+        c0 = jax.lax.psum(jnp.matmul(W_blk.T, r0, precision=_HI), axis)
+        x_blk = x_blk + jnp.matmul(
+            W_blk, jnp.matmul(G, c0, precision=_HI), precision=_HI
+        )
+
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis, None),
+                  P(axis, None), P(None, None)),
+        out_specs=(P(axis), P(), P(), P()),
+        # Same scoping rationale as _sharded_cg_jit: the Pallas matvec arms
+        # carry no varying-mesh-axes annotation.
+        check_vma=(backend != "pallas"),
+    )(A, b, x0, W, AW, Ginv)
+
+
+def _host_basis(Apad: np.ndarray, Vpad: np.ndarray):
+    """Host f64 basis build against a padded DENSE matrix: rank-revealing
+    SVD orthonormalization, AW, and (W^T A W)^-1 — all in f64, cast to f32
+    once (more accurate than the device f32 path and free at setup time)."""
+    U, s, _ = np.linalg.svd(np.asarray(Vpad, np.float64),
+                            full_matrices=False)
+    keep = s > max(1e-6 * (s[0] if s.size else 0.0), 1e-30)
+    if not keep.any():
+        raise ValueError("V has no usable directions (all ~zero)")
+    W = U[:, keep]
+    A64 = np.asarray(Apad, np.float64)
+    AW = A64 @ W
+    G = W.T @ AW
+    Ginv = np.linalg.inv(0.5 * (G + G.T))
+    return (W.astype(np.float32), AW.astype(np.float32),
+            Ginv.astype(np.float32))
+
+
+def sharded_cg_solve_deflated(
+    A,
+    b,
+    V,
+    x0=None,
+    mesh=None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """Deflated CG with A row-block-sharded across the mesh.
+
+    The distributed composition of :func:`cg_solve_deflated`: the basis
+    W and AW are row-sharded alongside A, the m x m inverse is replicated,
+    and the per-lap deflation costs one extra (m,)-length ``psum`` beyond
+    classic sharded CG's scalar reductions. Host arrays only (the basis is
+    built host-side in f64 against the identity-padded system).
+    """
+    from dataclasses import replace as dataclasses_replace
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.comm.mesh import make_mesh
+    from tpucg.io.partitioner import RowPartition, pad_identity_tail
+    from tpucg.solver.sharded import distribute_system, row_align
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg":
+        raise ValueError(
+            "sharded_cg_solve_deflated supports method='cg' "
+            f"(got {config.method!r})"
+        )
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("deflated solves are supported on 1-D meshes")
+    axis = mesh.axis_names[0]
+    num = mesh.devices.size
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    part = RowPartition(n=n, num_shards=num, align=row_align(backend))
+    npad = part.n_padded
+    V = np.asarray(V, np.float32)
+    if V.ndim == 1:
+        V = V[:, None]
+    if V.shape[0] != n:
+        raise ValueError(f"V must have {n} rows, got {V.shape}")
+    if (
+        config.precondition == "block_jacobi"
+        and (npad // num) % config.pc_block_size != 0
+    ):
+        raise ValueError(
+            f"pc_block_size={config.pc_block_size} must divide the "
+            f"per-shard block ({npad // num} rows)"
+        )
+    Apad = pad_identity_tail(A, npad)
+    Vpad = np.pad(V, ((0, npad - n), (0, 0))) if npad != n else V
+    W, AW, Ginv = _host_basis(Apad, Vpad)
+    Ad, bd, x0d = distribute_system(
+        A, np.asarray(b, np.float32),
+        None if x0 is None else np.asarray(x0, np.float32),
+        mesh, part, axis,
+    )
+    shard = NamedSharding(mesh, P(axis, None))
+    Wd = jax.device_put(W, shard)
+    AWd = jax.device_put(AW, shard)
+    Gd = jax.device_put(Ginv, NamedSharding(mesh, P(None, None)))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rn, done = _sharded_deflated_jit(
+        Ad, bd, x0d, Wd, AWd, Gd,
+        mesh=mesh, strategy=config.strategy, backend=backend,
+        tol=float(config.tol), maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha), axis=axis,
+        precondition=config.precondition,
+        poly_degree=int(config.poly_degree),
+        pc_block_size=int(config.pc_block_size),
+    )
+    res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+    if npad != n:
+        res = res._replace(x=res.x[:n])
+    return res
+
+
 class RecyclingCG:
     """Solve a sequence of systems with one operator, recycling solutions.
 
