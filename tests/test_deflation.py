@@ -181,6 +181,43 @@ class TestShardedDeflatedCG:
                 np.ones((64, 1), np.float32), method="pipelined")
 
 
+class TestCLIDeflate:
+    def test_solve_with_deflate_flag(self, tmp_path, capsys):
+        from tpucg.cli import main
+        from tpucg.io.textio import save_array
+
+        A, V = _clustered_spd(n=64, seed=40)
+        b = np.random.default_rng(41).standard_normal(64).astype(np.float32)
+        pa, pb, pv = (str(tmp_path / f) for f in ("A.txt", "b.txt", "V.npy"))
+        save_array(pa, A, fmt="%r")
+        save_array(pb, b, fmt="%r")
+        np.save(pv, V)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        rc = main(["solve", pa, pb, "--deflate", pv, "--tol", str(tol)])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "deflated m=3" in out
+        assert "converged            : True" in out
+        # sharded strategy routes through sharded_cg_solve_deflated
+        rc = main(["solve", pa, pb, "--deflate", pv, "--tol", str(tol),
+                   "--strategy", "allgather"])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "converged            : True" in out
+
+    def test_deflate_rejects_mtx_operator(self, tmp_path):
+        from tpucg.cli import main
+        from tpucg.io.mmio import save_matrix_market
+
+        csr = tpucg.poisson3d_csr(2)
+        pa = str(tmp_path / "A.mtx")
+        pb = str(tmp_path / "b.mtx")
+        save_matrix_market(pa, csr.to_coo(), symmetric=True)
+        save_matrix_market(pb, np.ones(csr.shape[0], np.float32))
+        with pytest.raises(SystemExit, match="deflate"):
+            main(["solve", pa, pb, "--deflate", pb])
+
+
 class TestRecyclingCG:
     def test_sequence_iterations_drop(self):
         A, _ = _clustered_spd(n=192, n_small=4, seed=20)

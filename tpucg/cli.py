@@ -207,6 +207,83 @@ def _cmd_solve_mtx(args, t_total0) -> int:
     return 0 if bool(res.converged) else 3
 
 
+def _load_deflation_v(path: str, n: int) -> "np.ndarray":
+    """Load a deflation basis V (n, m) from .npy or .mtx."""
+    import numpy as np
+
+    if path.endswith(".npy"):
+        V = np.load(path)
+    elif path.endswith(".mtx"):
+        from tpucg.io.mmio import load_matrix_market
+        from tpucg.sparse.formats import COOMatrix
+
+        V = load_matrix_market(path)
+        if isinstance(V, COOMatrix):
+            V = V.to_dense()
+    else:
+        raise SystemExit("--deflate expects a .npy or .mtx file")
+    V = np.asarray(V, np.float32)
+    if V.ndim == 1:
+        V = V[:, None]
+    if V.shape[0] != n:
+        raise SystemExit(
+            f"--deflate basis has {V.shape[0]} rows, system has {n}"
+        )
+    return V
+
+
+def _cmd_solve_deflated(args, t_total0) -> int:
+    """Deflated solve: project the basis loaded from --deflate out of the
+    iteration (serial and sharded strategies; dense systems)."""
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.io.textio import load_system, save_array
+
+    if args.checkpoint is not None:
+        raise SystemExit("--deflate does not compose with --checkpoint")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    t0 = time.perf_counter()
+    A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+    V = _load_deflation_v(args.deflate, A.shape[0])
+    load_s = time.perf_counter() - t0
+    kw = dict(
+        tol=args.tol if args.tol is not None else 1.0e-6,
+        maxiter=args.maxiter, kernel=args.kernel, method=args.method,
+        precondition=args.precondition, poly_degree=args.poly_degree,
+        pc_block_size=args.pc_block_size,
+    )
+    t0 = time.perf_counter()
+    if args.strategy == "serial":
+        res = tpucg.cg_solve_deflated(A, b, V, x0=x0, **kw)
+    else:
+        res = tpucg.sharded_cg_solve_deflated(
+            A, b, V, x0=x0, mesh=tpucg.make_mesh(args.devices),
+            strategy=args.strategy, **kw)
+    jax.block_until_ready(res.x)
+    solve_s = time.perf_counter() - t0
+    total_s = time.perf_counter() - t_total0
+    n = A.shape[0]
+    print(f"system size          : {n} x {n}  [deflated m={V.shape[1]}]")
+    print(f"strategy             : {args.strategy} [{args.kernel}]")
+    print(f"data load (s)        : {load_s:.6f}")
+    print(f"CG solve (s)         : {solve_s:.6f}  (includes jit compile)")
+    print(f"total (s)            : {total_s:.6f}")
+    print(f"iterations           : {int(res.iterations)}")
+    print(f"final ||r||          : {float(res.residual_norm):.6e}")
+    print(f"converged            : {bool(res.converged)}")
+    x = np.asarray(res.x)
+    if args.print_solution:
+        np.set_printoptions(threshold=64, precision=7)
+        print(f"x                    : {x}")
+    if args.output:
+        save_array(args.output, x, fmt="%r")
+        print(f"solution written     : {args.output}")
+    return 0 if bool(res.converged) else 3
+
+
 def cmd_solve(args) -> int:
     import jax
     import numpy as np
@@ -216,7 +293,14 @@ def cmd_solve(args) -> int:
     t_total0 = time.perf_counter()
     t0 = time.perf_counter()
     if args.matrix.endswith(".mtx"):
+        if getattr(args, "deflate", None):
+            raise SystemExit(
+                "--deflate supports dense (text/.npy) matrices; sparse "
+                ".mtx operators are not deflatable from the CLI"
+            )
         return _cmd_solve_mtx(args, t_total0)
+    if getattr(args, "deflate", None):
+        return _cmd_solve_deflated(args, t_total0)
     if args.checkpoint is not None:
         return _cmd_solve_checkpointed(args, t_total0)
     if args.strategy != "serial":
@@ -710,6 +794,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="iterations per checkpoint segment")
     ps.add_argument("--output", default=None,
                     help="write the solution vector to this file")
+    ps.add_argument("--deflate", default=None, metavar="V",
+                    help="deflation basis (.npy or .mtx, n x m columns): "
+                         "Galerkin warm start + per-lap A-orthogonal "
+                         "projection (cg_solve_deflated; serial and "
+                         "sharded strategies, dense systems, method=cg)")
     _add_solver_flags(ps)
     ps.set_defaults(fn=cmd_solve)
 
