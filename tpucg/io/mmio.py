@@ -92,7 +92,9 @@ def load_matrix_market(
         if len(dims) != 2:
             raise ValueError(f"{path!r}: array size line {size_line!r}")
         nrow, ncol = int(dims[0]), int(dims[1])
-        vals = np.fromstring(data, dtype=np.float64, sep="\n")
+        # sep=" " tolerates any whitespace layout (the spec says one value
+        # per line; files in the wild sometimes wrap).
+        vals = np.fromstring(data, dtype=np.float64, sep=" ")
         if sym == "symmetric":
             if nrow != ncol:
                 raise ValueError(f"{path!r}: symmetric but {nrow}x{ncol}")
