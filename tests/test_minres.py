@@ -78,6 +78,32 @@ class TestMinres:
         np.testing.assert_allclose(np.asarray(res.x), x_ref,
                                    rtol=1e-2, atol=1e-2)
 
+    def test_sharded_parity_both_strategies(self):
+        # 8-device CPU mesh: row-sharded matvec + psum dots, same loop.
+        A = _sym_indefinite(n=256, seed=9)
+        b = np.random.default_rng(10).standard_normal(256).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        ser = minres_solve(A, b, tol=tol, maxiter=1024)
+        assert bool(ser.converged)
+        for strategy in ("allgather", "overlap"):
+            sh = tpucg.sharded_minres_solve(A, b, tol=tol, maxiter=1024,
+                                            strategy=strategy)
+            assert bool(sh.converged), strategy
+            assert abs(int(sh.iterations) - int(ser.iterations)) <= 2
+            np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser.x),
+                                       rtol=1e-2, atol=1e-3)
+
+    def test_sharded_nondivisible_pads(self):
+        A = _sym_indefinite(n=100, seed=11)
+        b = np.random.default_rng(12).standard_normal(100).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        res = tpucg.sharded_minres_solve(A, b, tol=tol, maxiter=800)
+        assert bool(res.converged)
+        assert res.x.shape == (100,)
+        x_ref = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(res.x), x_ref,
+                                   rtol=1e-2, atol=1e-2)
+
     def test_maxiter_cap_and_guards(self):
         A = _sym_indefinite(n=96, seed=7)
         b = np.random.default_rng(8).standard_normal(96).astype(np.float32)

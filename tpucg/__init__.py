@@ -39,7 +39,7 @@ from tpucg.solver.deflation import (
     sharded_cg_solve_deflated,
 )
 from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
-from tpucg.solver.minres import minres_solve
+from tpucg.solver.minres import minres_solve, sharded_minres_solve
 from tpucg.solver.sharded import (
     load_system_sharded,
     sharded_cg_solve,
@@ -82,6 +82,7 @@ __all__ = [
     "best_sparse_operator",
     "cg_solve_ir",
     "minres_solve",
+    "sharded_minres_solve",
     "sharded_cg_solve_ir",
     "sharded_cg_solve",
     "sharded_cg_solve_block",

@@ -54,13 +54,10 @@ class _MinresState(NamedTuple):
     done: jax.Array
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "blas_backend")
-)
-def _minres_jit(op, b, x0, tol, maxiter, blas_backend):
-    del blas_backend  # vector ops are plain fused XLA here
-    matvec = op.matvec
-    dot = dot_xla
+def minres_loop(matvec, dot, b, x0, *, tol, maxiter) -> _MinresState:
+    """Generic MINRES while_loop. ``matvec``/``dot`` abstract the execution
+    model exactly like ``cg_loop``'s: serial closures, or psum-reducing
+    closures under shard_map (``sharded_minres_solve``)."""
     f32 = b.dtype
     tolv = jnp.asarray(tol, f32)
 
@@ -107,15 +104,108 @@ def _minres_jit(op, b, x0, tol, maxiter, blas_backend):
             sigma0=s.sigma1, sigma1=sigma1, eta=eta, done=done,
         )
 
-    s = jax.lax.while_loop(cond, body, s0)
+    return jax.lax.while_loop(cond, body, s0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tol", "maxiter", "blas_backend")
+)
+def _minres_jit(op, b, x0, tol, maxiter, blas_backend):
+    del blas_backend  # vector ops are plain fused XLA here
+    matvec, dot = op.matvec, dot_xla
+    s = minres_loop(matvec, dot, b, x0, tol=tol, maxiter=maxiter)
     # Honest reporting: the recurrence's |eta| drifts from the true
     # residual in f32; recompute it once (same practice as pipelined CG).
     r = b - matvec(s.x)
     rr = dot(r, r)
+    tolv = jnp.asarray(tol, b.dtype)
     return CGResult(
         x=s.x, iterations=s.k, residual_norm=jnp.sqrt(rr),
         converged=rr < tolv * tolv,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "strategy", "backend", "tol", "maxiter",
+                     "axis"),
+)
+def _sharded_minres_jit(A, b, x0, *, mesh, strategy, backend, tol, maxiter,
+                        axis):
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import _make_matvec, _make_reductions
+
+    num = mesh.devices.size
+    tolv = jnp.asarray(tol, jnp.float32)
+
+    def solve(A_blk, b_blk, x_blk):
+        mv = _make_matvec(A_blk, strategy, num, backend, axis)
+        dot, _, _ = _make_reductions(axis)
+        s = minres_loop(mv, dot, b_blk, x_blk, tol=tol, maxiter=maxiter)
+        r = b_blk - mv(s.x)
+        rr = dot(r, r)
+        return s.x, s.k, jnp.sqrt(rr), rr < tolv * tolv
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P()),
+        check_vma=(backend != "pallas"),
+    )(A, b, x0)
+
+
+def sharded_minres_solve(
+    A,
+    b,
+    x0=None,
+    mesh=None,
+    config: Optional[CGConfig] = None,
+    **overrides,
+) -> CGResult:
+    """MINRES with A row-block-sharded across the mesh — the distributed
+    composition of :func:`minres_solve` (same allgather/overlap strategy
+    arms and psum scalar reductions as ``sharded_cg_solve``)."""
+    import numpy as np
+    from dataclasses import replace as dataclasses_replace
+
+    from tpucg.comm.mesh import make_mesh
+    from tpucg.io.partitioner import RowPartition
+    from tpucg.solver.sharded import distribute_system, row_align
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg":
+        raise ValueError("sharded_minres_solve has no method variants")
+    if config.precondition != "none":
+        raise ValueError("sharded_minres_solve is unpreconditioned")
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("MINRES is supported on 1-D meshes")
+    axis = mesh.axis_names[0]
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    part = RowPartition(n=n, num_shards=mesh.devices.size,
+                        align=row_align(backend))
+    Ad, bd, x0d = distribute_system(
+        A, np.asarray(b, np.float32),
+        None if x0 is None else np.asarray(x0, np.float32),
+        mesh, part, axis,
+    )
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rn, done = _sharded_minres_jit(
+        Ad, bd, x0d, mesh=mesh, strategy=config.strategy, backend=backend,
+        tol=float(config.tol), maxiter=int(maxiter), axis=axis,
+    )
+    res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+    if part.n_padded != n:
+        res = res._replace(x=res.x[:n])
+    return res
 
 
 def minres_solve(
