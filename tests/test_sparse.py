@@ -335,10 +335,19 @@ def test_best_sparse_operator_promotion():
     csr3 = COOMatrix(
         row=rr3, col=cc3, data=M[rr3, cc3], shape=M.shape
     ).to_csr()
+    # Scattered scalars now promote to WELL by default; fallback="ell"
+    # restores the legacy arm (both solve identically).
     op3 = best_sparse_operator(csr3, max_diags=8, bsr_fill_cap=1.2)
-    assert isinstance(op3, EllOperator)
+    assert isinstance(op3, tpucg.WellOperator)
+    op3e = best_sparse_operator(csr3, max_diags=8, bsr_fill_cap=1.2,
+                                fallback="ell")
+    assert isinstance(op3e, EllOperator)
     b3 = rng3.random(n3).astype(np.float32)
-    r3 = tpucg.cg_solve(op3, b3, maxiter=4 * n3)
+    r3w = tpucg.cg_solve(op3, b3, maxiter=4 * n3)
+    assert bool(r3w.converged)
+    np.testing.assert_allclose(
+        M @ np.asarray(r3w.x)[:n3], b3, atol=1e-4 * n3)
+    r3 = tpucg.cg_solve(op3e, b3, maxiter=4 * n3)
     assert bool(r3.converged)
     np.testing.assert_allclose(M @ np.asarray(r3.x), b3, atol=1e-4 * n3)
 

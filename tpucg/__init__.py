@@ -53,6 +53,7 @@ from tpucg.solver.operators import (
     DenseOperator,
     DiaOperator,
     EllOperator,
+    WellOperator,
     LinearOperator,
     PoissonOperator,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "DenseOperator",
     "DiaOperator",
     "EllOperator",
+    "WellOperator",
     "PoissonOperator",
     "load_matrix",
     "load_matrix_market",

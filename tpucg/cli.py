@@ -158,10 +158,11 @@ def _cmd_solve_mtx(args, t_total0) -> int:
     b = _load_rhs_any(args.rhs, n)
     x0 = _load_rhs_any(args.x0, n) if args.x0 else None
     load_s = time.perf_counter() - t0
-    record = bool(
-        getattr(args, "residual_history", False)
-        and args.method == "cg" and args.strategy == "serial"
-    )
+    want_hist = bool(getattr(args, "residual_history", False))
+    record = want_hist and args.method == "cg" and args.strategy == "serial"
+    if want_hist and not record:
+        print("note: --residual-history requires --method cg --strategy "
+              "serial on .mtx systems; no history will be recorded")
     kw = dict(
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, method=args.method,
@@ -255,9 +256,15 @@ def _cmd_solve_deflated(args, t_total0) -> int:
         precondition=args.precondition, poly_degree=args.poly_degree,
         pc_block_size=args.pc_block_size,
     )
+    want_hist = bool(getattr(args, "residual_history", False))
+    record = want_hist and args.method == "cg" and args.strategy == "serial"
+    if want_hist and not record:
+        print("note: --residual-history requires --method cg --strategy "
+              "serial with --deflate; no history will be recorded")
     t0 = time.perf_counter()
     if args.strategy == "serial":
-        res = tpucg.cg_solve_deflated(A, b, V, x0=x0, **kw)
+        res = tpucg.cg_solve_deflated(A, b, V, x0=x0,
+                                      record_residuals=record, **kw)
     else:
         res = tpucg.sharded_cg_solve_deflated(
             A, b, V, x0=x0, mesh=tpucg.make_mesh(args.devices),
@@ -274,6 +281,10 @@ def _cmd_solve_deflated(args, t_total0) -> int:
     print(f"iterations           : {int(res.iterations)}")
     print(f"final ||r||          : {float(res.residual_norm):.6e}")
     print(f"converged            : {bool(res.converged)}")
+    if getattr(res, "residual_history", None) is not None:
+        hist = np.asarray(res.residual_history)
+        for i in range(int(res.iterations) + 1):
+            print(f"  ||r_{i}||{' ' * (12 - len(str(i)))}: {hist[i]:.6e}")
     x = np.asarray(res.x)
     if args.print_solution:
         np.set_printoptions(threshold=64, precision=7)

@@ -17,7 +17,7 @@ from typing import Tuple
 
 import numpy as np
 
-from tpucg.sparse.formats import CSRMatrix
+from tpucg.sparse.formats import COOMatrix, CSRMatrix
 
 
 def generate_spd_system(
@@ -117,3 +117,123 @@ def poisson3d_dia(m: int, dtype=np.float32):
     return DIAMatrix(
         offsets=np.asarray(deltas, dtype=np.int64), data=data, shape=(n, n)
     )
+
+
+def random_geometric_graph_csr(
+    n: int,
+    seed: int = 0,
+    dim: int = 2,
+    avg_degree: float = 10.0,
+    shuffle: bool = False,
+    dtype=np.float32,
+) -> CSRMatrix:
+    """Random geometric graph adjacency (symmetric, zero diagonal).
+
+    n points uniform in the unit square/cube, edges between pairs closer than
+    the radius giving ~``avg_degree`` expected neighbors. This is the
+    unstructured-mesh analog of the reference's random SPD generator
+    (``generateSPDmatrix.m:4-17``): genuinely irregular row lengths and
+    column patterns — no constant band, no block structure. Vertices are
+    labeled in spatial-cell order (the locality a real mesh numbering has);
+    ``shuffle=True`` destroys that for ordering experiments (see
+    ``tpucg.sparse.ordering.rcm_order``).
+    """
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, dim))
+    if dim == 2:
+        r = float(np.sqrt(avg_degree / (np.pi * n)))
+    elif dim == 3:
+        r = float((avg_degree / (4.0 / 3.0 * np.pi * n)) ** (1.0 / 3.0))
+    else:
+        raise ValueError(f"dim must be 2 or 3, got {dim}")
+    ncell = max(1, int(np.floor(1.0 / r)))
+    cell = np.minimum((pts * ncell).astype(np.int64), ncell - 1)
+    # Row-major cell id; sorting by it gives the locality labeling.
+    cid = cell[:, 0]
+    for d in range(1, dim):
+        cid = cid * ncell + cell[:, d]
+    order = np.argsort(cid, kind="stable")
+    pts = pts[order]
+    cid = cid[order]
+    ncells_total = ncell ** dim
+    starts = np.searchsorted(cid, np.arange(ncells_total + 1))
+
+    # Forward half of the neighbor-cell offsets (plus self) — each unordered
+    # pair is generated once, then symmetrized.
+    if dim == 2:
+        offsets = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        offsets = [(0, 0, 0)]
+        for dx in (0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if (dx, dy, dz) > (0, 0, 0):
+                        offsets.append((dx, dy, dz))
+    rows_l, cols_l = [], []
+    idx_all = np.arange(n, dtype=np.int64)
+    for off in offsets:
+        ncid = cid.copy()
+        ok = np.ones(n, dtype=bool)
+        for d, o in enumerate(off):
+            if o:
+                c_d = cell[order][:, d] + o
+                ok &= (c_d >= 0) & (c_d < ncell)
+                ncid = ncid + o * (ncell ** (dim - 1 - d))
+        src = idx_all[ok]
+        ncid_ok = ncid[ok]
+        cnt = starts[ncid_ok + 1] - starts[ncid_ok]
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        rows = np.repeat(src, cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        cols = np.repeat(starts[ncid_ok], cnt) + within
+        d2 = np.sum((pts[rows] - pts[cols]) ** 2, axis=1)
+        keep = d2 <= r * r
+        if off == offsets[0]:
+            keep &= cols > rows  # self cell: dedupe + drop the diagonal
+        rows_l.append(rows[keep])
+        cols_l.append(cols[keep])
+    rows = np.concatenate(rows_l) if rows_l else np.empty(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.empty(0, np.int64)
+    # Symmetrize.
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    if shuffle:
+        relabel = rng.permutation(n)
+        rows, cols = relabel[rows], relabel[cols]
+    vals = np.ones(rows.size, dtype=dtype)
+    return COOMatrix(row=rows, col=cols, data=vals, shape=(n, n)).to_csr()
+
+
+def random_geometric_spd(
+    n: int,
+    seed: int = 0,
+    dim: int = 2,
+    avg_degree: float = 10.0,
+    shift: float = 1.0,
+    shuffle: bool = False,
+    dtype=np.float32,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
+    """Unstructured SPD test system (A, b, x0): graph Laplacian of a random
+    geometric graph plus a diagonal shift (L is PSD; L + shift*I is SPD with
+    condition ~ (2*max_degree + shift) / shift). The irregular-sparse
+    benchmark workload — the role ``generateSPDmatrix.m:23-43`` plays for
+    the dense benchmarks."""
+    adj = random_geometric_graph_csr(
+        n, seed=seed, dim=dim, avg_degree=avg_degree, shuffle=shuffle,
+        dtype=np.float64,
+    )
+    coo = adj.to_coo()
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, coo.row, coo.data)
+    rows = np.concatenate([coo.row, np.arange(n, dtype=np.int64)])
+    cols = np.concatenate([coo.col, np.arange(n, dtype=np.int64)])
+    vals = np.concatenate([-coo.data, deg + shift])
+    A = COOMatrix(row=rows, col=cols, data=vals.astype(dtype),
+                  shape=(n, n)).to_csr()
+    rng = np.random.default_rng(seed + 1)
+    b = rng.standard_normal(n).astype(dtype)
+    x0 = np.zeros(n, dtype=dtype)
+    return A, b, x0

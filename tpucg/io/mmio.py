@@ -14,8 +14,9 @@ meets in practice:
 CG requires a real SPD operator, and silently dropping imaginary parts or
 signs would corrupt the system.
 
-Parsing is vectorized NumPy (one ``fromstring`` over the comment-stripped
-body), not a per-token loop: a 1M-nnz file loads in tens of ms.
+Parsing is vectorized NumPy (one whitespace split + bulk float conversion
+over the comment-stripped body), not a per-token loop: a 1M-nnz file loads
+in tens of ms.
 """
 
 from __future__ import annotations
@@ -74,6 +75,28 @@ def _body_lines(path: str) -> tuple:
     return header, body[0], "\n".join(body[1:])
 
 
+def _parse_floats(path: str, data: str) -> np.ndarray:
+    """Bulk-parse whitespace-separated floats; Fortran 'D' exponents OK."""
+    toks = data.split()
+    try:
+        return np.array(toks, dtype=np.float64)
+    except ValueError:
+        # Retry with Fortran double-precision exponents (1.5D+03), then
+        # point at the offending token.
+        try:
+            return np.array([t.replace("D", "E").replace("d", "e")
+                             for t in toks], dtype=np.float64)
+        except ValueError:
+            for t in toks:
+                try:
+                    float(t.replace("D", "E").replace("d", "e"))
+                except ValueError:
+                    raise ValueError(
+                        f"{path!r}: unparsable numeric token {t!r}"
+                    ) from None
+            raise
+
+
 def load_matrix_market(
     path: str, dtype=np.float32
 ) -> Union[COOMatrix, np.ndarray]:
@@ -92,9 +115,10 @@ def load_matrix_market(
         if len(dims) != 2:
             raise ValueError(f"{path!r}: array size line {size_line!r}")
         nrow, ncol = int(dims[0]), int(dims[1])
-        # sep=" " tolerates any whitespace layout (the spec says one value
-        # per line; files in the wild sometimes wrap).
-        vals = np.fromstring(data, dtype=np.float64, sep=" ")
+        # split() tolerates any whitespace layout (the spec says one value
+        # per line; files in the wild sometimes wrap) and raises a clear
+        # ValueError on the first unparsable token.
+        vals = _parse_floats(path, data)
         if sym == "symmetric":
             if nrow != ncol:
                 raise ValueError(f"{path!r}: symmetric but {nrow}x{ncol}")
@@ -124,7 +148,7 @@ def load_matrix_market(
         raise ValueError(f"{path!r}: coordinate size line {size_line!r}")
     nrow, ncol, nnz = int(dims[0]), int(dims[1]), int(dims[2])
     per_line = 2 if field == "pattern" else 3
-    toks = np.fromstring(data, dtype=np.float64, sep=" ")
+    toks = _parse_floats(path, data)
     if toks.size != nnz * per_line:
         raise ValueError(
             f"{path!r}: expected {nnz} entries x {per_line} tokens = "

@@ -1,0 +1,130 @@
+"""Irregular-sparse SpMV on TPU: the WELL (windowed gather-ELL) kernel.
+
+Design (see ``tpucg.sparse.well`` for the format): the only fast
+data-dependent addressing on TPU is whole-row DMA gather and the in-vreg
+lane shuffle, so the kernel is a pure stream —
+
+  1. ``xg = x2[wrow]``: one XLA row-gather DMA per sublane row, done OUTSIDE
+     the kernel (XLA's gather-of-rows lowers to batched DMA descriptors);
+  2. per (BS, 128) stream block: ``P = vals * take_along_axis(xg, lidx)`` —
+     the Mosaic lane-gather (a VPU shuffle), one multiply;
+  3. output routing: a (BG, BS) one-hot matmul on the MXU reduces the
+     block's sublane rows into their output group rows exactly (one-hot
+     weights are 0/1; precision=HIGHEST keeps the f32 products exact, the
+     bf16-truncation guard from CLAUDE.md);
+  4. consecutive blocks of the same super-group accumulate into the same
+     revisited output block (flushed to HBM once per super-group).
+
+No scalar gather, no scatter, no data-dependent shapes. The measured
+alternative (scalar-gather ELL) runs ~0.1 Gnnz/s on v5e; this kernel streams
+9 bytes per slot (4 value + 1 lane index + 4 gathered window).
+
+Reference analog: the hot-kernel contract of ``serialConjugate.c:109-120``
+(do the platform's matvec right), extended to irregular sparsity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucg.kernels.dispatch import interpret_mode
+
+LANE = 128
+
+
+def _well_kernel(BG, sgb_ref, vals_ref, lidx_ref, gidl_ref, xg_ref, y_ref):
+    i = pl.program_id(0)
+    sg = sgb_ref[i]
+    first = jnp.logical_or(i == 0, sgb_ref[jnp.maximum(i - 1, 0)] != sg)
+    li = lidx_ref[...].astype(jnp.int32)
+    P = vals_ref[...] * jnp.take_along_axis(xg_ref[...], li, axis=1)
+    BS = P.shape[0]
+    # gidl arrives (1, 1, BS): Mosaic requires the second-to-last block dim
+    # be 8-aligned or whole, so the per-block row rides a leading axis.
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (BG, BS), 0) == gidl_ref[0]
+    ).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot,
+        P,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(first)
+    def _():
+        y_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[...] = y_ref[...] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "nsg"))
+def well_spmv(
+    vals: jax.Array,
+    lidx: jax.Array,
+    gidl: jax.Array,
+    wrow: jax.Array,
+    sgb: jax.Array,
+    x2: jax.Array,
+    bg: int,
+    nsg: int,
+) -> jax.Array:
+    """Fused WELL SpMV (Pallas). Returns y2 (nsg*bg, 128) float32."""
+    NB, BS = gidl.shape
+    xg = jnp.take(x2, wrow, axis=0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
+            pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
+            pl.BlockSpec((1, 1, BS), lambda i, sgb_ref: (i, 0, 0)),
+            pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (bg, LANE), lambda i, sgb_ref: (sgb_ref[i], 0)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_well_kernel, bg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsg * bg, LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NB * BS * LANE,
+            bytes_accessed=9 * NB * BS * LANE,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(sgb, vals, lidx, gidl.reshape(NB, 1, BS), xg)
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "nsg"))
+def well_spmv_xla(
+    vals: jax.Array,
+    lidx: jax.Array,
+    gidl: jax.Array,
+    wrow: jax.Array,
+    sgb: jax.Array,
+    x2: jax.Array,
+    bg: int,
+    nsg: int,
+) -> jax.Array:
+    """XLA fallback with identical semantics (off-TPU / dtype-generic path).
+
+    Uses gather + a scatter-add segment sum — fine on CPU, slow on TPU
+    (which is exactly why the Pallas kernel exists).
+    """
+    NB, BS = gidl.shape
+    xg = jnp.take(x2, wrow, axis=0)
+    P = vals * jnp.take_along_axis(xg, lidx.astype(jnp.int32), axis=1)
+    g_of_sub = jnp.repeat(sgb.astype(jnp.int32), BS) * bg + gidl.reshape(-1)
+    y2 = jnp.zeros((nsg * bg, LANE), P.dtype)
+    return y2.at[g_of_sub].add(P)

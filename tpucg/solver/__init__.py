@@ -27,6 +27,7 @@ from tpucg.solver.operators import (
     DenseOperator,
     DiaOperator,
     EllOperator,
+    WellOperator,
     LinearOperator,
     PoissonOperator,
 )
@@ -54,5 +55,6 @@ __all__ = [
     "DenseOperator",
     "DiaOperator",
     "EllOperator",
+    "WellOperator",
     "PoissonOperator",
 ]

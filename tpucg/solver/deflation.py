@@ -432,9 +432,11 @@ class RecyclingCG:
     >>> for b in rhs_sequence:
     ...     res = rec.solve(b)      # lap counts drop after the first solves
 
-    The basis is rebuilt (one thin QR + m matvecs + an m x m inverse) only
-    when a new vector is admitted. Each distinct basis size m compiles its
-    own solve (m is a static shape) — bounded by ``max_vectors``.
+    The basis is rebuilt (one host f64 SVD of the (n, m) stack — rank
+    revealing, O(n m^2) with m <= ``max_vectors`` — plus m matvecs and an
+    m x m inverse) only when a new vector is admitted. Each distinct basis
+    size m compiles its own solve (m is a static shape) — bounded by
+    ``max_vectors``.
     """
 
     def __init__(self, A, max_vectors: int = 8,

@@ -7,26 +7,32 @@ negative, silently breaking the recurrence (the reference would emit NaNs,
 ||b - A x|| over the same Krylov space using a Lanczos three-term
 recurrence + Givens QR, and requires only symmetry.
 
-TPU shape: identical to CG's — one matvec, two dots, and a handful of
-axpy-scale vector ops per lap, all inside one jitted ``lax.while_loop``
-with static shapes; the Givens scalars live in registers. Works with any
-``LinearOperator`` (dense Pallas/XLA GEMV, DIA, stencil, ...).
+TPU shape: identical to CG's — one matvec, one optional preconditioner
+apply, two dots, and a handful of axpy-scale vector ops per lap, all inside
+one jitted ``lax.while_loop`` with static shapes; the Givens scalars live in
+registers. Works with any ``LinearOperator`` (dense Pallas/XLA GEMV, DIA,
+stencil, WELL, ...).
 
-Recurrence (textbook form): with ``v_1 = r_0/beta_1`` and |eta| carrying
-the EXACT residual norm (``||r_k|| = beta_1 * s_1 ... s_k``), each lap
+Preconditioning (SPD M only — MINRES runs Lanczos on the symmetrically
+preconditioned operator, so M must define an inner product): ``jacobi``
+uses 1/|diag(A)| and ``block_jacobi`` the SPD-ized inverse |B|^-1 of each
+diagonal block (eigenvalue absolute values) — plain inverses of an
+indefinite matrix's diagonal (blocks) need not be positive.
 
-    alpha = v.Av ;  v_next = (Av - alpha v - beta v_prev)/beta_next
-    Givens: delta/rho1..3, gamma/sigma pairs
-    w = (v - rho3 w2 - rho2 w1)/rho1 ;  x += gamma1 eta w ;  eta *= -sigma1
-
-Stopping: |eta| < tol (the same absolute-||r|| contract as CG); the final
-TRUE residual is recomputed for honest reporting, like ``pipelined_cg``.
+Stopping contract: the Lanczos/Givens recurrence carries ``phibar``
+(= ||r_k|| exactly in exact arithmetic; the ||r_k||_{M^-1} norm when
+preconditioned), which in f32 can drift optimistic. The loop therefore uses
+phibar only as a TRIGGER: when phibar < tol the lap CONFIRMS against the
+true residual ``||b - A x_k||`` (one extra matvec, paid only on triggered
+laps) and keeps iterating if the confirmation fails — the same
+true-residual contract as ``cg_solve``, with ``converged`` recomputed
+honestly at the end (like ``pipelined_cg``).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,88 +40,150 @@ import jax.numpy as jnp
 from tpucg.config import CGConfig
 from tpucg.kernels.blas1 import dot_xla
 from tpucg.kernels.dispatch import resolve_backend
-from tpucg.solver.cg import CGResult
+from tpucg.solver.cg import CGResult, make_block_precond
 from tpucg.solver.operators import as_operator
 
 
 class _MinresState(NamedTuple):
     k: jax.Array
     x: jax.Array
-    v_prev: jax.Array
-    v: jax.Array
-    beta: jax.Array     # beta_j (subdiagonal entering this lap)
-    w1: jax.Array       # w_{j-1}
-    w2: jax.Array       # w_{j-2}
-    gamma0: jax.Array
-    gamma1: jax.Array
-    sigma0: jax.Array
-    sigma1: jax.Array
-    eta: jax.Array      # signed; |eta| = ||r_{j-1}||
+    r1: jax.Array      # Lanczos history vector (unpreconditioned)
+    r2: jax.Array
+    y: jax.Array       # M^-1 r2 (== r2 unpreconditioned)
+    oldb: jax.Array    # beta_{j-1}
+    beta: jax.Array    # beta_j
+    dbar: jax.Array
+    epsln: jax.Array
+    phibar: jax.Array  # residual-norm estimate (M^-1 norm if preconditioned)
+    cs: jax.Array
+    sn: jax.Array
+    w: jax.Array       # solution-update direction history
+    w2: jax.Array
     done: jax.Array
 
 
-def minres_loop(matvec, dot, b, x0, *, tol, maxiter) -> _MinresState:
-    """Generic MINRES while_loop. ``matvec``/``dot`` abstract the execution
-    model exactly like ``cg_loop``'s: serial closures, or psum-reducing
-    closures under shard_map (``sharded_minres_solve``)."""
+def minres_loop(
+    matvec: Callable,
+    dot: Callable,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    tol,
+    maxiter,
+    psolve: Optional[Callable] = None,
+) -> _MinresState:
+    """Generic (optionally preconditioned) MINRES while_loop.
+
+    ``matvec``/``dot`` abstract the execution model exactly like
+    ``cg_loop``'s: serial closures, or psum-reducing closures under
+    shard_map (``sharded_minres_solve``). ``psolve``, if given, applies an
+    SPD M^-1 (same shape contract as the CG preconditioner closures).
+    """
     f32 = b.dtype
     tolv = jnp.asarray(tol, f32)
 
-    r0 = b - matvec(x0)
-    beta1 = jnp.sqrt(dot(r0, r0))
-    safe_b1 = jnp.where(beta1 > 0, beta1, jnp.ones_like(beta1))
+    r1 = b - matvec(x0)
+    y = r1 if psolve is None else psolve(r1)
+    # dot(r1, y) = ||r1||_{M^-1}^2 >= 0 for SPD M (clamp guards f32 noise).
+    beta1 = jnp.sqrt(jnp.maximum(dot(r1, y), 0.0))
     zero = jnp.zeros_like(b)
-    one = jnp.ones((), f32)
     nil = jnp.zeros((), f32)
     s0 = _MinresState(
-        k=jnp.int32(0), x=x0, v_prev=zero, v=r0 / safe_b1,
-        beta=nil, w1=zero, w2=zero,
-        gamma0=one, gamma1=one, sigma0=nil, sigma1=nil,
-        eta=beta1, done=beta1 < tolv,
+        k=jnp.int32(0), x=x0, r1=r1, r2=r1, y=y,
+        oldb=nil, beta=beta1, dbar=nil, epsln=nil, phibar=beta1,
+        cs=-jnp.ones((), f32), sn=nil, w=zero, w2=zero,
+        done=beta1 < tolv,
     )
 
     def cond(s):
         return jnp.logical_and(s.k < maxiter, jnp.logical_not(s.done))
 
     def body(s):
-        av = matvec(s.v)
-        alpha = dot(s.v, av)
-        y = av - alpha * s.v - s.beta * s.v_prev
-        beta_next = jnp.sqrt(dot(y, y))
-        # Lanczos breakdown (beta_next ~ 0) means the Krylov space is
-        # invariant: this lap's x update is exact; the guarded division
-        # only protects the (unused) next v.
-        v_next = y / jnp.where(beta_next > 0, beta_next,
-                               jnp.ones_like(beta_next))
-        delta = s.gamma1 * alpha - s.gamma0 * s.sigma1 * s.beta
-        rho1 = jnp.sqrt(delta * delta + beta_next * beta_next)
-        rho1 = jnp.where(rho1 > 0, rho1, jnp.ones_like(rho1))
-        rho2 = s.sigma1 * alpha + s.gamma0 * s.gamma1 * s.beta
-        rho3 = s.sigma0 * s.beta
-        gamma1 = delta / rho1
-        sigma1 = beta_next / rho1
-        w = (s.v - rho3 * s.w2 - rho2 * s.w1) / rho1
-        x = s.x + (gamma1 * s.eta) * w
-        eta = -sigma1 * s.eta
-        done = jnp.abs(eta) < tolv
+        safe_beta = jnp.where(s.beta > 0, s.beta, jnp.ones_like(s.beta))
+        v = s.y / safe_beta
+        av = matvec(v)
+        # Lanczos three-term recurrence on the preconditioned operator,
+        # carried on the UNpreconditioned vectors r1/r2 (Paige-Saunders).
+        safe_oldb = jnp.where(s.oldb > 0, s.oldb, jnp.ones_like(s.oldb))
+        av = av - jnp.where(s.k > 0, s.beta / safe_oldb, 0.0) * s.r1
+        alfa = dot(v, av)
+        av = av - (alfa / safe_beta) * s.r2
+        r1n, r2n = s.r2, av
+        yn = r2n if psolve is None else psolve(r2n)
+        beta = jnp.sqrt(jnp.maximum(dot(r2n, yn), 0.0))
+
+        # Previous Givens rotation, then the next one.
+        oldeps = s.epsln
+        delta = s.cs * s.dbar + s.sn * alfa
+        gbar = s.sn * s.dbar - s.cs * alfa
+        epsln = s.sn * beta
+        dbar = -s.cs * beta
+        gamma = jnp.sqrt(gbar * gbar + beta * beta)
+        gamma = jnp.where(gamma > 0, gamma, jnp.ones_like(gamma))
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s.phibar
+        phibar = sn * s.phibar
+
+        w_new = (v - oldeps * s.w2 - delta * s.w) / gamma
+        x = s.x + phi * w_new
+
+        # phibar < tol only TRIGGERS the stop; a true-residual recompute
+        # confirms it (both branches trace; only the taken one runs).
+        def confirm(_):
+            r = b - matvec(x)
+            return dot(r, r) < tolv * tolv
+
+        done = jax.lax.cond(
+            phibar < tolv, confirm, lambda _: jnp.bool_(False), None
+        )
         return _MinresState(
-            k=s.k + 1, x=x, v_prev=s.v, v=v_next, beta=beta_next,
-            w1=w, w2=s.w1, gamma0=s.gamma1, gamma1=gamma1,
-            sigma0=s.sigma1, sigma1=sigma1, eta=eta, done=done,
+            k=s.k + 1, x=x, r1=r1n, r2=r2n, y=yn,
+            oldb=s.beta, beta=beta, dbar=dbar, epsln=epsln,
+            phibar=phibar, cs=cs, sn=sn, w=w_new, w2=s.w, done=done,
         )
 
     return jax.lax.while_loop(cond, body, s0)
 
 
+def abs_inv_blocks(blocks: jax.Array, ridge: float = 1e-6) -> jax.Array:
+    """SPD-ized inverse of a (nb, bs, bs) batch of symmetric blocks:
+    |B|^-1 = Q |lambda|^-1 Q^T via batched eigh. For MINRES the
+    preconditioner must be SPD even when A (hence its diagonal blocks)
+    is indefinite; |B|^-1 matches B^-1 where B is definite and flips the
+    negative directions. Near-zero eigenvalues are floored at
+    ``ridge`` x max|lambda| (setup-only cost; f32 accuracy here affects
+    preconditioner quality, not solve correctness)."""
+    sym = 0.5 * (blocks + jnp.transpose(blocks, (0, 2, 1)))
+    lam, q = jnp.linalg.eigh(sym)
+    a = jnp.abs(lam)
+    floor = ridge * jnp.max(a, axis=1, keepdims=True)
+    a = jnp.maximum(a, jnp.maximum(floor, 1e-30))
+    minv = jnp.einsum("qij,qj,qkj->qik", q, 1.0 / a, q)
+    return 0.5 * (minv + jnp.transpose(minv, (0, 2, 1)))
+
+
+def _make_minres_psolve(minv, npad: int) -> Optional[Callable]:
+    """CG-convention preconditioner closure from a 1-D (point) or 3-D
+    (block) minv array; None passes through."""
+    if minv is None:
+        return None
+    if minv.ndim == 3:
+        return make_block_precond(minv, npad)
+    return lambda r: minv * r
+
+
 @functools.partial(
     jax.jit, static_argnames=("tol", "maxiter", "blas_backend")
 )
-def _minres_jit(op, b, x0, tol, maxiter, blas_backend):
+def _minres_jit(op, b, x0, minv, tol, maxiter, blas_backend):
     del blas_backend  # vector ops are plain fused XLA here
     matvec, dot = op.matvec, dot_xla
-    s = minres_loop(matvec, dot, b, x0, tol=tol, maxiter=maxiter)
-    # Honest reporting: the recurrence's |eta| drifts from the true
-    # residual in f32; recompute it once (same practice as pipelined CG).
+    psolve = _make_minres_psolve(minv, b.shape[0])
+    s = minres_loop(matvec, dot, b, x0, tol=tol, maxiter=maxiter,
+                    psolve=psolve)
+    # Honest reporting: recompute the true residual once (the loop's
+    # trigger+confirm already tested it on the stopping lap).
     r = b - matvec(s.x)
     rr = dot(r, r)
     tolv = jnp.asarray(tol, b.dtype)
@@ -128,13 +196,18 @@ def _minres_jit(op, b, x0, tol, maxiter, blas_backend):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "strategy", "backend", "tol", "maxiter",
-                     "axis"),
+                     "axis", "precondition", "pc_block_size"),
 )
 def _sharded_minres_jit(A, b, x0, *, mesh, strategy, backend, tol, maxiter,
-                        axis):
+                        axis, precondition="none", pc_block_size=32):
     from jax.sharding import PartitionSpec as P
 
-    from tpucg.solver.sharded import _make_matvec, _make_reductions
+    from tpucg.solver.sharded import (
+        _jacobi_minv_blk,
+        _local_diag_blocks,
+        _make_matvec,
+        _make_reductions,
+    )
 
     num = mesh.devices.size
     tolv = jnp.asarray(tol, jnp.float32)
@@ -142,7 +215,17 @@ def _sharded_minres_jit(A, b, x0, *, mesh, strategy, backend, tol, maxiter,
     def solve(A_blk, b_blk, x_blk):
         mv = _make_matvec(A_blk, strategy, num, backend, axis)
         dot, _, _ = _make_reductions(axis)
-        s = minres_loop(mv, dot, b_blk, x_blk, tol=tol, maxiter=maxiter)
+        psolve = None
+        if precondition == "jacobi":
+            # abs(1/d) = 1/|d| (SPD M even for indefinite diagonals).
+            minv = jnp.abs(_jacobi_minv_blk(A_blk, axis))
+            psolve = lambda r: minv * r
+        elif precondition == "block_jacobi":
+            blocks = _local_diag_blocks(A_blk, axis, pc_block_size)
+            minv = abs_inv_blocks(blocks)
+            psolve = make_block_precond(minv, b_blk.shape[0])
+        s = minres_loop(mv, dot, b_blk, x_blk, tol=tol, maxiter=maxiter,
+                        psolve=psolve)
         r = b_blk - mv(s.x)
         rr = dot(r, r)
         return s.x, s.k, jnp.sqrt(rr), rr < tolv * tolv
@@ -166,7 +249,9 @@ def sharded_minres_solve(
 ) -> CGResult:
     """MINRES with A row-block-sharded across the mesh — the distributed
     composition of :func:`minres_solve` (same allgather/overlap strategy
-    arms and psum scalar reductions as ``sharded_cg_solve``)."""
+    arms, psum scalar reductions, and jacobi/block_jacobi preconditioner
+    options as ``sharded_cg_solve``; block-Jacobi blocks are extracted
+    per shard and SPD-ized with :func:`abs_inv_blocks`)."""
     import numpy as np
     from dataclasses import replace as dataclasses_replace
 
@@ -180,8 +265,11 @@ def sharded_minres_solve(
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg":
         raise ValueError("sharded_minres_solve has no method variants")
-    if config.precondition != "none":
-        raise ValueError("sharded_minres_solve is unpreconditioned")
+    if config.precondition not in ("none", "jacobi", "block_jacobi"):
+        raise ValueError(
+            "sharded_minres_solve supports precondition in "
+            "{'none', 'jacobi', 'block_jacobi'} (M must be SPD)"
+        )
     if mesh is None:
         mesh = make_mesh()
     if mesh.devices.ndim != 1:
@@ -192,6 +280,13 @@ def sharded_minres_solve(
     n = A.shape[0]
     part = RowPartition(n=n, num_shards=mesh.devices.size,
                         align=row_align(backend))
+    if config.precondition == "block_jacobi":
+        block_rows = part.n_padded // mesh.devices.size
+        if block_rows % int(config.pc_block_size):
+            raise ValueError(
+                f"pc_block_size={config.pc_block_size} must divide each "
+                f"shard's block ({block_rows} rows)"
+            )
     Ad, bd, x0d = distribute_system(
         A, np.asarray(b, np.float32),
         None if x0 is None else np.asarray(x0, np.float32),
@@ -201,6 +296,8 @@ def sharded_minres_solve(
     x, k, rn, done = _sharded_minres_jit(
         Ad, bd, x0d, mesh=mesh, strategy=config.strategy, backend=backend,
         tol=float(config.tol), maxiter=int(maxiter), axis=axis,
+        precondition=config.precondition,
+        pc_block_size=int(config.pc_block_size),
     )
     res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
     if part.n_padded != n:
@@ -217,10 +314,17 @@ def minres_solve(
 ) -> CGResult:
     """Solve the symmetric (possibly INDEFINITE) system A x = b by MINRES.
 
-    Same calling convention and stopping contract as ``cg_solve``
-    (absolute ``||r|| < tol``, <= maxiter laps, float32), but only
-    symmetry — not positive-definiteness — is required. On SPD systems
-    it matches CG's solution (CG remains slightly cheaper per lap).
+    Same calling convention and true-residual stopping contract as
+    ``cg_solve`` (absolute ``||b - A x|| < tol`` confirmed in-loop,
+    <= maxiter laps, float32), but only symmetry — not positive-
+    definiteness — is required. On SPD systems it matches CG's solution
+    (CG remains slightly cheaper per lap).
+
+    ``precondition``: "none", "jacobi" (M = |diag(A)|), or "block_jacobi"
+    (M = blockdiag |B_i|, ``pc_block_size`` rows per block, SPD-ized via
+    :func:`abs_inv_blocks`). MINRES requires SPD M, hence the absolute
+    values. Accepts any ``LinearOperator`` (DIA/stencil/WELL/dense...);
+    block_jacobi needs the operator to expose ``diagonal_blocks``.
     """
     from dataclasses import replace as dataclasses_replace
 
@@ -230,10 +334,11 @@ def minres_solve(
         config = dataclasses_replace(config, **overrides)
     if config.method != "cg":
         raise ValueError("minres_solve has no method variants")
-    if config.precondition != "none":
+    if config.precondition not in ("none", "jacobi", "block_jacobi"):
         raise ValueError(
-            "minres_solve is unpreconditioned (MINRES preconditioning "
-            "needs an SPD M; use cg_solve for SPD systems)"
+            "minres_solve supports precondition in {'none', 'jacobi', "
+            "'block_jacobi'} (MINRES needs an SPD M; poly preconditioners "
+            "of indefinite operators are not SPD)"
         )
     if jnp.dtype(config.dtype) != jnp.float32:
         raise ValueError("minres_solve is float32-only")
@@ -248,8 +353,17 @@ def minres_solve(
     if npad != n:
         b = jnp.pad(b, (0, npad - n))
         x0 = jnp.pad(x0, (0, npad - n))
+    minv = None
+    if config.precondition == "jacobi":
+        d = jnp.abs(op.diagonal())
+        minv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 1.0).astype(
+            jnp.float32)
+    elif config.precondition == "block_jacobi":
+        bs = int(config.pc_block_size)
+        minv = abs_inv_blocks(op.diagonal_blocks(bs))
     maxiter = config.maxiter if config.maxiter is not None else n
-    res = _minres_jit(op, b, x0, float(config.tol), int(maxiter), backend)
+    res = _minres_jit(op, b, x0, minv, float(config.tol), int(maxiter),
+                      backend)
     if npad != n:
         res = res._replace(x=res.x[:n])
     return res

@@ -372,6 +372,92 @@ class BsrOperator(LinearOperator):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class WellOperator(LinearOperator):
+    """Windowed gather-ELL operator — the TPU-honest irregular-sparse path.
+
+    Device form of ``tpucg.sparse.well.WellMatrix``: nonzeros packed into
+    128-slot sublane rows whose columns share one 128-wide window, applied
+    by x-row-gather + Mosaic lane-gather + one-hot MXU routing (see
+    ``kernels.gather_spmv``). Replaces scalar-gather ELL as the fallback for
+    matrices that are neither banded (DIA) nor blocky (BSR).
+    """
+
+    vals: jax.Array   # (NS, 128) float32
+    lidx: jax.Array   # (NS, 128) int8
+    gidl: jax.Array   # (NB, BS) int32
+    wrow: jax.Array   # (NS,) int32
+    sgb: jax.Array    # (NB,) int32
+    dvec: jax.Array   # (padded_n,) float32 — diag(A), host-built at setup
+    n: int = dataclasses.field(metadata=dict(static=True))
+    bg: int = dataclasses.field(metadata=dict(static=True))
+    nsg: int = dataclasses.field(metadata=dict(static=True))
+    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+
+    @classmethod
+    def from_csr(cls, csr: CSRMatrix, backend: str = "auto",
+                 **well_kwargs) -> "WellOperator":
+        from tpucg.sparse.well import csr_to_well
+
+        if csr.shape[0] != csr.shape[1]:
+            raise ValueError(f"WellOperator needs a square matrix, got {csr.shape}")
+        return cls.from_well(csr_to_well(csr, **well_kwargs), backend=backend)
+
+    @classmethod
+    def from_well(cls, well, backend: str = "auto") -> "WellOperator":
+        return cls(
+            vals=jnp.asarray(well.vals),
+            lidx=jnp.asarray(well.lidx),
+            gidl=jnp.asarray(well.gidl),
+            wrow=jnp.asarray(well.wrow),
+            sgb=jnp.asarray(well.sgb),
+            dvec=jnp.asarray(well.diagonal()),
+            n=well.shape[0],
+            bg=well.groups_per_super,
+            nsg=well.n_supergroups,
+            backend=backend,
+        )
+
+    @property
+    def padded_n(self) -> int:
+        # Rows [n, padded_n) carry the builder's identity tail.
+        return round_up(self.n, 128)
+
+    @property
+    def n_groups(self) -> int:
+        return self.padded_n // 128
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        import jax as _jax
+
+        from tpucg.kernels.dispatch import resolve_backend
+        from tpucg.kernels.gather_spmv import well_spmv, well_spmv_xla
+
+        x2 = x.reshape(self.n_groups, 128)
+        want = (
+            resolve_backend("auto") if self.backend == "auto" else self.backend
+        )
+        use_pallas = want == "pallas" and x.dtype == jnp.float32
+        if not use_pallas and _jax.default_backend() == "tpu":
+            # The scatter-add in the XLA fallback aborts the TPU compiler
+            # (fusion of a lane-gather into SortedScatterEmitter fails a
+            # CHECK); the fallback exists for CPU/interpret runs only.
+            raise ValueError(
+                "the WELL XLA fallback (scatter-add) is not TPU-compilable; "
+                "use backend='pallas' (float32) on TPU"
+            )
+        fn = well_spmv if use_pallas else well_spmv_xla
+        y2 = fn(self.vals, self.lidx, self.gidl, self.wrow, self.sgb, x2,
+                bg=self.bg, nsg=self.nsg)
+        return y2.reshape(-1)[: self.padded_n]
+
+    def diagonal(self) -> jax.Array:
+        # Built host-side at from_well time: the device scatter-add this
+        # would need is not TPU-compilable (see matvec).
+        return self.dvec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class PoissonOperator(LinearOperator):
     """Matrix-free 3-D 7-point Laplacian on an m^3 grid (Dirichlet).
 
@@ -455,6 +541,7 @@ def best_sparse_operator(
     dia_fill_cap: float = 4.0,
     blocksize: int = 8,
     bsr_fill_cap: float = 3.0,
+    fallback: str = "well",
 ) -> LinearOperator:
     """Auto-promote a CSR matrix to the most TPU-honest device format.
 
@@ -469,7 +556,10 @@ def best_sparse_operator(
        inflates stored entries by at most ``bsr_fill_cap``: each gather then
        moves bs elements per index and the tile products are dense VPU work.
        (n is identity-padded to the blocksize if needed.)
-    3. **ELL** otherwise, with its cost documented.
+    3. **WELL** otherwise (square matrices) — windowed gather-ELL, the
+       genuinely-irregular path built from row-DMA + lane-gather
+       (``kernels.gather_spmv``); ``fallback="ell"`` restores the scalar
+       ELL for comparison (its ~0.1 Gnnz/s cost is documented in RESULTS.md).
     """
     from tpucg.sparse.formats import csr_to_bsr, csr_to_dia
 
@@ -508,6 +598,8 @@ def best_sparse_operator(
                 values=op.values, indices=op.indices, n=n
             )
         return op
+    if fallback == "well" and n == csr.shape[1]:
+        return WellOperator.from_csr(csr, backend=backend)
     return EllOperator.from_csr(csr)
 
 
@@ -525,6 +617,10 @@ def as_operator(A, backend: str = "xla", dtype=np.float32) -> LinearOperator:
         return EllOperator.from_ell(A)
     if isinstance(A, BSRMatrix):
         return BsrOperator.from_bsr(A)
+    from tpucg.sparse.well import WellMatrix
+
+    if isinstance(A, WellMatrix):
+        return WellOperator.from_well(A)
     if isinstance(A, DIAMatrix):
         # "auto" picks the fused Pallas kernel whenever supported and falls
         # back to the XLA shift-and-add otherwise (the ``backend`` argument

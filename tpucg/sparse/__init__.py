@@ -10,6 +10,7 @@ from tpucg.sparse.formats import (
     csr_to_dia,
     csr_to_ell,
 )
+from tpucg.sparse.well import WellMatrix, csr_to_well
 
 __all__ = [
     "COOMatrix",
@@ -20,4 +21,6 @@ __all__ = [
     "csr_to_ell",
     "csr_to_bsr",
     "csr_to_dia",
+    "WellMatrix",
+    "csr_to_well",
 ]

@@ -1,0 +1,256 @@
+"""WELL — windowed gather-ELLPACK, the TPU-honest irregular-sparse format.
+
+The reference's sparse story is "do the hot kernel right per platform"
+(its dense analog is ``serialConjugate.c:109-120``); for matrices that are
+neither banded (DIA) nor blocky (BSR), the previous fallback was scalar-gather
+ELL, measured ~2000x off the in-family roofline (RESULTS.md) because TPUs
+have no scalar gather — the only fast data-dependent addressing primitives
+are (a) an XLA row-gather (DMA of whole 128-lane rows) and (b) the Mosaic
+lane-gather (``take_along_axis`` along the 128-wide lane dimension, a VPU
+vreg shuffle). WELL is built from exactly those two:
+
+- The vector x lives as ``x2 = x.reshape(G, 128)`` — row g is the 128-wide
+  **window** of columns [128g, 128(g+1)).
+- Nonzeros are packed into **sublane rows** of 128 slots. Every entry in a
+  sublane row has (1) its column inside ONE window ``wrow[s]`` and (2) its
+  row inside ONE output group of 128 rows, at lane position ``row % 128``.
+- SpMV is then: gather the window rows once per sublane row
+  (``xg = x2[wrow]``, an XLA row-gather DMA), lane-gather each window by the
+  stored lane indices, multiply by the values, and reduce sublane rows into
+  their output groups. No scalar gather anywhere.
+
+The output reduction is regularized for the MXU: groups are batched into
+**super-groups** of ``BG`` groups, each super-group's sublane rows padded to
+a multiple of the ``BS``-sublane stream block, so one (BG, BS) one-hot matmul
+per block routes every sublane row to its output group row (exact: one-hot
+weights are 0/1, products accumulate in float32 with HIGHEST precision).
+
+Storage per nonzero slot: 4 B value + 1 B lane index + the 4 B of gathered
+window traffic; fill (nnz / slots) depends on how well a 128-row group's
+entries cluster into shared windows — locality-preserving orderings (mesh
+order, RCM — see ``tpucg.sparse.ordering``) keep it high.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+LANE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class WellMatrix:
+    """Windowed gather-ELL storage (host arrays; device form is WellOperator).
+
+    vals  (NS, 128) float32 — packed nonzero values (0 = padding slot)
+    lidx  (NS, 128) int8    — column % 128 of each slot (0 for padding)
+    wrow  (NS,)     int32   — window id (column // 128) per sublane row
+    gidl  (NB, BS)  int32   — group id WITHIN the super-group per sublane row,
+                              laid out along lanes (one row per stream block)
+    sgb   (NB,)     int32   — super-group id per stream block (nondecreasing)
+    shape             logical (rows, cols)
+    block_sublanes    BS — sublane rows per stream block
+    groups_per_super  BG — output groups (of 128 rows) per super-group
+    """
+
+    vals: np.ndarray
+    lidx: np.ndarray
+    wrow: np.ndarray
+    gidl: np.ndarray
+    sgb: np.ndarray
+    shape: Tuple[int, int]
+    block_sublanes: int
+    groups_per_super: int
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(self.vals))
+
+    @property
+    def n_sublanes(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.sgb.size)
+
+    @property
+    def n_groups(self) -> int:
+        """Output groups covering the (row-padded) system: ceil(rows/128)."""
+        return -(-self.shape[0] // LANE)
+
+    @property
+    def n_supergroups(self) -> int:
+        return int(self.sgb.max()) + 1 if self.sgb.size else 0
+
+    @property
+    def fill(self) -> float:
+        """Useful fraction of streamed slots (1.0 = zero padding)."""
+        slots = self.vals.size
+        return self.nnz / slots if slots else 1.0
+
+    def diagonal(self) -> np.ndarray:
+        """diag(A) over the padded rows [0, n_groups*128), float32.
+
+        An entry at (sublane s, lane l) has row = group(s)*128 + l and
+        col = wrow[s]*128 + lidx[s, l]; the diagonal sums entries with
+        col == row (padding slots hold value 0 and never contribute).
+        Host-side: the device scatter-add this needs is not TPU-compilable.
+        """
+        BS, BG = self.block_sublanes, self.groups_per_super
+        g_of_sub = (
+            np.repeat(self.sgb.astype(np.int64), BS) * BG
+            + self.gidl.reshape(-1)
+        )
+        lanes = np.arange(LANE, dtype=np.int64)[None, :]
+        row = g_of_sub[:, None] * LANE + lanes
+        col = self.wrow[:, None].astype(np.int64) * LANE + self.lidx.astype(
+            np.int64
+        )
+        contrib = np.where(col == row, self.vals, 0.0).astype(np.float32)
+        d2 = np.zeros((self.n_supergroups * BG, LANE), np.float32)
+        np.add.at(d2, g_of_sub, contrib)
+        npad = -(-self.shape[0] // LANE) * LANE
+        return d2.reshape(-1)[:npad]
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """Host-side reference SpMV (oracle for kernel tests)."""
+        BS, BG = self.block_sublanes, self.groups_per_super
+        G = self.n_groups
+        ncol_pad = -(-self.shape[1] // LANE) * LANE
+        x2 = np.zeros(ncol_pad, dtype=np.result_type(x, np.float32))
+        x2[: self.shape[1]] = x
+        x2 = x2.reshape(-1, LANE)
+        xg = x2[self.wrow]                      # row-gather
+        li = self.lidx.astype(np.int64)
+        P = self.vals * np.take_along_axis(xg, li, axis=1)  # lane-gather
+        g_of_sub = (
+            np.repeat(self.sgb.astype(np.int64), BS) * BG
+            + self.gidl.reshape(-1)
+        )
+        y2 = np.zeros((self.n_supergroups * BG, LANE), P.dtype)
+        np.add.at(y2, g_of_sub, P)
+        return y2.reshape(-1)[: self.shape[0]]
+
+
+def csr_to_well(
+    csr,
+    block_sublanes: int = 256,
+    groups_per_super: int = 32,
+) -> WellMatrix:
+    """Pack a CSR matrix into WELL form (vectorized NumPy preprocessing).
+
+    Square matrices get the partitioner's identity tail on rows
+    [n, ceil(n/128)*128) so the padded operator stays SPD and Jacobi
+    preconditioning sees unit diagonals in the tail.
+    """
+    BS, BG = int(block_sublanes), int(groups_per_super)
+    if BS % 8 or BS <= 0:
+        raise ValueError(f"block_sublanes must be a positive multiple of 8, got {BS}")
+    if BG <= 0:
+        raise ValueError(f"groups_per_super must be positive, got {BG}")
+    n_rows, n_cols = csr.shape
+    G = -(-n_rows // LANE)
+    NSG = -(-G // BG)
+
+    rows = np.repeat(
+        np.arange(n_rows, dtype=np.int64), np.diff(csr.indptr)
+    )
+    cols = csr.indices.astype(np.int64)
+    vals = csr.data.astype(np.float32)
+    if n_rows == n_cols and G * LANE != n_rows:
+        tail = np.arange(n_rows, G * LANE, dtype=np.int64)
+        rows = np.concatenate([rows, tail])
+        cols = np.concatenate([cols, tail])
+        vals = np.concatenate([vals, np.ones(tail.size, np.float32)])
+
+    nnz = vals.size
+    if nnz == 0:
+        # Degenerate all-zero matrix: one zero block per super-group so the
+        # kernel still initializes every output row.
+        NS = max(NSG, 1) * BS
+        NB = NS // BS
+        return WellMatrix(
+            vals=np.zeros((NS, LANE), np.float32),
+            lidx=np.zeros((NS, LANE), np.int8),
+            wrow=np.zeros(NS, np.int32),
+            gidl=np.zeros((NB, BS), np.int32),
+            sgb=np.arange(NB, dtype=np.int32) % max(NSG, 1),
+            shape=(n_rows, n_cols),
+            block_sublanes=BS,
+            groups_per_super=BG,
+        )
+
+    g = rows // LANE
+    w = cols // LANE
+    lane = (rows % LANE).astype(np.int64)
+    li = (cols % LANE).astype(np.int8)
+    NW = -(-max(n_cols, 1) // LANE)
+
+    order = np.lexsort((rows, w, g))
+    g, w, lane, li, vals = (a[order] for a in (g, w, lane, li, vals))
+    rows_s = rows[order]
+
+    # Slot index k within each (row, window) run: within a tile (g, w) the
+    # sort puts each row's entries contiguously, so k = position in run.
+    key_rw = rows_s * NW + w
+    new_rw = np.r_[True, key_rw[1:] != key_rw[:-1]]
+    starts = np.flatnonzero(new_rw)
+    run_len = np.diff(np.r_[starts, nnz])
+    k = np.arange(nnz, dtype=np.int64) - np.repeat(starts, run_len)
+
+    # Tiles = (group, window) pairs; a tile occupies S = max per-row count
+    # sublane rows (rows with fewer entries in the window pad within lanes).
+    key_t = g * NW + w
+    new_t = np.r_[True, key_t[1:] != key_t[:-1]]
+    tstarts = np.flatnonzero(new_t)
+    tid = np.cumsum(new_t) - 1
+    S = np.maximum.reduceat(k + 1, tstarts)
+    tg = g[tstarts]
+    tw = w[tstarts]
+
+    # Super-group layout: tiles (sorted by group) are laid out contiguously;
+    # each super-group's sublane total pads to a BS multiple (empty ones get
+    # one zero block so their output rows are still written).
+    tsg = tg // BG
+    sg_tot = np.bincount(tsg, weights=S, minlength=NSG).astype(np.int64)
+    sg_pad = np.where(sg_tot == 0, BS, -(-sg_tot // BS) * BS)
+    sg_base = np.concatenate([[0], np.cumsum(sg_pad)])
+    NS = int(sg_base[-1])
+    NB = NS // BS
+
+    cumS = np.concatenate([[0], np.cumsum(S)])
+    new_sg_t = np.r_[True, tsg[1:] != tsg[:-1]]
+    first_tile = np.flatnonzero(new_sg_t)
+    tile_to_first = first_tile[np.cumsum(new_sg_t) - 1]
+    tbase = sg_base[tsg] + (cumS[:-1] - cumS[:-1][tile_to_first])
+    sub = tbase[tid] + k
+
+    vals_a = np.zeros((NS, LANE), np.float32)
+    lidx_a = np.zeros((NS, LANE), np.int8)
+    wrow_a = np.zeros(NS, np.int32)
+    gid_a = np.zeros(NS, np.int32)
+    vals_a[sub, lane] = vals
+    lidx_a[sub, lane] = li
+    wrow_a[sub] = tw[tid]
+    gid_a[sub] = (g % BG).astype(np.int32)
+
+    sgb = (
+        np.searchsorted(sg_base, np.arange(NB, dtype=np.int64) * BS, "right")
+        - 1
+    ).astype(np.int32)
+    # Padding sublanes keep gid 0; their zero values route 0 to group 0 of
+    # the right super-group — inert by construction.
+    return WellMatrix(
+        vals=vals_a,
+        lidx=lidx_a,
+        wrow=wrow_a,
+        gidl=gid_a.reshape(NB, BS),
+        sgb=sgb,
+        shape=(n_rows, n_cols),
+        block_sublanes=BS,
+        groups_per_super=BG,
+    )
