@@ -1,11 +1,24 @@
-"""On-chip WELL (irregular sparse) kernel bench.
+"""Irregular-sparse (WELL) benchmark — RESULTS.md "Irregular sparse" section.
 
 Run ON TPU: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/well_bench.py
-Measures matvec Gnnz/s for the WELL Pallas kernel vs the legacy ELL/BSR paths
-on a genuinely irregular SPD system (random geometric graph Laplacian), plus
-a solve-to-convergence row. Chained differencing per CLAUDE.md timing rules.
+One process; ~10 min (remote-compile warm-up dominates the first rows).
+
+Workloads (the role generateSPDmatrix.m:23-43 plays for the dense tables):
+- random geometric-graph Laplacians (random_geometric_spd) — genuinely
+  irregular row lengths/patterns, no band, no block structure;
+- an unstructured-mesh FEM system (fem_p1_system, P1 stiffness on a random
+  Delaunay triangulation, Dirichlet hull) saved to and loaded back from a
+  MatrixMarket file — the real-world .mtx path end-to-end, including the
+  shuffled-numbering + --rcm recovery story.
+
+Timing per CLAUDE.md: chained differencing, min/median/max of >= 3
+independent chains (the reference's 3-raw-trials practice).
 """
 import argparse
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import jax
@@ -13,78 +26,164 @@ import jax.numpy as jnp
 import numpy as np
 
 import tpucg
-from tpucg.bench import timing
-from tpucg.io.generator import random_geometric_spd
+from tpucg.bench.timing import time_matvec_spread, time_solve_chain
+from tpucg.io.generator import fem_p1_system, random_geometric_spd
+from tpucg.sparse.ordering import permute_csr, rcm_order
 from tpucg.sparse.well import csr_to_well
 
+ROOFLINE_GBPS = 816.0  # v5e HBM, BASELINE.md
+SHUFFLE_OPS = 17.0     # measured Mosaic lane-gather cost, VPU ops/slot
+VPU_GOPS = 963.0       # 8x128 lanes @ ~0.94 GHz
 
-def pad_to(v, n):
+
+def _pad(v, n):
     out = np.zeros(n, np.float32)
     out[: v.size] = v
     return out
 
 
+def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048):
+    well = csr_to_well(A)
+    op = tpucg.WellOperator.from_well(well, backend="pallas")
+    x = np.random.default_rng(3).standard_normal(op.padded_n).astype(
+        np.float32)
+    x[: A.shape[0]] *= 1.0
+    xd = jnp.asarray(x)
+    y = np.asarray(op.matvec(xd))[: A.shape[0]]
+    y_ref = A.matvec(np.asarray(x)[: A.shape[0]].astype(np.float64))
+    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
+    assert rel < 1e-5, (name, rel)
+    lo, med, hi = time_matvec_spread(
+        lambda o, u: o.matvec(u), op, xd, steps=steps)
+    gnnz = A.nnz / med / 1e9
+    # Format roofline: the Mosaic lane-gather is ~17 VPU ops per streamed
+    # slot — the measured compute floor of this format on v5e.
+    slots = well.vals.size
+    ceil = A.nnz / (slots * SHUFFLE_OPS / (VPU_GOPS * 1e9)) / 1e9
+    lines.append(
+        f"| {name} | {A.shape[0]} | {A.nnz} | {well.fill:.2f} "
+        f"| {med*1e6:.0f} ({lo*1e6:.0f}-{hi*1e6:.0f}) "
+        f"| {A.nnz/hi/1e9:.1f}-{A.nnz/lo/1e9:.1f} | {gnnz:.1f} "
+        f"| {100*gnnz/ceil:.0f}% |"
+    )
+    print(lines[-1], flush=True)
+    return op, well
+
+
+def solve_row(name, A, b, lines, precondition="none"):
+    op = tpucg.best_sparse_operator(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    kw = dict(tol=tol)
+    if precondition != "none":
+        kw["precondition"] = precondition
+    t0 = time.time()
+    res = tpucg.cg_solve(op, b, **kw)
+    jax.block_until_ready(res.x)
+    iters = int(res.iterations)
+    x_sol = np.asarray(res.x)[: A.shape[0]]
+    rr = float(np.linalg.norm(b - A.matvec(x_sol)))
+    assert bool(res.converged), name
+    s = time_solve_chain(
+        op, jnp.asarray(b), jnp.zeros_like(jnp.asarray(b)),
+        tol=tol, maxiter=A.shape[0], est_solve_s=max(time.time() - t0, 0.01),
+        **({"precondition": precondition} if precondition != "none" else {}),
+    )
+    lines.append(
+        f"| {name} | {A.shape[0]} | {precondition} | {iters} "
+        f"| {s*1e3:.2f} | {rr:.2e} |"
+    )
+    print(lines[-1], flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=262144)
-    ap.add_argument("--deg", type=float, default=12.0)
-    ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--legacy", action="store_true",
                     help="also time the scalar-gather ELL arm (slow)")
-    ap.add_argument("--solve", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write the markdown section to this file")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
-    t0 = time.time()
-    A, b, x0 = random_geometric_spd(args.n, seed=0, dim=args.dim,
-                                    avg_degree=args.deg)
-    well = csr_to_well(A)
-    print(f"n={args.n} nnz={A.nnz} fill={well.fill:.3f} "
-          f"NS={well.n_sublanes} NB={well.n_blocks} "
-          f"build_s={time.time()-t0:.1f}", flush=True)
+    mv_lines = [
+        "| system | n | nnz | fill | matvec us (min-max) | Gnnz/s spread "
+        "| Gnnz/s | % shuffle roofline |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    sv_lines = [
+        "| system | n | precondition | iters | ms/solve | true ||r|| |",
+        "|---|---|---|---|---|---|",
+    ]
 
-    op = tpucg.WellOperator.from_well(well)
-    x = jnp.asarray(pad_to(np.random.default_rng(3).standard_normal(args.n)
-                           .astype(np.float32), op.padded_n))
+    geo100k = random_geometric_spd(100_000, seed=0, avg_degree=12.0)
+    geo1m = random_geometric_spd(1_000_000, seed=0, avg_degree=12.0)
+    fem = fem_p1_system(300_000, seed=0)
 
-    # Correctness on chip first.
-    y = np.asarray(op.matvec(x))[: args.n]
-    y_ref = A.matvec(np.asarray(x)[: args.n].astype(np.float64))
-    rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
-    print(f"on-chip correctness: rel_err={rel:.2e}", flush=True)
+    matvec_row("geometric deg-12", geo100k[0], "", mv_lines)
+    matvec_row("geometric deg-12", geo1m[0], "", mv_lines, steps=512)
+    matvec_row("FEM P1 Delaunay", fem[0], "", mv_lines, steps=1024)
 
-    def apply_well(operator, v):
-        return operator.matvec(v)
-
-    t = timing.time_matvec_loop(apply_well, op, x, steps=256)
-    gnnz = A.nnz / t / 1e9
-    slots = well.vals.size
-    eff_gb = (slots * 9 + well.wrow.size * (4 + 512)) / t / 1e9
-    print(f"WELL pallas: {t*1e6:.1f} us/matvec  {gnnz:.1f} Gnnz/s  "
-          f"~{eff_gb:.0f} GB/s streamed", flush=True)
+    # Shuffled FEM + RCM recovery (the .mtx-in-the-wild story).
+    fem_sh = fem_p1_system(300_000, seed=0, shuffle=True)
+    matvec_row("FEM shuffled", fem_sh[0], "", mv_lines, steps=1024)
+    perm = rcm_order(fem_sh[0])
+    fem_rcm = permute_csr(fem_sh[0], perm)
+    matvec_row("FEM shuffled+RCM", fem_rcm, "", mv_lines, steps=1024)
 
     if args.legacy:
-        ell_op = tpucg.EllOperator.from_csr(A)
-        t = timing.time_matvec_loop(apply_well, ell_op, jnp.asarray(
-            np.asarray(x)[: args.n]), steps=2)
-        print(f"ELL xla: {t*1e6:.1f} us/matvec  {A.nnz/t/1e9:.2f} Gnnz/s",
-              flush=True)
+        A = geo100k[0]
+        ell = tpucg.EllOperator.from_csr(A)
+        xe = jnp.asarray(np.random.default_rng(3).standard_normal(
+            ell.padded_n).astype(np.float32))
+        from tpucg.bench.timing import time_matvec_loop
+        t = time_matvec_loop(lambda o, u: o.matvec(u), ell, xe, steps=2)
+        mv_lines.append(
+            f"| geometric deg-12 (legacy ELL) | {A.shape[0]} | {A.nnz} | - "
+            f"| {t*1e6:.0f} | - | {A.nnz/t/1e9:.2f} | - |")
+        print(mv_lines[-1], flush=True)
 
-    if args.solve:
-        bp = jnp.asarray(pad_to(b, op.padded_n))
-        res = tpucg.cg_solve(op, bp, tol=1e-5 * float(np.linalg.norm(b)))
-        jax.block_until_ready(res.x)
-        iters = int(res.iterations)
-        print(f"solve: iters={iters} ||r||={float(res.residual_norm):.3e} "
-              f"converged={bool(res.converged)}", flush=True)
-        t = timing.time_solve_chain(
-            op, bp, jnp.zeros_like(bp),
-            tol=1e-5 * float(np.linalg.norm(b)),
-            maxiter=op.padded_n,
-            est_solve_s=iters * max(t_mv := A.nnz / (gnnz * 1e9), 1e-6),
+    solve_row("geometric deg-12", geo100k[0], geo100k[1], sv_lines)
+    solve_row("geometric deg-12", geo100k[0], geo100k[1], sv_lines,
+              precondition="jacobi")
+    solve_row("FEM P1 Delaunay", fem[0], fem[1], sv_lines,
+              precondition="jacobi")
+
+    # End-to-end .mtx via the CLI (the reference always ran its shipped
+    # systems; this is tpucg's equivalent for the real-world input class).
+    with tempfile.TemporaryDirectory() as td:
+        amtx, bmtx = os.path.join(td, "fem.mtx"), os.path.join(td, "b.mtx")
+        tpucg.save_matrix_market(amtx, fem_sh[0].to_coo(), symmetric=True)
+        tpucg.save_matrix_market(bmtx, fem_sh[1])
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "tpucg", "solve", amtx, bmtx, "--rcm",
+             "--precondition", "jacobi",
+             "--tol", str(1e-5 * float(np.linalg.norm(fem_sh[1])))],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": os.pathsep.join(sys.path)},
         )
-        print(f"solve steady-state: {t*1e3:.3f} ms/solve  "
-              f"{iters/t:.0f} iters/s", flush=True)
+        cli_s = time.time() - t0
+        print(r.stdout, flush=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+        cli_lines = [ln for ln in r.stdout.splitlines()
+                     if any(k in ln for k in ("system size", "iterations",
+                                              "converged", "CG solve"))]
+
+    section = "\n".join(
+        ["## Irregular sparse (WELL)", "",
+         "Matvec (chained differencing; spread = min/median/max of >= 3 "
+         "independent chains):", ""]
+        + mv_lines
+        + ["", "Solve to convergence (tol = 1e-5 ||b||):", ""]
+        + sv_lines
+        + ["", "CLI end-to-end (.mtx, shuffled FEM numbering, --rcm "
+           f"--precondition jacobi; whole-process {cli_s:.0f}s incl. "
+           "compile):", "", "```"]
+        + cli_lines + ["```"]
+    )
+    print("\n" + section, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(section + "\n")
 
 
 if __name__ == "__main__":

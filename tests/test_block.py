@@ -388,7 +388,12 @@ def test_block_cg_block_jacobi():
                                  pc_block_size=16, tol=tol, maxiter=8 * n)
     np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser16.x),
                                rtol=5e-3, atol=1e-3)
-    # bs must divide the shard block.
-    with pytest.raises(ValueError, match="divide the shard"):
-        tpucg.sharded_cg_solve_block(A, B, precondition="block_jacobi",
-                                     pc_block_size=24)
+    # Non-divisible bs: the partition pads each shard to a bs multiple
+    # (identity tail blocks) instead of raising.
+    sh24 = tpucg.sharded_cg_solve_block(A, B, precondition="block_jacobi",
+                                        pc_block_size=24, tol=tol,
+                                        maxiter=8 * n)
+    assert np.asarray(sh24.converged).all()
+    assert sh24.x.shape == (n, k)
+    np.testing.assert_allclose(A @ np.asarray(sh24.x)[:, 0], B[:, 0],
+                               atol=tol * 20)

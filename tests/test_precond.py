@@ -279,10 +279,16 @@ def test_block_jacobi_validation():
     b = np.ones(n, np.float32)
     with pytest.raises(ValueError, match="pc_block_size"):
         tpucg.CGConfig(precondition="block_jacobi", pc_block_size=1)
-    # bs must divide the shard block in the sharded path.
-    with pytest.raises(ValueError, match="divide the shard"):
-        tpucg.sharded_cg_solve(L, b, precondition="block_jacobi",
-                               pc_block_size=24)
+    # Non-divisible bs in the sharded path: shards pad to a bs multiple
+    # (identity tail blocks) instead of raising, and match the serial
+    # solve (same M^-1/2-weighted stopping contract).
+    sh24 = tpucg.sharded_cg_solve(L, b, precondition="block_jacobi",
+                                  pc_block_size=24, tol=1e-5)
+    ser24 = tpucg.cg_solve(L, b, precondition="block_jacobi",
+                           pc_block_size=24, tol=1e-5)
+    assert bool(sh24.converged) and sh24.x.shape == (n,)
+    np.testing.assert_allclose(np.asarray(sh24.x), np.asarray(ser24.x),
+                               rtol=5e-3, atol=5e-3)
     # Unimplemented compositions refuse loudly instead of silently
     # degrading to unpreconditioned.
     from tpucg.solver.operators import PoissonOperator as _P

@@ -138,6 +138,7 @@ def time_solve_chain(
     iters: int = 5,
     est_solve_s: Optional[float] = None,
     target_s: float = 0.05,
+    precondition: str = "none",
 ) -> float:
     """Steady-state seconds per CG solve, dispatch-corrected.
 
@@ -145,8 +146,8 @@ def time_solve_chain(
     on the previous via a traced runtime zero (so XLA cannot CSE them) — and
     differences two chain lengths. Host dispatch, tunnel RTT, and the result
     fetch cancel, mirroring the reference's practice of fencing only the CG
-    phase (``parallel_cg.c:278-279``). ``b``/``x0`` must already be padded to
-    ``op.padded_n``.
+    phase (``parallel_cg.c:278-279``). ``b``/``x0`` are zero-padded to
+    ``op.padded_n`` when the operator pads (same contract as ``cg_solve``).
 
     ``khi`` defaults so the extra chained work is ~``target_s`` (needs
     ``est_solve_s``, e.g. iterations x the matvec roofline estimate) — too
@@ -160,14 +161,31 @@ def time_solve_chain(
             khi = klo + 8
     import functools
 
+    import jax.numpy as jnp
+
     from tpucg.kernels.blas1 import dot_xla, fused_update
     from tpucg.solver.cg import cg_loop
+
+    npad = getattr(op, "padded_n", None)
+    if npad is not None and b.shape[0] != npad:
+        b = jnp.zeros((npad,), b.dtype).at[: b.shape[0]].set(b)
+        x0 = jnp.zeros((npad,), x0.dtype).at[: x0.shape[0]].set(x0)
+
+    minv = None
+    if precondition == "jacobi":
+        d = op.diagonal()
+        minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+    elif precondition != "none":
+        raise ValueError(
+            "time_solve_chain supports precondition in {'none', 'jacobi'}"
+        )
 
     def run(operands, bj, x0_):
         (op,) = operands
         update = functools.partial(fused_update, backend=blas_backend)
         s = cg_loop(op.matvec, dot_xla, update, bj, x0_,
-                    tol=tol, maxiter=maxiter)
+                    tol=tol, maxiter=maxiter,
+                    precond=None if minv is None else (lambda r: minv * r))
         return s.x
 
     return time_run_chain(
@@ -253,6 +271,24 @@ def time_matvec_robust(
         for _ in range(trials)
     )
     return ts[len(ts) // 2]
+
+
+def time_matvec_spread(
+    apply: Callable,
+    operand,
+    x: jax.Array,
+    steps: int = 32,
+    trials: int = 3,
+) -> tuple:
+    """(min, median, max) seconds over ``trials`` independent chains —
+    the published-variance form of :func:`time_matvec_robust`, matching
+    the reference's 3-raw-trials-per-config practice (results.xlsx
+    sheet1; SURVEY.md §6)."""
+    ts = sorted(
+        time_matvec_loop(apply, operand, x, steps=steps)
+        for _ in range(max(trials, 1))
+    )
+    return ts[0], ts[len(ts) // 2], ts[-1]
 
 
 @dataclasses.dataclass

@@ -237,3 +237,78 @@ def random_geometric_spd(
     b = rng.standard_normal(n).astype(dtype)
     x0 = np.zeros(n, dtype=dtype)
     return A, b, x0
+
+
+def fem_p1_system(
+    n_points: int,
+    seed: int = 0,
+    shuffle: bool = False,
+    dtype=np.float32,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
+    """Unstructured 2-D FEM system: P1 (linear-triangle) stiffness matrix on
+    a random Delaunay mesh of the unit square, Dirichlet boundary eliminated.
+
+    The SuiteSparse-style real-world workload (genuinely irregular row
+    lengths, cotangent-weight values, mesh topology): assemble
+    K_ij = sum_T grad(phi_i) . grad(phi_j) |T| over all triangles, drop
+    rows/cols of convex-hull (boundary) nodes — K restricted to interior
+    nodes is SPD (Poisson problem with Dirichlet conditions). b is the
+    assembled unit load vector. Interior nodes keep Delaunay input order
+    (spatial locality comparable to a real mesh numbering);
+    ``shuffle=True`` destroys it for reordering experiments
+    (``tpucg.sparse.ordering.rcm_order``).
+
+    Returns (A_csr, b, x0). Requires scipy (Delaunay); raises ImportError
+    with a clear message if unavailable.
+    """
+    try:
+        from scipy.spatial import Delaunay
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "fem_p1_system needs scipy.spatial.Delaunay; generate the "
+            "irregular workload with random_geometric_spd instead"
+        ) from e
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_points, 2))
+    # Sort by spatial cell for a realistic mesh numbering.
+    ncell = max(1, int(np.sqrt(n_points / 64.0)))
+    cid = (np.minimum((pts[:, 0] * ncell).astype(np.int64), ncell - 1)
+           * ncell
+           + np.minimum((pts[:, 1] * ncell).astype(np.int64), ncell - 1))
+    pts = pts[np.argsort(cid, kind="stable")]
+    tri = Delaunay(pts)
+    T = tri.simplices  # (nt, 3)
+    # P1 stiffness per triangle: with edge vectors e_k opposite vertex k,
+    # K_local[i, j] = (e_i . e_j) / (4 |T|)  (gradients rotate edges).
+    p0, p1, p2 = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
+    e0 = p2 - p1
+    e1 = p0 - p2
+    e2 = p1 - p0
+    area2 = np.abs(e2[:, 0] * (-e1[:, 1]) - e2[:, 1] * (-e1[:, 0]))  # 2|T|
+    area2 = np.maximum(area2, 1e-14)
+    E = np.stack([e0, e1, e2], axis=1)          # (nt, 3, 2)
+    Kloc = np.einsum("tid,tjd->tij", E, E) / (2.0 * area2)[:, None, None]
+    rows = np.repeat(T, 3, axis=1).reshape(-1)          # i index
+    cols = np.tile(T, (1, 3)).reshape(-1)               # j index
+    vals = Kloc.reshape(-1)
+    # Interior nodes only (hull nodes carry the Dirichlet condition).
+    boundary = np.zeros(pts.shape[0], dtype=bool)
+    boundary[np.unique(tri.convex_hull)] = True
+    keep = ~boundary[rows] & ~boundary[cols]
+    renum = np.cumsum(~boundary) - 1
+    rows, cols, vals = renum[rows[keep]], renum[cols[keep]], vals[keep]
+    n = int((~boundary).sum())
+    if shuffle:
+        relabel = rng.permutation(n)
+        rows, cols = relabel[rows], relabel[cols]
+    A = COOMatrix(row=rows, col=cols, data=vals.astype(dtype),
+                  shape=(n, n)).to_csr()
+    # Unit load: b_i = sum_T |T|/3 over triangles touching i (interior).
+    b = np.zeros(pts.shape[0])
+    np.add.at(b, T.reshape(-1), np.repeat(area2 / 6.0, 3))  # |T|/3 each
+    b = b[~boundary]
+    if shuffle:
+        b_s = np.empty_like(b)
+        b_s[relabel] = b
+        b = b_s
+    return A, b.astype(dtype), np.zeros(n, dtype)

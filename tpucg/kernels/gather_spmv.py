@@ -4,10 +4,15 @@ Design (see ``tpucg.sparse.well`` for the format): the only fast
 data-dependent addressing on TPU is whole-row DMA gather and the in-vreg
 lane shuffle, so the kernel is a pure stream —
 
-  1. ``xg = x2[wrow]``: one XLA row-gather DMA per sublane row, done OUTSIDE
-     the kernel (XLA's gather-of-rows lowers to batched DMA descriptors);
-  2. per (BS, 128) stream block: ``P = vals * take_along_axis(xg, lidx)`` —
-     the Mosaic lane-gather (a VPU shuffle), one multiply;
+  1. ``xg = x2[wrow]``: one XLA row-gather DMA per 8-sublane CHUNK, done
+     OUTSIDE the kernel (XLA's gather-of-rows lowers to batched DMA
+     descriptors); chunks are window-uniform by construction, so this is
+     8x less gather traffic than a per-sublane gather (measured 61 us of
+     a 162 us matvec at n=100k in the per-sublane v1 layout);
+  2. per (BS, 128) stream block: broadcast each gathered row to its 8
+     sublanes, then ``P = vals * take_along_axis(xgr, lidx)`` — the Mosaic
+     lane-gather (a VPU shuffle, ~17 VPU ops/slot — the measured compute
+     floor of the whole kernel), one multiply;
   3. output routing: a (BG, BS) one-hot matmul on the MXU reduces the
      block's sublane rows into their output group rows exactly (one-hot
      weights are 0/1; precision=HIGHEST keeps the f32 products exact, the
@@ -16,8 +21,8 @@ lane shuffle, so the kernel is a pure stream —
      revisited output block (flushed to HBM once per super-group).
 
 No scalar gather, no scatter, no data-dependent shapes. The measured
-alternative (scalar-gather ELL) runs ~0.1 Gnnz/s on v5e; this kernel streams
-9 bytes per slot (4 value + 1 lane index + 4 gathered window).
+alternative (scalar-gather ELL) runs ~0.1 Gnnz/s on v5e; this kernel
+streams ~5.6 bytes per slot (4 value + 1 lane index + 0.5 gathered window).
 
 Reference analog: the hot-kernel contract of ``serialConjugate.c:109-120``
 (do the platform's matvec right), extended to irregular sparsity.
@@ -35,15 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 from tpucg.kernels.dispatch import interpret_mode
 
 LANE = 128
+CHUNK = 8
 
 
 def _well_kernel(BG, sgb_ref, vals_ref, lidx_ref, gidl_ref, xg_ref, y_ref):
     i = pl.program_id(0)
     sg = sgb_ref[i]
     first = jnp.logical_or(i == 0, sgb_ref[jnp.maximum(i - 1, 0)] != sg)
+    BS = vals_ref.shape[0]
+    # xg arrives one row per 8-sublane chunk; broadcast to sublane rows
+    # (a relayout-free leading-dims expansion).
+    xgr = jnp.broadcast_to(
+        xg_ref[...][:, None, :], (BS // CHUNK, CHUNK, LANE)
+    ).reshape(BS, LANE)
     li = lidx_ref[...].astype(jnp.int32)
-    P = vals_ref[...] * jnp.take_along_axis(xg_ref[...], li, axis=1)
-    BS = P.shape[0]
+    P = vals_ref[...] * jnp.take_along_axis(xgr, li, axis=1)
     # gidl arrives (1, 1, BS): Mosaic requires the second-to-last block dim
     # be 8-aligned or whole, so the per-block row rides a leading axis.
     onehot = (
@@ -79,7 +90,7 @@ def well_spmv(
 ) -> jax.Array:
     """Fused WELL SpMV (Pallas). Returns y2 (nsg*bg, 128) float32."""
     NB, BS = gidl.shape
-    xg = jnp.take(x2, wrow, axis=0)
+    xg = jnp.take(x2, wrow, axis=0)  # (NS/8, 128), one row per chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
@@ -87,7 +98,7 @@ def well_spmv(
             pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
             pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
             pl.BlockSpec((1, 1, BS), lambda i, sgb_ref: (i, 0, 0)),
-            pl.BlockSpec((BS, LANE), lambda i, sgb_ref: (i, 0)),
+            pl.BlockSpec((BS // CHUNK, LANE), lambda i, sgb_ref: (i, 0)),
         ],
         out_specs=pl.BlockSpec(
             (bg, LANE), lambda i, sgb_ref: (sgb_ref[i], 0)
@@ -99,7 +110,7 @@ def well_spmv(
         out_shape=jax.ShapeDtypeStruct((nsg * bg, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * NB * BS * LANE,
-            bytes_accessed=9 * NB * BS * LANE,
+            bytes_accessed=6 * NB * BS * LANE,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -119,11 +130,13 @@ def well_spmv_xla(
 ) -> jax.Array:
     """XLA fallback with identical semantics (off-TPU / dtype-generic path).
 
-    Uses gather + a scatter-add segment sum — fine on CPU, slow on TPU
-    (which is exactly why the Pallas kernel exists).
+    Uses gather + a scatter-add segment sum — fine on CPU, NOT
+    TPU-compilable (the fused lane-gather + sorted-scatter aborts the TPU
+    compiler), which is exactly why the Pallas kernel exists;
+    ``WellOperator.matvec`` guards this path off-chip-only.
     """
     NB, BS = gidl.shape
-    xg = jnp.take(x2, wrow, axis=0)
+    xg = jnp.repeat(jnp.take(x2, wrow, axis=0), CHUNK, axis=0)
     P = vals * jnp.take_along_axis(xg, lidx.astype(jnp.int32), axis=1)
     g_of_sub = jnp.repeat(sgb.astype(jnp.int32), BS) * bg + gidl.reshape(-1)
     y2 = jnp.zeros((nsg * bg, LANE), P.dtype)

@@ -376,21 +376,16 @@ def sharded_cg_solve_deflated(
     backend = resolve_backend(config.kernel)
     A = np.asarray(A, np.float32)
     n = A.shape[0]
-    part = RowPartition(n=n, num_shards=num, align=row_align(backend))
+    from tpucg.solver.sharded import pc_align
+
+    part = RowPartition(n=n, num_shards=num,
+                        align=pc_align(row_align(backend), config))
     npad = part.n_padded
     V = np.asarray(V, np.float32)
     if V.ndim == 1:
         V = V[:, None]
     if V.shape[0] != n:
         raise ValueError(f"V must have {n} rows, got {V.shape}")
-    if (
-        config.precondition == "block_jacobi"
-        and (npad // num) % config.pc_block_size != 0
-    ):
-        raise ValueError(
-            f"pc_block_size={config.pc_block_size} must divide the "
-            f"per-shard block ({npad // num} rows)"
-        )
     Apad = pad_identity_tail(A, npad)
     Vpad = np.pad(V, ((0, npad - n), (0, 0))) if npad != n else V
     W, AW, Ginv = _host_basis(Apad, Vpad)

@@ -58,6 +58,18 @@ def row_align(backend: str) -> int:
     return 256 if backend == "pallas" else 8
 
 
+def pc_align(base: int, config) -> int:
+    """Partition alignment including the block-Jacobi block size: padding
+    each shard to a multiple of ``pc_block_size`` (identity tail blocks are
+    exact unit diagonals) lifts the reference's ROWS %% P == 0 restriction
+    class (``parallel_cg.c:86-90``) from the preconditioner too."""
+    import math
+
+    if config.precondition != "block_jacobi":
+        return base
+    return math.lcm(base, int(config.pc_block_size))
+
+
 def _make_reductions(axes):
     """The psum-backed scalar closures every decomposition shares: ``dot``
     (vecVec + MPI_Allreduce, ``parallel_cg.c:286-287``), ``dot2`` (the
@@ -326,7 +338,8 @@ def sharded_cg_solve_multi(
         if X0 is None
         else np.asarray(X0, np.float32)
     )
-    part = RowPartition(n=n, num_shards=num, align=row_align("xla"))
+    part = RowPartition(n=n, num_shards=num,
+                        align=pc_align(row_align("xla"), config))
     npad = part.n_padded
     Ap = pad_identity_tail(A, npad)
     Bp = np.zeros((npad, k), np.float32)
@@ -502,7 +515,8 @@ def sharded_cg_solve_block(
         if X0 is None
         else np.asarray(X0, np.float32)
     )
-    part = RowPartition(n=n, num_shards=num, align=row_align("xla"))
+    part = RowPartition(n=n, num_shards=num,
+                        align=pc_align(row_align("xla"), config))
     npad = part.n_padded
     Ap = pad_identity_tail(A, npad)
     Bp = np.zeros((npad, k), np.float32)
@@ -511,15 +525,8 @@ def sharded_cg_solve_block(
     X0p[:n] = X0
     shard2 = NamedSharding(mesh, P(axis, None))
     maxiter = config.maxiter if config.maxiter is not None else n
-    if (
-        config.precondition == "block_jacobi"
-        and (npad // num) % config.pc_block_size != 0
-    ):
-        raise ValueError(
-            f"pc_block_size={config.pc_block_size} must divide the shard "
-            f"block ({npad // num} rows) so the diagonal blocks stay "
-            "shard-local"
-        )
+    assert (npad // num) % max(int(config.pc_block_size), 1) == 0 or \
+        config.precondition != "block_jacobi"  # guaranteed by pc_align
     x, kk, rn, done = _sharded_block_jit(
         jax.device_put(Ap, shard2),
         jax.device_put(Bp, shard2),
@@ -1630,7 +1637,7 @@ def sharded_cg_solve(
     A = np.asarray(A) if not isinstance(A, jax.Array) else A
     n_logical = n
     n = A.shape[0] if n_logical is None else n_logical
-    align = row_align(backend)
+    align = pc_align(row_align(backend), config)
     part = RowPartition(n=n, num_shards=num, align=align)
     if isinstance(A, jax.Array) and A.shape[0] == part.n_padded:
         if jnp.dtype(A.dtype) != jnp.dtype(storage_dtype):
@@ -1665,10 +1672,12 @@ def sharded_cg_solve(
         config.precondition == "block_jacobi"
         and (part.n_padded // num) % config.pc_block_size != 0
     ):
+        # Only reachable with a PRE-SHARDED A whose padding predates the
+        # pc_block_size alignment — repad/redistribute in that case.
         raise ValueError(
-            f"pc_block_size={config.pc_block_size} must divide the shard "
-            f"block ({part.n_padded // num} rows) so the diagonal blocks "
-            "stay shard-local"
+            f"pre-sharded A's padding is incompatible with pc_block_size="
+            f"{config.pc_block_size} (shard block {part.n_padded // num} "
+            "rows); redistribute without pre-sharding"
         )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded_cg_jit(

@@ -235,13 +235,31 @@ class BSRMatrix:
 def csr_to_bsr(csr: CSRMatrix, blocksize: int) -> BSRMatrix:
     """Re-block a CSR matrix into (bs x bs) dense blocks (zero-filled).
 
-    Requires shape divisible by blocksize (pad upstream via the partitioner's
-    identity-tail scheme if not).
+    Square non-divisible shapes are padded to the next blocksize multiple
+    with the partitioner's identity tail (unit diagonal on the pad rows, so
+    SPD systems stay SPD and the pad coordinates are inert); the returned
+    shape is the padded one. Non-square non-divisible shapes raise.
     """
     n_rows, n_cols = csr.shape
     bs = blocksize
     if n_rows % bs or n_cols % bs:
-        raise ValueError(f"shape {csr.shape} not divisible by blocksize {bs}")
+        if n_rows != n_cols:
+            raise ValueError(
+                f"shape {csr.shape} not divisible by blocksize {bs} and not "
+                "square (identity-tail padding needs square)"
+            )
+        npad = -(-n_rows // bs) * bs
+        coo0 = csr.to_coo()
+        tail = np.arange(n_rows, npad, dtype=coo0.row.dtype)
+        csr = COOMatrix(
+            row=np.concatenate([coo0.row, tail]),
+            col=np.concatenate([coo0.col.astype(coo0.row.dtype), tail]),
+            data=np.concatenate(
+                [coo0.data, np.ones(tail.size, coo0.data.dtype)]
+            ),
+            shape=(npad, npad),
+        ).to_csr()
+        n_rows = n_cols = npad
     coo = csr.to_coo()
     brow = coo.row // bs
     bcol = coo.col // bs

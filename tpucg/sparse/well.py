@@ -12,23 +12,35 @@ vreg shuffle). WELL is built from exactly those two:
 - The vector x lives as ``x2 = x.reshape(G, 128)`` — row g is the 128-wide
   **window** of columns [128g, 128(g+1)).
 - Nonzeros are packed into **sublane rows** of 128 slots. Every entry in a
-  sublane row has (1) its column inside ONE window ``wrow[s]`` and (2) its
-  row inside ONE output group of 128 rows, at lane position ``row % 128``.
-- SpMV is then: gather the window rows once per sublane row
-  (``xg = x2[wrow]``, an XLA row-gather DMA), lane-gather each window by the
-  stored lane indices, multiply by the values, and reduce sublane rows into
-  their output groups. No scalar gather anywhere.
+  sublane row has (1) its column inside ONE window and (2) its row inside
+  ONE output group of 128 rows, at lane position ``row % 128``.
+- Sublane rows are laid out so every aligned **8-sublane chunk** shares one
+  window (``wrow`` is per-chunk): the XLA row-gather materializes one
+  x-window row per CHUNK, not per sublane — 8x less gather traffic, the
+  dominant non-compute cost in the v1 layout (on-chip decomposition: the
+  per-sublane gather was 61 us of a 162 us matvec at n=100k).
+- SpMV: gather the chunk windows (``xg = x2[wrow]``), broadcast each row
+  to its 8 sublanes in-kernel, lane-gather by the stored lane indices,
+  multiply by the values, and reduce sublane rows into their output groups.
+  No scalar gather anywhere.
 
-The output reduction is regularized for the MXU: groups are batched into
-**super-groups** of ``BG`` groups, each super-group's sublane rows padded to
-a multiple of the ``BS``-sublane stream block, so one (BG, BS) one-hot matmul
-per block routes every sublane row to its output group row (exact: one-hot
-weights are 0/1, products accumulate in float32 with HIGHEST precision).
+Layout (within each super-group of ``BG`` output groups): tiles — the
+(group, window) pairs with their per-row max entry count S — are sorted by
+(window, group) so same-window tiles are adjacent, each (super-group,
+window) RUN is padded to a multiple of 8 sublanes, and the super-group
+total to a multiple of the ``BS``-sublane stream block. The output
+reduction is one (BG, BS) one-hot matmul per block routing every sublane
+row to its output group row (exact: one-hot weights are 0/1, products
+accumulate in float32 with HIGHEST precision); consecutive blocks of one
+super-group accumulate into the same revisited output block.
 
-Storage per nonzero slot: 4 B value + 1 B lane index + the 4 B of gathered
-window traffic; fill (nnz / slots) depends on how well a 128-row group's
-entries cluster into shared windows — locality-preserving orderings (mesh
-order, RCM — see ``tpucg.sparse.ordering``) keep it high.
+Streamed bytes per slot: 4 B value + 1 B lane index + 1 B of gathered
+window traffic (amortized over the chunk); fill (nnz / slots) depends on
+how well a 128-row group's entries cluster into shared windows —
+locality-preserving orderings (mesh order, RCM — see
+``tpucg.sparse.ordering``) keep it high. The measured compute floor is the
+Mosaic lane-gather itself (~17 VPU ops per slot), so fill bounds the
+achievable Gnnz/s; see benchmarks/well_bench.py and RESULTS.md.
 """
 
 from __future__ import annotations
@@ -39,18 +51,19 @@ from typing import Tuple
 import numpy as np
 
 LANE = 128
+CHUNK = 8  # sublanes per shared-window chunk (f32 sublane tile height)
 
 
 @dataclasses.dataclass(frozen=True)
 class WellMatrix:
     """Windowed gather-ELL storage (host arrays; device form is WellOperator).
 
-    vals  (NS, 128) float32 — packed nonzero values (0 = padding slot)
-    lidx  (NS, 128) int8    — column % 128 of each slot (0 for padding)
-    wrow  (NS,)     int32   — window id (column // 128) per sublane row
-    gidl  (NB, BS)  int32   — group id WITHIN the super-group per sublane row,
-                              laid out along lanes (one row per stream block)
-    sgb   (NB,)     int32   — super-group id per stream block (nondecreasing)
+    vals  (NS, 128)  float32 — packed nonzero values (0 = padding slot)
+    lidx  (NS, 128)  int8    — column % 128 of each slot (0 for padding)
+    wrow  (NS/8,)    int32   — window id (column // 128) per 8-sublane chunk
+    gidl  (NB, BS)   int32   — group id WITHIN the super-group per sublane
+                               row, laid out along lanes (one row per block)
+    sgb   (NB,)      int32   — super-group id per stream block (nondecreasing)
     shape             logical (rows, cols)
     block_sublanes    BS — sublane rows per stream block
     groups_per_super  BG — output groups (of 128 rows) per super-group
@@ -92,11 +105,15 @@ class WellMatrix:
         slots = self.vals.size
         return self.nnz / slots if slots else 1.0
 
+    def wrow_per_sublane(self) -> np.ndarray:
+        """Expand the per-chunk window ids to one per sublane row."""
+        return np.repeat(self.wrow, CHUNK)
+
     def diagonal(self) -> np.ndarray:
         """diag(A) over the padded rows [0, n_groups*128), float32.
 
         An entry at (sublane s, lane l) has row = group(s)*128 + l and
-        col = wrow[s]*128 + lidx[s, l]; the diagonal sums entries with
+        col = wrow[s//8]*128 + lidx[s, l]; the diagonal sums entries with
         col == row (padding slots hold value 0 and never contribute).
         Host-side: the device scatter-add this needs is not TPU-compilable.
         """
@@ -107,8 +124,8 @@ class WellMatrix:
         )
         lanes = np.arange(LANE, dtype=np.int64)[None, :]
         row = g_of_sub[:, None] * LANE + lanes
-        col = self.wrow[:, None].astype(np.int64) * LANE + self.lidx.astype(
-            np.int64
+        col = self.wrow_per_sublane()[:, None].astype(np.int64) * LANE + (
+            self.lidx.astype(np.int64)
         )
         contrib = np.where(col == row, self.vals, 0.0).astype(np.float32)
         d2 = np.zeros((self.n_supergroups * BG, LANE), np.float32)
@@ -119,12 +136,11 @@ class WellMatrix:
     def matvec(self, x: np.ndarray) -> np.ndarray:
         """Host-side reference SpMV (oracle for kernel tests)."""
         BS, BG = self.block_sublanes, self.groups_per_super
-        G = self.n_groups
         ncol_pad = -(-self.shape[1] // LANE) * LANE
         x2 = np.zeros(ncol_pad, dtype=np.result_type(x, np.float32))
         x2[: self.shape[1]] = x
         x2 = x2.reshape(-1, LANE)
-        xg = x2[self.wrow]                      # row-gather
+        xg = x2[self.wrow_per_sublane()]        # row-gather (chunk-shared)
         li = self.lidx.astype(np.int64)
         P = self.vals * np.take_along_axis(xg, li, axis=1)  # lane-gather
         g_of_sub = (
@@ -138,8 +154,8 @@ class WellMatrix:
 
 def csr_to_well(
     csr,
-    block_sublanes: int = 256,
-    groups_per_super: int = 32,
+    block_sublanes: int = 2048,
+    groups_per_super: int = 64,
 ) -> WellMatrix:
     """Pack a CSR matrix into WELL form (vectorized NumPy preprocessing).
 
@@ -148,8 +164,10 @@ def csr_to_well(
     preconditioning sees unit diagonals in the tail.
     """
     BS, BG = int(block_sublanes), int(groups_per_super)
-    if BS % 8 or BS <= 0:
-        raise ValueError(f"block_sublanes must be a positive multiple of 8, got {BS}")
+    if BS % CHUNK or BS <= 0:
+        raise ValueError(
+            f"block_sublanes must be a positive multiple of {CHUNK}, got {BS}"
+        )
     if BG <= 0:
         raise ValueError(f"groups_per_super must be positive, got {BG}")
     n_rows, n_cols = csr.shape
@@ -176,7 +194,7 @@ def csr_to_well(
         return WellMatrix(
             vals=np.zeros((NS, LANE), np.float32),
             lidx=np.zeros((NS, LANE), np.int8),
-            wrow=np.zeros(NS, np.int32),
+            wrow=np.zeros(NS // CHUNK, np.int32),
             gidl=np.zeros((NB, BS), np.int32),
             sgb=np.arange(NB, dtype=np.int32) % max(NSG, 1),
             shape=(n_rows, n_cols),
@@ -211,32 +229,65 @@ def csr_to_well(
     S = np.maximum.reduceat(k + 1, tstarts)
     tg = g[tstarts]
     tw = w[tstarts]
-
-    # Super-group layout: tiles (sorted by group) are laid out contiguously;
-    # each super-group's sublane total pads to a BS multiple (empty ones get
-    # one zero block so their output rows are still written).
     tsg = tg // BG
-    sg_tot = np.bincount(tsg, weights=S, minlength=NSG).astype(np.int64)
+
+    # Super-group layout, window-major: tiles sort by (super-group, window,
+    # group), every (super-group, window) RUN pads to a CHUNK multiple (so
+    # each aligned 8-sublane chunk is window-uniform), and each super-group
+    # pads to a BS multiple (empty ones get one zero block so their output
+    # rows are still written).
+    torder = np.lexsort((tg, tw, tsg))
+    tsg_s, tw_s, S_s = tsg[torder], tw[torder], S[torder]
+    runkey = tsg_s * NW + tw_s
+    new_run = np.r_[True, runkey[1:] != runkey[:-1]]
+    ridx = np.cumsum(new_run) - 1                 # run id per sorted tile
+    rstarts = np.flatnonzero(new_run)
+    runS = np.add.reduceat(S_s, rstarts)
+    runS_pad = -(-runS // CHUNK) * CHUNK
+    run_sg = tsg_s[rstarts]
+    run_w = tw_s[rstarts]
+
+    sg_tot = np.bincount(run_sg, weights=runS_pad.astype(np.float64),
+                         minlength=NSG).astype(np.int64)
     sg_pad = np.where(sg_tot == 0, BS, -(-sg_tot // BS) * BS)
     sg_base = np.concatenate([[0], np.cumsum(sg_pad)])
     NS = int(sg_base[-1])
     NB = NS // BS
 
-    cumS = np.concatenate([[0], np.cumsum(S)])
-    new_sg_t = np.r_[True, tsg[1:] != tsg[:-1]]
-    first_tile = np.flatnonzero(new_sg_t)
-    tile_to_first = first_tile[np.cumsum(new_sg_t) - 1]
-    tbase = sg_base[tsg] + (cumS[:-1] - cumS[:-1][tile_to_first])
+    # Run bases: exclusive cumsum of padded run lengths, rebased per
+    # super-group onto sg_base.
+    crp = np.cumsum(runS_pad) - runS_pad
+    new_sg_run = np.r_[True, run_sg[1:] != run_sg[:-1]]
+    first_run = np.flatnonzero(new_sg_run)
+    run_to_first = first_run[np.cumsum(new_sg_run) - 1]
+    run_base = sg_base[run_sg] + (crp - crp[run_to_first])
+
+    # Tile bases: exclusive cumsum of S within each run.
+    ctp = np.cumsum(S_s) - S_s
+    tbase_sorted = run_base[ridx] + (ctp - ctp[rstarts][ridx])
+    tbase = np.empty_like(tbase_sorted)
+    tbase[torder] = tbase_sorted
     sub = tbase[tid] + k
 
     vals_a = np.zeros((NS, LANE), np.float32)
     lidx_a = np.zeros((NS, LANE), np.int8)
-    wrow_a = np.zeros(NS, np.int32)
     gid_a = np.zeros(NS, np.int32)
     vals_a[sub, lane] = vals
     lidx_a[sub, lane] = li
-    wrow_a[sub] = tw[tid]
     gid_a[sub] = (g % BG).astype(np.int32)
+
+    # Per-sublane window ids (run-uniform, padding included), then checked
+    # chunk-uniform and stored per chunk. Super-group BS-padding gaps keep
+    # window 0 (zero-value sublanes gather a valid row and contribute 0).
+    wrow_sub = np.zeros(NS, np.int32)
+    tot = int(runS_pad.sum())
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(runS_pad) - runS_pad, runS_pad
+    )
+    pos = np.repeat(run_base, runS_pad) + within
+    wrow_sub[pos] = np.repeat(run_w, runS_pad).astype(np.int32)
+    wrow8 = wrow_sub.reshape(-1, CHUNK)
+    assert (wrow8 == wrow8[:, :1]).all(), "chunks must be window-uniform"
 
     sgb = (
         np.searchsorted(sg_base, np.arange(NB, dtype=np.int64) * BS, "right")
@@ -247,7 +298,7 @@ def csr_to_well(
     return WellMatrix(
         vals=vals_a,
         lidx=lidx_a,
-        wrow=wrow_a,
+        wrow=wrow8[:, 0].copy(),
         gidl=gid_a.reshape(NB, BS),
         sgb=sgb,
         shape=(n_rows, n_cols),
