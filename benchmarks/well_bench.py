@@ -31,9 +31,14 @@ from tpucg.io.generator import fem_p1_system, random_geometric_spd
 from tpucg.sparse.ordering import permute_csr, rcm_order
 from tpucg.sparse.well import csr_to_well
 
-ROOFLINE_GBPS = 816.0  # v5e HBM, BASELINE.md
-SHUFFLE_OPS = 17.0     # measured Mosaic lane-gather cost, VPU ops/slot
-VPU_GOPS = 963.0       # 8x128 lanes @ ~0.94 GHz
+ROOFLINE_GBPS = 816.0   # v5e HBM, BASELINE.md
+BYTES_PER_SLOT = 5.5    # 4 value + 1 lane idx + 0.5 chunk-amortized window
+# The binding resource per streamed SLOT: HBM at 5.5 B/slot = 148 Gslot/s
+# vs the Mosaic lane-gather's ~17 VPU ops/slot at ~3.85 Tops/s (8x128 lanes
+# x 4 ALUs x 0.94 GHz) = 227 Gslot/s -> HBM binds; Gnnz/s ceiling = fill x
+# 148. (An earlier revision under-counted the VPU by its 4 ALUs and called
+# the shuffle the ceiling — measured rates correctly sit ABOVE that error.)
+SLOT_CEIL_G = ROOFLINE_GBPS / BYTES_PER_SLOT  # Gslots/s, HBM-bound
 
 
 def _pad(v, n):
@@ -56,10 +61,8 @@ def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048):
     lo, med, hi = time_matvec_spread(
         lambda o, u: o.matvec(u), op, xd, steps=steps)
     gnnz = A.nnz / med / 1e9
-    # Format roofline: the Mosaic lane-gather is ~17 VPU ops per streamed
-    # slot — the measured compute floor of this format on v5e.
-    slots = well.vals.size
-    ceil = A.nnz / (slots * SHUFFLE_OPS / (VPU_GOPS * 1e9)) / 1e9
+    slots = well.vals.size // 128
+    ceil = (A.nnz / (slots * 128)) * SLOT_CEIL_G  # = fill x HBM slot rate
     lines.append(
         f"| {name} | {A.shape[0]} | {A.nnz} | {well.fill:.2f} "
         f"| {med*1e6:.0f} ({lo*1e6:.0f}-{hi*1e6:.0f}) "
@@ -106,7 +109,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     mv_lines = [
         "| system | n | nnz | fill | matvec us (min-max) | Gnnz/s spread "
-        "| Gnnz/s | % shuffle roofline |",
+        "| Gnnz/s | % HBM stream roofline |",
         "|---|---|---|---|---|---|---|---|",
     ]
     sv_lines = [
