@@ -245,3 +245,89 @@ class TestRecyclingCG:
             res = rec.solve(rng.standard_normal(96).astype(np.float32))
             assert bool(res.converged)
         assert rec._basis is not None and rec._basis.m == 2
+
+
+class TestOperatorShardedDeflatedCG:
+    """Operator decompositions (slab/band-halo/allgather) x deflation —
+    the right-edge column of the README solver matrix."""
+
+    def test_poisson_slab_exact_subspace(self):
+        # Deflating with the exact solution makes the Galerkin warm start
+        # land on x*, so the solve needs ~0 laps.
+        from tpucg.solver.operators import PoissonOperator
+
+        m = 8
+        n = m ** 3
+        op = PoissonOperator(m=m)
+        b = np.random.default_rng(30).standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        plain = tpucg.sharded_operator_cg_solve(op, b, tol=tol)
+        assert bool(plain.converged)
+        defl = tpucg.sharded_cg_solve_deflated(
+            op, b, np.asarray(plain.x), tol=tol)
+        assert bool(defl.converged)
+        assert int(defl.iterations) <= 2, int(defl.iterations)
+        np.testing.assert_allclose(np.asarray(defl.x), np.asarray(plain.x),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_dia_band_halo_parity_with_serial(self):
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator
+
+        m = 8
+        n = m ** 3
+        dia = poisson3d_dia(m)
+        op = DiaOperator.from_dia(dia)
+        rng = np.random.default_rng(31)
+        b = rng.standard_normal(n).astype(np.float32)
+        V = rng.standard_normal((n, 3)).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        ser = tpucg.cg_solve_deflated(op, b, V, tol=tol,
+                                      precondition="jacobi")
+        sh = tpucg.sharded_cg_solve_deflated(op, b, V, tol=tol,
+                                             precondition="jacobi")
+        assert bool(ser.converged) and bool(sh.converged)
+        np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser.x),
+                                   rtol=5e-3, atol=5e-3)
+        # Same Krylov trajectory => closely tracking lap counts.
+        assert abs(int(sh.iterations) - int(ser.iterations)) <= 3
+
+    def test_ell_arm_and_block_jacobi_guard(self):
+        from tpucg.solver.operators import EllOperator
+
+        m = 8
+        n = m ** 3
+        ell = EllOperator.from_csr(tpucg.poisson3d_csr(m))
+        rng = np.random.default_rng(32)
+        b = rng.standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        plain = tpucg.sharded_operator_cg_solve(ell, b, tol=tol)
+        defl = tpucg.sharded_cg_solve_deflated(
+            ell, b, np.asarray(plain.x), tol=tol)
+        assert bool(defl.converged)
+        assert int(defl.iterations) <= 2
+        with pytest.raises(ValueError, match="block Jacobi"):
+            tpucg.sharded_cg_solve_deflated(
+                ell, b, np.asarray(plain.x), precondition="block_jacobi")
+
+    def test_recycling_sharded_poisson_sequence(self):
+        # RecyclingCG(mesh=...) rides the operator decomposition; a smooth
+        # RHS sequence shows the recycling payoff distributed.
+        from tpucg.comm.mesh import make_mesh
+        from tpucg.solver.operators import PoissonOperator
+
+        m = 8
+        n = m ** 3
+        op = PoissonOperator(m=m)
+        rng = np.random.default_rng(33)
+        base = rng.standard_normal(n).astype(np.float32)
+        drift = rng.standard_normal(n).astype(np.float32)
+        rec = tpucg.RecyclingCG(op, max_vectors=4, mesh=make_mesh(),
+                                tol=1e-4, maxiter=4 * n)
+        iters = []
+        for t in range(4):
+            b = base + 0.05 * t * drift
+            res = rec.solve(b)
+            assert bool(res.converged)
+            iters.append(int(res.iterations))
+        assert min(iters[1:]) * 2 < iters[0], iters

@@ -214,3 +214,62 @@ class TestMinres:
         # from point-Jacobi by construction): sharded jacobi must track the
         # serial jacobi lap count.
         assert abs(its["jacobi"] - int(ser.iterations)) <= 50
+
+    def test_operator_sharded_dia_indefinite(self):
+        # Band-halo sharded MINRES on an INDEFINITE banded system: the 1-D
+        # Laplacian shifted into its spectrum (tridiag(-1, 2-1.7, -1));
+        # sharded_minres_solve dispatches DIA inputs to the operator
+        # decomposition of sharded_operator_cg_solve.
+        from tpucg.sparse.formats import DIAMatrix
+
+        n = 1024
+        shift = 1.7
+        data = np.zeros((3, n), np.float32)
+        data[0, :] = -1.0   # offset -1
+        data[1, :] = 2.0 - shift
+        data[2, :] = -1.0   # offset +1
+        dia = DIAMatrix(data=data, offsets=(-1, 0, 1), shape=(n, n))
+        A = dia.to_dense()
+        lam = np.linalg.eigvalsh(A.astype(np.float64))
+        assert lam[0] < 0 < lam[-1]  # genuinely indefinite
+        b = np.random.default_rng(21).standard_normal(n).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        x_ref = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        for pc in ("none", "jacobi"):
+            sh = tpucg.sharded_minres_solve(dia, b, tol=tol, maxiter=8 * n,
+                                            precondition=pc)
+            assert bool(sh.converged), pc
+            assert np.linalg.norm(b - A @ np.asarray(sh.x)) <= tol * 1.5, pc
+            np.testing.assert_allclose(np.asarray(sh.x), x_ref,
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_operator_sharded_poisson_and_ell(self):
+        # Slab-halo (Poisson stencil) and allgather (ELL) operator arms of
+        # sharded MINRES; SPD instances so the answer must match sharded CG.
+        from tpucg.solver.operators import EllOperator, PoissonOperator
+
+        m = 8
+        n = m ** 3
+        pois = PoissonOperator(m=m)
+        b = np.random.default_rng(22).standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        cg = tpucg.sharded_operator_cg_solve(pois, b, tol=tol)
+        mr = tpucg.sharded_minres_solve(pois, b, tol=tol, maxiter=4 * n)
+        assert bool(mr.converged)
+        np.testing.assert_allclose(np.asarray(mr.x), np.asarray(cg.x),
+                                   rtol=1e-3, atol=1e-4)
+
+        ell = EllOperator.from_csr(tpucg.poisson3d_csr(m))
+        mre = tpucg.sharded_minres_solve(ell, b, tol=tol, maxiter=4 * n,
+                                         precondition="jacobi")
+        assert bool(mre.converged)
+        np.testing.assert_allclose(np.asarray(mre.x), np.asarray(cg.x),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_operator_sharded_block_jacobi_refuses(self):
+        from tpucg.solver.operators import PoissonOperator
+
+        b = np.ones(512, np.float32)
+        with pytest.raises(ValueError, match="block Jacobi"):
+            tpucg.sharded_minres_solve(PoissonOperator(m=8), b,
+                                       precondition="block_jacobi")

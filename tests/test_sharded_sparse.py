@@ -289,3 +289,79 @@ def test_operator_sharded_record_residuals():
         sharded_operator_cg_solve(
             op, b, method="pipelined", record_residuals=True
         )
+
+
+class TestOperatorShardedMultiAndBlock:
+    """Multi-RHS and TRUE block CG on the operator decompositions — the
+    right-edge columns of the README solver matrix (batched halo/allgather
+    collectives, XLA matvec arms)."""
+
+    def test_multi_rhs_poisson_parity(self):
+        from tpucg.solver.operators import PoissonOperator
+
+        m = 8
+        n = m ** 3
+        op = PoissonOperator(m=m)
+        B = np.random.default_rng(40).standard_normal((n, 3)).astype(
+            np.float32)
+        res = tpucg.sharded_cg_solve_multi(op, B, tol=1e-5)
+        assert np.asarray(res.converged).all()
+        assert res.x.shape == (n, 3)
+        for j in range(3):
+            one = tpucg.sharded_operator_cg_solve(op, B[:, j], tol=1e-5)
+            assert int(np.asarray(res.iterations)[j]) == int(one.iterations)
+            np.testing.assert_allclose(np.asarray(res.x)[:, j],
+                                       np.asarray(one.x),
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_multi_rhs_dia_and_ell(self):
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator, EllOperator
+
+        m = 8
+        n = m ** 3
+        B = np.random.default_rng(41).standard_normal((n, 2)).astype(
+            np.float32)
+        for op in (DiaOperator.from_dia(poisson3d_dia(m)),
+                   EllOperator.from_csr(tpucg.poisson3d_csr(m))):
+            res = tpucg.sharded_cg_solve_multi(op, B, tol=1e-5)
+            assert np.asarray(res.converged).all(), type(op).__name__
+            A = np.asarray(tpucg.poisson3d_csr(m).to_dense())
+            for j in range(2):
+                r = B[:, j] - A @ np.asarray(res.x)[:, j]
+                assert np.linalg.norm(r) < 2e-5, (type(op).__name__, j)
+
+    def test_block_cg_dia_jacobi_parity_with_serial(self):
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator
+
+        m = 8
+        n = m ** 3
+        dia = DiaOperator.from_dia(poisson3d_dia(m))
+        B = np.random.default_rng(42).standard_normal((n, 3)).astype(
+            np.float32)
+        sh = tpucg.sharded_cg_solve_block(dia, B, tol=1e-5,
+                                          precondition="jacobi")
+        A = np.asarray(tpucg.poisson3d_csr(m).to_dense())
+        ser = tpucg.cg_solve_block(A, B, tol=1e-5, precondition="jacobi")
+        assert np.asarray(sh.converged).all()
+        np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ser.x),
+                                   rtol=5e-3, atol=5e-3)
+        assert abs(int(sh.iterations) - int(ser.iterations)) <= 2
+
+    def test_block_cg_poisson_poly_and_guard(self):
+        from tpucg.solver.operators import PoissonOperator
+
+        m = 8
+        n = m ** 3
+        op = PoissonOperator(m=m)
+        B = np.random.default_rng(43).standard_normal((n, 2)).astype(
+            np.float32)
+        res = tpucg.sharded_cg_solve_block(op, B, tol=1e-5,
+                                           precondition="poly",
+                                           poly_degree=3)
+        assert np.asarray(res.converged).all()
+        plain = tpucg.sharded_cg_solve_block(op, B, tol=1e-5)
+        assert int(res.iterations) < int(plain.iterations)
+        with pytest.raises(ValueError, match="block Jacobi"):
+            tpucg.sharded_cg_solve_block(op, B, precondition="block_jacobi")

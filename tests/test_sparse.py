@@ -411,3 +411,91 @@ def test_dia_pallas_fuzz_random_offset_sets():
             y, dia.matvec(x), rtol=1e-5, atol=1e-4,
             err_msg=f"trial={trial} n={n} offsets={offsets}",
         )
+
+
+class TestDiaBf16Storage:
+    """bfloat16 DIA slab storage (f32 accumulate) — the sparse analog of
+    the dense solver's storage_dtype extension."""
+
+    def test_matvec_and_solve_exact_on_poisson(self):
+        # Poisson slab values (6, -1, 1) are exactly bf16-representable, so
+        # bf16 storage must match f32 bit-for-bit through matvec and solve.
+        import jax.numpy as jnp
+
+        import tpucg
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator
+
+        m = 8
+        n = m ** 3
+        dia = poisson3d_dia(m)
+        op32 = DiaOperator.from_dia(dia)
+        op16 = DiaOperator.from_dia(dia, storage_dtype=jnp.bfloat16)
+        assert op16.data.dtype == jnp.bfloat16
+        x = np.random.default_rng(50).standard_normal(
+            op32.padded_n).astype(np.float32)
+        y32 = np.asarray(op32.matvec(jnp.asarray(x)))
+        y16 = np.asarray(op16.matvec(jnp.asarray(x)))
+        np.testing.assert_array_equal(y32, y16)
+        b = np.random.default_rng(51).standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        r32 = tpucg.cg_solve(op32, b, tol=tol)
+        r16 = tpucg.cg_solve(op16, b, tol=tol)
+        assert bool(r16.converged)
+        assert int(r16.iterations) == int(r32.iterations)
+        np.testing.assert_allclose(np.asarray(r16.x), np.asarray(r32.x),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_dispatch_and_random_band(self):
+        # Random-valued band: bf16 rounds A (rel ~1e-2); the solve
+        # converges on the ROUNDED system (f32 contract on bf16 A).
+        import jax.numpy as jnp
+
+        import tpucg
+        from tpucg.kernels.fused import fused_dia_supported
+        from tpucg.solver.cg import _fused_eligible
+        from tpucg.solver.operators import DiaOperator
+        from tpucg.sparse.formats import DIAMatrix
+
+        n = 1024
+        rng = np.random.default_rng(52)
+        off = rng.uniform(0.5, 1.5, n).astype(np.float32)
+        data = np.stack([off, np.full(n, 8.0, np.float32), off])
+        dia = DIAMatrix(data=data, offsets=(-1, 0, 1), shape=(n, n))
+        op16 = DiaOperator.from_dia(dia, storage_dtype=jnp.bfloat16)
+        assert fused_dia_supported(op16.padded_n, op16.offsets, 2)
+        cfg = tpucg.CGConfig(fused="auto")
+        assert _fused_eligible(cfg, op16, "pallas", jnp.float32,
+                               False) == "dia"
+        b = rng.standard_normal(n).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        res = tpucg.cg_solve(op16, b, tol=tol)
+        assert bool(res.converged)
+        # Accuracy vs the f32 system is bounded by the bf16 rounding.
+        ref = tpucg.cg_solve(DiaOperator.from_dia(dia), b, tol=tol)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_sharded_dia_bf16(self):
+        import jax.numpy as jnp
+
+        import tpucg
+        from tpucg.io.generator import poisson3d_dia
+        from tpucg.solver.operators import DiaOperator
+
+        m = 8
+        n = m ** 3
+        op = DiaOperator.from_dia(poisson3d_dia(m))
+        b = np.random.default_rng(53).standard_normal(n).astype(np.float32)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        r32 = tpucg.sharded_operator_cg_solve(op, b, tol=tol)
+        r16 = tpucg.sharded_operator_cg_solve(op, b, tol=tol,
+                                              storage_dtype=jnp.bfloat16)
+        assert bool(r16.converged)
+        np.testing.assert_allclose(np.asarray(r16.x), np.asarray(r32.x),
+                                   rtol=1e-4, atol=1e-5)
+        from tpucg.solver.operators import PoissonOperator
+
+        with pytest.raises(ValueError, match="storage_dtype"):
+            tpucg.sharded_operator_cg_solve(
+                PoissonOperator(m=m), b, storage_dtype=jnp.bfloat16)

@@ -405,14 +405,17 @@ def fused_stencil_cg_solve_pallas(b, x0, m, *, tol, maxiter,
 _FUSED_DIA_BYTES_CAP = 100 * 2 ** 20
 
 
-def fused_dia_supported(n: int, offsets: tuple) -> bool:
+def fused_dia_supported(n: int, offsets: tuple, itemsize: int = 4) -> bool:
     """Whole-solve DIA applies when the Pallas SpMV does AND data + solve
-    state fit VMEM together."""
+    state fit VMEM together (``itemsize=2`` for bfloat16 slabs — half the
+    resident footprint, so larger systems qualify)."""
     from tpucg.kernels.spmv import dia_supported
 
     if not dia_supported(n, offsets):
         return False
-    return 4 * n * (len(offsets) + 8) <= _FUSED_DIA_BYTES_CAP
+    return (
+        itemsize * n * len(offsets) + 4 * n * 8 <= _FUSED_DIA_BYTES_CAP
+    )
 
 
 def _dia_apply_values(data, offsets, u, pad_rows, lane):
@@ -438,7 +441,11 @@ def _dia_apply_values(data, offsets, u, pad_rows, lane):
             S = jax.lax.slice(xp, (sr, 0), (sr + rows + 1, LANE))
             R = pltpu.roll(S, LANE - qc, 1)
             shifted = jnp.where(lane < LANE - qc, R[:rows], R[1:])
-        acc = acc + data[:, d * LANE:(d + 1) * LANE] * shifted
+        # In-vreg upcast: f32 accumulation over bf16-stored slabs (no-op
+        # for f32 storage).
+        acc = acc + (
+            data[:, d * LANE:(d + 1) * LANE].astype(jnp.float32) * shifted
+        )
     return acc
 
 
@@ -458,7 +465,7 @@ def _fused_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref, out_k_ref,
         # The main diagonal is a column slab of the interleaved data —
         # already VMEM-resident, no extra operand needed.
         d0 = offsets.index(0)
-        d = data[:, d0 * LANE:(d0 + 1) * LANE]
+        d = data[:, d0 * LANE:(d0 + 1) * LANE].astype(jnp.float32)
         minv = jnp.where(d != 0, 1.0 / d, jnp.ones_like(d))
     else:
         minv = None
@@ -504,13 +511,15 @@ def fused_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol, maxiter,
 
     rows = data_il.shape[0]
     n = rows * LANE
-    if not fused_dia_supported(n, offsets):
+    if not fused_dia_supported(n, offsets, data_il.dtype.itemsize):
         raise ValueError(
             f"fused DIA solve unsupported for n={n}, "
             f"ndiag={len(offsets)} (VMEM budget / lane tiling)"
         )
-    if data_il.dtype != jnp.float32:
-        raise ValueError(f"fused DIA solve is f32-only, got {data_il.dtype}")
+    if data_il.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"fused DIA solve stores f32 or bf16 slabs, got {data_il.dtype}"
+        )
     if precondition == "jacobi" and 0 not in offsets:
         raise ValueError("jacobi needs a stored main diagonal")
     maxo = max(abs(int(o)) for o in offsets)

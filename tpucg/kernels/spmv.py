@@ -197,7 +197,12 @@ def _dia_kernel(offsets, block_rows, pad_rows, *refs):
             S = xp_ref[pl.ds(sr, block_rows + 1), :]
             R = pltpu.roll(S, LANE - qc, 1)
             shifted = jnp.where(lane < LANE - qc, R[:block_rows], R[1:])
-        acc = acc + data_ref[:, d * LANE:(d + 1) * LANE] * shifted
+        # astype: f32 accumulation over (possibly bfloat16-stored) slabs —
+        # a no-op for f32 data, an in-vreg upcast for bf16 storage.
+        acc = acc + (
+            data_ref[:, d * LANE:(d + 1) * LANE].astype(jnp.float32)
+            * shifted
+        )
     y_ref[...] = acc
 
 
@@ -248,7 +253,7 @@ def dia_spmv_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n,
-            bytes_accessed=4 * (ndiag * n + 2 * n),
+            bytes_accessed=data_il.dtype.itemsize * ndiag * n + 4 * 2 * n,
             transcendentals=0,
         ),
         # The resident vector + guard scratch alone exceed the default 16 MB
@@ -312,7 +317,7 @@ def dia_spmv_halo_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n,
-            bytes_accessed=4 * (ndiag * n + 2 * n),
+            bytes_accessed=data_il.dtype.itemsize * ndiag * n + 4 * 2 * n,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

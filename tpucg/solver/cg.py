@@ -1908,8 +1908,9 @@ def _fused_eligible(config, op, backend, dtype, record_residuals):
         if (
             op.interleaved
             and op.backend in ("auto", "pallas")
-            and op.data.dtype == jnp.float32
-            and fused_dia_supported(op.padded_n, op.offsets)
+            and op.data.dtype in (jnp.float32, jnp.bfloat16)
+            and fused_dia_supported(op.padded_n, op.offsets,
+                                    op.data.dtype.itemsize)
         ):
             return "dia"
         return None

@@ -332,6 +332,169 @@ def _host_basis(Apad: np.ndarray, Vpad: np.ndarray):
             Ginv.astype(np.float32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "safe_alpha", "axis", "kind",
+                     "m", "m_padded", "precondition", "poly_degree",
+                     "offsets", "backend"),
+)
+def _sharded_operator_deflated_jit(
+    op_arrays, b, x0, W, AW, Ginv, minv, *, mesh, tol, maxiter, safe_alpha,
+    axis, kind, m=None, m_padded=None, precondition="none", poly_degree=0,
+    offsets=None, backend="xla",
+):
+    """Deflated CG over a sharded sparse/stencil operator: the operator
+    matvec closures of ``_sharded_operator_cg_jit`` + the row-sharded
+    W/AW projection of ``_sharded_deflated_jit`` (one extra (m,)-length
+    psum per lap)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import (
+        _make_reductions,
+        _operator_matvec,
+        _operator_specs,
+        _operator_uses_pallas,
+    )
+
+    num = mesh.devices.size
+
+    def solve(op_blk, b_blk, x_blk, W_blk, AW_blk, G, minv_blk):
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
+        dot, _, update = _make_reductions(axis)
+        base = None
+        if precondition == "jacobi":
+            base = lambda r: minv_blk * r
+        elif precondition == "poly":
+            base = make_poly_precond(mv, dot, b_blk, poly_degree)
+
+        def deflate(z_blk):
+            c = jax.lax.psum(
+                jnp.matmul(AW_blk.T, z_blk, precision=_HI), axis
+            )
+            y = jnp.matmul(G, c, precision=_HI)
+            return z_blk - jnp.matmul(W_blk, y, precision=_HI)
+
+        precond = deflate if base is None else (lambda r: deflate(base(r)))
+
+        r0 = b_blk - mv(x_blk)
+        c0 = jax.lax.psum(jnp.matmul(W_blk.T, r0, precision=_HI), axis)
+        x_blk = x_blk + jnp.matmul(
+            W_blk, jnp.matmul(G, c0, precision=_HI), precision=_HI
+        )
+
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    vec = P(axis)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), vec, vec, P(axis, None),
+                  P(axis, None), P(None, None), vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
+    )(op_arrays, b, x0, W, AW, Ginv, minv)
+
+
+def _sharded_operator_deflated(op, b, V, x0, mesh, config) -> CGResult:
+    """Operator (sparse/stencil) arm of :func:`sharded_cg_solve_deflated`.
+
+    W is orthonormalized host-side (rank-revealing f64 SVD of the padded
+    stack); AW is computed with the SHARDED operator matvec itself (one
+    device matvec per basis column — sparse operators have no dense host
+    form to multiply); G^-1 is inverted host-side in f64 from the f32 AW
+    (the same accuracy as the serial operator path, whose ``_basis_jit``
+    also forms AW on device in f32)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import (
+        _prepare_sharded_operator,
+        _sharded_operator_matvec_jit,
+    )
+
+    if config.precondition not in ("none", "jacobi", "poly"):
+        raise ValueError(
+            "deflated CG on sharded sparse operators supports precondition "
+            "in {'none', 'jacobi', 'poly'} (block Jacobi on sharded sparse "
+            "operators is unimplemented, matching sharded_operator_cg_solve)"
+        )
+    axis = mesh.axis_names[0]
+    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    V = np.asarray(V, np.float32)
+    if V.ndim == 1:
+        V = V[:, None]
+    if V.shape[0] != n:
+        raise ValueError(f"V must have {n} rows, got {V.shape}")
+    Vpad = np.pad(V, ((0, npad - n), (0, 0))) if npad != n else V
+    U, s, _ = np.linalg.svd(np.asarray(Vpad, np.float64),
+                            full_matrices=False)
+    keep = s > max(1e-6 * (s[0] if s.size else 0.0), 1e-30)
+    if not keep.any():
+        raise ValueError("V has no usable directions (all ~zero)")
+    W = np.ascontiguousarray(U[:, keep], dtype=np.float32)
+
+    shard1 = NamedSharding(mesh, P(axis))
+    AW = np.stack(
+        [
+            np.asarray(_sharded_operator_matvec_jit(
+                op_arrays,
+                jax.device_put(jnp.asarray(W[:, j]), shard1),
+                mesh=mesh, axis=axis, **statics,
+            ))
+            for j in range(W.shape[1])
+        ],
+        axis=1,
+    )
+    G = W.astype(np.float64).T @ AW.astype(np.float64)
+    Ginv = np.linalg.inv(0.5 * (G + G.T)).astype(np.float32)
+
+    b = np.asarray(b, np.float32)
+    if b.shape != (n,):
+        raise ValueError(f"b must have shape ({n},), got {b.shape}")
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = b
+    x0p = np.zeros(npad, np.float32)
+    if x0 is not None:
+        x0p[:n] = np.asarray(x0, np.float32)
+    minv = (
+        minv_host if minv_host is not None else np.ones(npad, np.float32)
+    )
+    shard2 = NamedSharding(mesh, P(axis, None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rn, done = _sharded_operator_deflated_jit(
+        op_arrays,
+        jax.device_put(jnp.asarray(bp), shard1),
+        jax.device_put(jnp.asarray(x0p), shard1),
+        jax.device_put(jnp.asarray(W), shard2),
+        jax.device_put(jnp.asarray(AW), shard2),
+        jax.device_put(jnp.asarray(Ginv),
+                       NamedSharding(mesh, P(None, None))),
+        jax.device_put(jnp.asarray(minv), shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+        precondition=config.precondition,
+        poly_degree=(
+            int(config.poly_degree) if config.precondition == "poly" else 0
+        ),
+        **statics,
+    )
+    res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+    if npad != n:
+        res = res._replace(x=res.x[:n])
+    return res
+
+
 def sharded_cg_solve_deflated(
     A,
     b,
@@ -348,6 +511,13 @@ def sharded_cg_solve_deflated(
     and the per-lap deflation costs one extra (m,)-length ``psum`` beyond
     classic sharded CG's scalar reductions. Host arrays only (the basis is
     built host-side in f64 against the identity-padded system).
+
+    Sparse/stencil operators (``PoissonOperator``, ``DIAMatrix`` /
+    ``DiaOperator``, ``EllMatrix`` / ``EllOperator``, ``BSRMatrix`` /
+    ``BsrOperator``) take the operator decompositions of
+    ``sharded_operator_cg_solve`` (slab / band-halo ppermute exchange or
+    row-sharded allgather) with the same row-sharded W/AW projection;
+    ``precondition`` in {'none', 'jacobi', 'poly'}.
     """
     from dataclasses import replace as dataclasses_replace
 
@@ -356,7 +526,14 @@ def sharded_cg_solve_deflated(
 
     from tpucg.comm.mesh import make_mesh
     from tpucg.io.partitioner import RowPartition, pad_identity_tail
+    from tpucg.solver.operators import (
+        BsrOperator,
+        DiaOperator,
+        EllOperator,
+        PoissonOperator,
+    )
     from tpucg.solver.sharded import distribute_system, row_align
+    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
 
     if config is None:
         config = CGConfig(**overrides)
@@ -371,6 +548,9 @@ def sharded_cg_solve_deflated(
         mesh = make_mesh()
     if mesh.devices.ndim != 1:
         raise ValueError("deflated solves are supported on 1-D meshes")
+    if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
+                      DiaOperator, BSRMatrix, BsrOperator)):
+        return _sharded_operator_deflated(A, b, V, x0, mesh, config)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
     backend = resolve_backend(config.kernel)
@@ -432,9 +612,16 @@ class RecyclingCG:
     m x m inverse) only when a new vector is admitted. Each distinct basis
     size m compiles its own solve (m is a static shape) — bounded by
     ``max_vectors``.
+
+    Pass ``mesh`` to run every solve DISTRIBUTED: dense systems take
+    :func:`sharded_cg_solve_deflated`'s row-block path, sparse/stencil
+    operators (Poisson slab, DIA band-halo, ELL/BSR) its operator
+    decompositions — recycling pays exactly on sequences of large sparse
+    solves, where each solve is expensive (the sharded basis rebuild costs
+    m device matvecs + one host SVD per admitted vector).
     """
 
-    def __init__(self, A, max_vectors: int = 8,
+    def __init__(self, A, max_vectors: int = 8, mesh=None,
                  config: Optional[CGConfig] = None, **overrides):
         from dataclasses import replace as dataclasses_replace
 
@@ -443,13 +630,43 @@ class RecyclingCG:
         elif overrides:
             config = dataclasses_replace(config, **overrides)
         self.A = A
+        self.mesh = mesh
         self.config = config
         self.max_vectors = int(max_vectors)
         self._vectors: list = []
         self._basis: Optional[DeflationBasis] = None
 
+    def _solve_sharded(self, b, x0) -> CGResult:
+        from tpucg.solver.operators import (
+            BsrOperator,
+            DiaOperator,
+            EllOperator,
+            PoissonOperator,
+        )
+        from tpucg.solver.sharded import (
+            sharded_cg_solve,
+            sharded_operator_cg_solve,
+        )
+        from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+
+        if self._vectors:
+            return sharded_cg_solve_deflated(
+                self.A, b, np.stack(self._vectors, axis=1), x0=x0,
+                mesh=self.mesh, config=self.config,
+            )
+        if isinstance(self.A, (PoissonOperator, EllOperator, EllMatrix,
+                               DIAMatrix, DiaOperator, BSRMatrix,
+                               BsrOperator)):
+            return sharded_operator_cg_solve(
+                self.A, b, x0, mesh=self.mesh, config=self.config
+            )
+        return sharded_cg_solve(self.A, b, x0, mesh=self.mesh,
+                                config=self.config)
+
     def solve(self, b, x0=None) -> CGResult:
-        if self._basis is not None:
+        if self.mesh is not None:
+            res = self._solve_sharded(b, x0)
+        elif self._basis is not None:
             res = cg_solve_deflated(
                 self.A, b, basis=self._basis, x0=x0, config=self.config
             )
@@ -460,8 +677,9 @@ class RecyclingCG:
         if bool(res.converged):
             self._vectors.append(np.asarray(res.x, np.float32))
             self._vectors = self._vectors[-self.max_vectors:]
-            self._basis = build_deflation_basis(
-                self.A, np.stack(self._vectors, axis=1),
-                kernel=self.config.kernel,
-            )
+            if self.mesh is None:
+                self._basis = build_deflation_basis(
+                    self.A, np.stack(self._vectors, axis=1),
+                    kernel=self.config.kernel,
+                )
         return res

@@ -239,6 +239,106 @@ def _sharded_minres_jit(A, b, x0, *, mesh, strategy, backend, tol, maxiter,
     )(A, b, x0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "axis", "kind", "m",
+                     "m_padded", "precondition", "offsets", "backend"),
+)
+def _sharded_operator_minres_jit(
+    op_arrays, b, x0, minv, *, mesh, tol, maxiter, axis, kind, m=None,
+    m_padded=None, precondition="none", offsets=None, backend="xla",
+):
+    """MINRES over a sharded sparse/stencil operator — the same per-shard
+    matvec closures as ``_sharded_operator_cg_jit`` (Poisson slab halo, DIA
+    band halo, ELL/BSR allgather) driving :func:`minres_loop` with psum
+    reductions."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import (
+        _make_reductions,
+        _operator_matvec,
+        _operator_specs,
+        _operator_uses_pallas,
+    )
+
+    num = mesh.devices.size
+    tolv = jnp.asarray(tol, jnp.float32)
+
+    def solve(op_blk, b_blk, x_blk, minv_blk):
+        mv = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend
+        )
+        dot, _, _ = _make_reductions(axis)
+        psolve = (
+            (lambda r: minv_blk * r) if precondition == "jacobi" else None
+        )
+        s = minres_loop(mv, dot, b_blk, x_blk, tol=tol, maxiter=maxiter,
+                        psolve=psolve)
+        r = b_blk - mv(s.x)
+        rr = dot(r, r)
+        return s.x, s.k, jnp.sqrt(rr), rr < tolv * tolv
+
+    vec = P(axis)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), vec, vec, vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
+    )(op_arrays, b, x0, minv)
+
+
+def _sharded_operator_minres(op, b, x0, mesh, config) -> CGResult:
+    """Operator (sparse/stencil) arm of :func:`sharded_minres_solve`."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import _prepare_sharded_operator
+
+    if config.precondition == "block_jacobi":
+        raise ValueError(
+            "sharded MINRES on sparse operators supports precondition "
+            "'none' or 'jacobi' (block Jacobi on sharded sparse operators "
+            "is unimplemented, matching sharded_operator_cg_solve)"
+        )
+    axis = mesh.axis_names[0]
+    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    shard1 = NamedSharding(mesh, P(axis))
+    b = np.asarray(b, np.float32)
+    if b.shape != (n,):
+        raise ValueError(f"b must have shape ({n},), got {b.shape}")
+    bp = np.zeros(npad, np.float32)
+    bp[:n] = b
+    x0p = np.zeros(npad, np.float32)
+    if x0 is not None:
+        x0p[:n] = np.asarray(x0, np.float32)
+    # MINRES needs SPD M: 1/|d| (the prepared minv is 1/d).
+    minv = (
+        np.abs(minv_host) if minv_host is not None
+        else np.ones(npad, np.float32)
+    )
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rn, done = _sharded_operator_minres_jit(
+        op_arrays,
+        jax.device_put(jnp.asarray(bp), shard1),
+        jax.device_put(jnp.asarray(x0p), shard1),
+        jax.device_put(jnp.asarray(minv), shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        axis=axis,
+        precondition=config.precondition,
+        **statics,
+    )
+    res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+    if npad != n:
+        res = res._replace(x=res.x[:n])
+    return res
+
+
 def sharded_minres_solve(
     A,
     b,
@@ -251,13 +351,27 @@ def sharded_minres_solve(
     composition of :func:`minres_solve` (same allgather/overlap strategy
     arms, psum scalar reductions, and jacobi/block_jacobi preconditioner
     options as ``sharded_cg_solve``; block-Jacobi blocks are extracted
-    per shard and SPD-ized with :func:`abs_inv_blocks`)."""
+    per shard and SPD-ized with :func:`abs_inv_blocks`).
+
+    Sparse/stencil operators (``PoissonOperator``, ``DIAMatrix`` /
+    ``DiaOperator``, ``EllMatrix`` / ``EllOperator``, ``BSRMatrix`` /
+    ``BsrOperator``) take the operator decompositions of
+    ``sharded_operator_cg_solve`` — slab / band-halo ppermute exchange or
+    row-sharded allgather — with ``precondition`` in {'none', 'jacobi'}
+    (M = 1/|diag|)."""
     import numpy as np
     from dataclasses import replace as dataclasses_replace
 
     from tpucg.comm.mesh import make_mesh
     from tpucg.io.partitioner import RowPartition
+    from tpucg.solver.operators import (
+        BsrOperator,
+        DiaOperator,
+        EllOperator,
+        PoissonOperator,
+    )
     from tpucg.solver.sharded import distribute_system, row_align
+    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
 
     if config is None:
         config = CGConfig(**overrides)
@@ -274,6 +388,9 @@ def sharded_minres_solve(
         mesh = make_mesh()
     if mesh.devices.ndim != 1:
         raise ValueError("MINRES is supported on 1-D meshes")
+    if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
+                      DiaOperator, BSRMatrix, BsrOperator)):
+        return _sharded_operator_minres(A, b, x0, mesh, config)
     axis = mesh.axis_names[0]
     backend = resolve_backend(config.kernel)
     A = np.asarray(A, np.float32)

@@ -223,10 +223,23 @@ class DiaOperator(LinearOperator):
     )
 
     @classmethod
-    def from_dia(cls, dia: DIAMatrix, backend: str = "auto") -> "DiaOperator":
+    def from_dia(cls, dia: DIAMatrix, backend: str = "auto",
+                 storage_dtype=np.float32) -> "DiaOperator":
+        """``storage_dtype=bfloat16`` stores the diagonal slab in bfloat16 —
+        half the HBM footprint and streaming bytes of the SpMV (the Pallas
+        kernel upcasts in-vreg and accumulates in f32; the same
+        storage-dtype extension as ``DenseOperator.create``). The solve
+        satisfies the f32 contract on the bf16-rounded system."""
         from tpucg.kernels.spmv import LANE, dia_interleave, dia_supported
 
+        if jnp.dtype(storage_dtype) not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                f"storage_dtype must be float32 or bfloat16, "
+                f"got {storage_dtype}"
+            )
         data = np.asarray(dia.data)
+        if jnp.dtype(storage_dtype) == jnp.bfloat16:
+            data = data.astype(np.float32)  # canonical source for the cast
         n = dia.shape[0]
         offsets = tuple(int(o) for o in dia.offsets)
         # Like DenseOperator.create, padding is a Pallas-alignment concern:
@@ -251,6 +264,10 @@ class DiaOperator(LinearOperator):
             )
         if interleaved:
             data = dia_interleave(data)
+        if jnp.dtype(storage_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            data = np.asarray(data).astype(ml_dtypes.bfloat16)
         return cls(
             data=jnp.asarray(data), offsets=offsets, n=n, backend=backend,
             interleaved=interleaved,
@@ -289,14 +306,16 @@ class DiaOperator(LinearOperator):
     def diagonal(self) -> jax.Array:
         from tpucg.kernels.spmv import LANE
 
+        # bf16 storage upcasts (1/d must be f32); f64 stays f64.
+        up = jnp.promote_types(self.data.dtype, jnp.float32)
         if 0 not in self.offsets:
-            return jnp.zeros(self.padded_n, self.data.dtype)
+            return jnp.zeros(self.padded_n, up)
         d0 = self.offsets.index(0)
         if self.interleaved:
             return jax.lax.dynamic_slice(
                 self.data, (0, d0 * LANE), (self.data.shape[0], LANE)
-            ).reshape(-1)
-        return self.data[d0]
+            ).reshape(-1).astype(up)
+        return self.data[d0].astype(up)
 
     def diagonal_blocks(self, bs: int) -> jax.Array:
         data = self.data

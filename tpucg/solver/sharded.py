@@ -311,6 +311,11 @@ def sharded_cg_solve_multi(
     converge independently. Result fields are batched like
     ``cg_solve_multi``: x is (n, k); iterations/residual_norm/converged are
     (k,).
+
+    Sparse/stencil operators (Poisson/DIA/ELL/BSR forms) take the operator
+    decompositions of ``sharded_operator_cg_solve`` with the k lanes
+    vmapped inside shard_map (one batched halo ppermute / all_gather per
+    lap; the XLA matvec arms, which batch cleanly, are used).
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -325,6 +330,8 @@ def sharded_cg_solve_multi(
         mesh = make_mesh()
     if mesh.devices.ndim != 1:
         raise ValueError("sharded_cg_solve_multi runs on 1-D meshes")
+    if isinstance(A, _operator_types()):
+        return _sharded_operator_multi(A, B, X0, mesh, config)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
     A = np.asarray(A, np.float32)
@@ -479,7 +486,12 @@ def sharded_cg_solve_block(
     composition; contrast ``sharded_cg_solve_multi``, whose k lanes search
     independently). Result fields and the preconditioning contract (the
     M^-1/2-weighted residual norm for ``"jacobi"``/``"poly"``) as
-    ``cg_solve_block``."""
+    ``cg_solve_block``.
+
+    Sparse/stencil operators (Poisson/DIA/ELL/BSR forms) take the operator
+    decompositions of ``sharded_operator_cg_solve`` with the (blk, k)
+    matvec batched over the k lanes (one collective per lap);
+    ``precondition`` in {'none', 'jacobi', 'poly'}."""
     if config is None:
         config = CGConfig(**overrides)
     elif overrides:
@@ -495,6 +507,8 @@ def sharded_cg_solve_block(
         mesh = make_mesh()
     if mesh.devices.ndim != 1:
         raise ValueError("sharded_cg_solve_block runs on 1-D meshes")
+    if isinstance(A, _operator_types()):
+        return _sharded_operator_block(A, B, X0, mesh, config)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
     A = np.asarray(A, np.float32)
@@ -1030,7 +1044,8 @@ def distribute_system_2d(
     )
 
 
-def _poisson_halo_matvec(m: int, m_padded: int, axis: str, num: int):
+def _poisson_halo_matvec(m: int, m_padded: int, axis: str, num: int,
+                         force_xla: bool = False):
     """Slab-decomposed 3-D 7-point Laplacian with ppermute halo exchange.
 
     Device d owns x-planes [d*mp, (d+1)*mp) of the m^3 grid (mp =
@@ -1051,7 +1066,7 @@ def _poisson_halo_matvec(m: int, m_padded: int, axis: str, num: int):
     mp = m_padded // num
     down = [(j, j + 1) for j in range(num - 1)]  # d sends its last plane to d+1
     up = [(j + 1, j) for j in range(num - 1)]    # d sends its first plane to d-1
-    use_pallas = slab_supported(m, mp)
+    use_pallas = slab_supported(m, mp) and not force_xla
 
     def mv(u_flat):
         u_raw = u_flat.reshape(mp, m, m)
@@ -1156,6 +1171,22 @@ def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
     return _ell_allgather_matvec(values_blk, indices_blk, axis)
 
 
+def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets):
+    """(blk, k) -> (blk, k) batched per-shard matvec for the multi-RHS and
+    block decompositions: the single-vector closure vmapped over the RHS
+    axis, with the XLA arms forced (the Pallas slab/DIA kernels are
+    single-vector; the XLA shift-and-add / stencil arms batch into clean
+    (blk, k) elementwise + concat ops — the collectives batch into ONE
+    (halo, k) ppermute / (blk, k) all_gather per lap)."""
+    if kind == "poisson":
+        mv1 = _poisson_halo_matvec(m, m_padded, axis, num, force_xla=True)
+    else:
+        mv1 = _operator_matvec(
+            kind, op_blk, axis, num, m, m_padded, offsets, backend="xla"
+        )
+    return jax.vmap(mv1, in_axes=1, out_axes=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1224,6 +1255,227 @@ def _sharded_operator_cg_jit(
     )(op_arrays, b, x0, minv)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "safe_alpha", "axis", "kind",
+                     "m", "m_padded", "offsets", "backend"),
+)
+def _sharded_operator_multi_jit(
+    op_arrays, B, X0, *, mesh, tol, maxiter, safe_alpha, axis, kind,
+    m=None, m_padded=None, offsets=None, backend="xla",
+):
+    """Operator-sharded multi-RHS CG: k lockstep recurrences vmapped over
+    the RHS axis INSIDE shard_map — the per-lane halo ppermutes /
+    all_gathers batch into ONE (halo, k) / (blk, k) collective per lap and
+    the stencil / shift-and-add arms into (blk, k) elementwise ops. The
+    XLA matvec arms are forced (the Pallas slab/DIA kernels are
+    single-vector); ``backend`` is accepted for static-signature parity."""
+    del backend
+    num = mesh.devices.size
+
+    def solve(op_blk, B_blk, X_blk):
+        if kind == "poisson":
+            mv1 = _poisson_halo_matvec(m, m_padded, axis, num,
+                                       force_xla=True)
+        else:
+            mv1 = _operator_matvec(
+                kind, op_blk, axis, num, m, m_padded, offsets, "xla"
+            )
+
+        def one(b_blk, x_blk):
+            dot, _, update = _make_reductions(axis)
+            s = cg_loop(
+                mv1, dot, update, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            )
+            return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+        return jax.vmap(one, in_axes=1, out_axes=(1, 0, 0, 0))(B_blk, X_blk)
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(), P(), P()),
+    )(op_arrays, B, X0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "axis", "precondition",
+                     "poly_degree", "kind", "m", "m_padded", "offsets",
+                     "backend"),
+)
+def _sharded_operator_block_jit(
+    op_arrays, B, X0, minv, *, mesh, tol, maxiter, axis,
+    precondition="none", poly_degree=0, kind="ell", m=None, m_padded=None,
+    offsets=None, backend="xla",
+):
+    """Operator-sharded TRUE block CG (BCGrQ): the (blk, k) matvec is the
+    batched operator closure (one collective per lap), the Gram/thin-QR
+    algebra the same three (k, k) psums as the dense arm. Jacobi is
+    matrix-free symmetric equilibration with the prepared 1/diag shard
+    (sqrt applied on both sides of the batched matvec); poly the flexible
+    M^-1-inner-product ``block_pcg_loop``."""
+    del backend
+    from tpucg.solver.cg import (
+        block_cg_loop, block_pcg_loop, dot_xla, lambda_max_estimate,
+    )
+
+    num = mesh.devices.size
+
+    def solve(op_blk, B_blk, X_blk, minv_blk):
+        mv = _operator_matvec_batched(
+            kind, op_blk, axis, num, m, m_padded, offsets
+        )
+
+        def gram(U_blk, V_blk):
+            return jax.lax.psum(
+                jnp.matmul(
+                    U_blk.T, V_blk, precision=jax.lax.Precision.HIGHEST
+                ),
+                axis,
+            )
+
+        if precondition == "jacobi":
+            sc_blk = jnp.sqrt(minv_blk)
+            mv_hat = lambda Y_blk: sc_blk[:, None] * mv(
+                sc_blk[:, None] * Y_blk
+            )
+            k, Y, rr, done = block_cg_loop(
+                mv_hat, gram, sc_blk[:, None] * B_blk,
+                X_blk / sc_blk[:, None], tol=tol, maxiter=maxiter,
+            )
+            return sc_blk[:, None] * Y, k, jnp.sqrt(rr), done
+        if precondition == "poly":
+            dot = lambda u, v: jax.lax.psum(dot_xla(u, v), axis)
+            lam = lambda_max_estimate(
+                lambda p: mv(p[:, None])[:, 0], dot, B_blk[:, 0]
+            )
+            w = jnp.asarray(0.95, B_blk.dtype) / lam
+
+            def pc(R_blk):
+                Z = w * R_blk
+                for _ in range(poly_degree - 1):
+                    Z = Z + w * R_blk - w * mv(Z)
+                return Z
+
+            k, X, rr, done = block_pcg_loop(
+                mv, gram, pc, B_blk, X_blk, tol=tol, maxiter=maxiter
+            )
+            return X, k, jnp.sqrt(rr), done
+        k, X, rr, done = block_cg_loop(
+            mv, gram, B_blk, X_blk, tol=tol, maxiter=maxiter
+        )
+        return X, k, jnp.sqrt(rr), done
+
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(_operator_specs(kind, axis), P(axis, None), P(axis, None),
+                  P(axis)),
+        out_specs=(P(axis, None), P(), P(), P()),
+    )(op_arrays, B, X0, minv)
+
+
+def _operator_types():
+    from tpucg.solver.operators import (
+        BsrOperator,
+        DiaOperator,
+        EllOperator,
+        PoissonOperator,
+    )
+    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+
+    return (PoissonOperator, EllOperator, EllMatrix, DIAMatrix, DiaOperator,
+            BSRMatrix, BsrOperator)
+
+
+def _pad_rhs_block(B, X0, n, npad):
+    B = np.asarray(B, np.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    X0p = np.zeros((npad, k), np.float32)
+    if X0 is not None:
+        X0p[:n] = np.asarray(X0, np.float32)
+    return Bp, X0p, k
+
+
+def _sharded_operator_multi(op, B, X0, mesh, config) -> CGResult:
+    """Operator (sparse/stencil) arm of :func:`sharded_cg_solve_multi`."""
+    axis = mesh.axis_names[0]
+    op_arrays, statics, n, npad, _ = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    Bp, X0p, k = _pad_rhs_block(B, X0, n, npad)
+    shard2 = NamedSharding(mesh, P(axis, None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded_operator_multi_jit(
+        op_arrays,
+        jax.device_put(Bp, shard2),
+        jax.device_put(X0p, shard2),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        axis=axis,
+        **statics,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
+
+
+def _sharded_operator_block(op, B, X0, mesh, config) -> CGResult:
+    """Operator (sparse/stencil) arm of :func:`sharded_cg_solve_block`."""
+    if config.precondition not in ("none", "jacobi", "poly"):
+        raise ValueError(
+            "block CG on sharded sparse operators supports precondition "
+            "in {'none', 'jacobi', 'poly'} (block Jacobi on sharded "
+            "sparse operators is unimplemented, matching "
+            "sharded_operator_cg_solve)"
+        )
+    axis = mesh.axis_names[0]
+    # _prepare_sharded_operator builds minv only for jacobi; the block jit
+    # still takes the array (ones are inert for the other preconditioners).
+    op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
+        op, mesh, config
+    )
+    Bp, X0p, k = _pad_rhs_block(B, X0, n, npad)
+    from tpucg.solver.cg import BLOCK_CG_MAX_K
+
+    if k > BLOCK_CG_MAX_K:
+        raise ValueError(
+            f"block CG supports k <= {BLOCK_CG_MAX_K} right-hand sides "
+            f"(got {k}); use sharded_cg_solve_multi for wide batches"
+        )
+    minv = (
+        minv_host if minv_host is not None else np.ones(npad, np.float32)
+    )
+    shard1 = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded_operator_block_jit(
+        op_arrays,
+        jax.device_put(Bp, shard2),
+        jax.device_put(X0p, shard2),
+        jax.device_put(jnp.asarray(minv), shard1),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        axis=axis,
+        precondition=config.precondition,
+        poly_degree=int(config.poly_degree),
+        **statics,
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
+
+
 def _dia_canonical(op) -> Tuple[np.ndarray, tuple, int]:
     """Host-side canonical (ndiag, n) DIA data + offsets from a DIAMatrix or
     DiaOperator (de-interleaving the Pallas packing if needed)."""
@@ -1249,6 +1501,7 @@ def sharded_operator_cg_solve(
     mesh: Optional[Mesh] = None,
     config: Optional[CGConfig] = None,
     record_residuals: bool = False,
+    storage_dtype=np.float32,
     **overrides,
 ) -> CGResult:
     """Distributed CG on a sparse/stencil operator over a 1-D mesh.
@@ -1267,6 +1520,8 @@ def sharded_operator_cg_solve(
 
     All decompositions accept any size (the reference hard-requires
     ``ROWS % P == 0``, ``parallel_cg.c:86-90``; tpucg pads instead).
+    ``storage_dtype=bfloat16`` (DIA only) halves the per-shard slab bytes
+    (f32 accumulation; same extension as the dense solver's bf16 storage).
     """
     from tpucg.kernels.spmv import LANE, dia_supported
     from tpucg.solver.operators import (
@@ -1294,7 +1549,7 @@ def sharded_operator_cg_solve(
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
-        op, mesh, config
+        op, mesh, config, storage_dtype=storage_dtype
     )
     shard1 = NamedSharding(mesh, P(axis))
 
@@ -1338,12 +1593,16 @@ def sharded_operator_cg_solve(
     )
 
 
-def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig):
+def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
+                              storage_dtype=np.float32):
     """Pad, pack, and place a sparse/stencil operator for the 1-D mesh.
 
     Returns (op_arrays, statics, n, npad, minv_host) where ``statics`` are
     the kind-specific static kwargs of the operator jits (kind, m, m_padded,
     offsets, backend) — shared by the solve and checkpoint drivers.
+    ``storage_dtype=bfloat16`` (DIA only) ships and streams the interleaved
+    diagonal slab in bfloat16 — half the per-shard HBM bytes, f32
+    accumulation in the halo kernel (``kernels.spmv._dia_kernel``).
     """
     from tpucg.kernels.spmv import LANE, dia_supported
     from tpucg.solver.operators import (
@@ -1430,7 +1689,17 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig):
                     f"offsets={offsets_static}"
                 )
             backend_static = "xla"
-        op_arrays = jax.device_put(jnp.asarray(dia_interleave(data)), shard2)
+        data_il = np.asarray(dia_interleave(data))
+        if jnp.dtype(storage_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            data_il = data_il.astype(ml_dtypes.bfloat16)  # host cast: 2 B/elt
+        elif jnp.dtype(storage_dtype) != jnp.float32:
+            raise ValueError(
+                f"storage_dtype must be float32 or bfloat16, "
+                f"got {storage_dtype}"
+            )
+        op_arrays = jax.device_put(jnp.asarray(data_il), shard2)
         if config.precondition == "jacobi":
             d = data[offsets_static.index(0)]
             minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
@@ -1477,6 +1746,12 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig):
             f"operators, got {type(op).__name__}"
         )
 
+    if jnp.dtype(storage_dtype) != jnp.float32 and kind != "dia":
+        raise ValueError(
+            "storage_dtype=bfloat16 is supported for DIA operators (the "
+            "stencil is matrix-free; ELL/BSR index arrays dominate their "
+            f"footprint), got kind={kind!r}"
+        )
     statics = dict(
         kind=kind, m=m_static, m_padded=m_padded, offsets=offsets_static,
         backend=backend_static,
