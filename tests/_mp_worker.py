@@ -8,7 +8,13 @@ runs the sharded CG solve, and process 0 writes the gathered result for the
 parent to check against the serial oracle.
 
 Invoked as:
-    python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir>
+    python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir> \
+        [mode]
+
+``mode``: "full" (default) runs the dense battery below; "operator" runs
+the sparse/stencil operator decompositions (Poisson slab halo + DIA band
+halo) — the reference's P=4 rank count (``parallel_cg.c:81-83``) exercised
+on the operator arms.
 """
 
 import json
@@ -22,15 +28,64 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
+def _operator_mode(workdir: str, pid: int, nproc: int) -> None:
+    """Operator decompositions across OS processes: the slab-halo Poisson
+    ppermutes and the DIA band-halo exchange ride the cross-process (gloo)
+    mesh; every process holds the tiny host operator descriptor
+    (device_put extracts only addressable shards — there is no dense A
+    anywhere)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    import tpucg
+    from tpucg.io.generator import poisson3d_dia
+    from tpucg.solver.operators import PoissonOperator
+    from tpucg.solver.sharded import sharded_operator_cg_solve
+
+    mesh = tpucg.make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    m = 8
+    n = m ** 3
+    b = np.ones(n, np.float32)
+    tol = 1.0e-5 * float(np.linalg.norm(b))
+    res_p = sharded_operator_cg_solve(
+        PoissonOperator(m=m), b, mesh=mesh, tol=tol
+    )
+    x_p = np.asarray(multihost_utils.process_allgather(res_p.x, tiled=True))
+    res_d = sharded_operator_cg_solve(
+        poisson3d_dia(m), b, mesh=mesh, tol=tol
+    )
+    x_d = np.asarray(multihost_utils.process_allgather(res_d.x, tiled=True))
+    if pid == 0:
+        np.save(os.path.join(workdir, "x_op_poisson.npy"), x_p[:n])
+        np.save(os.path.join(workdir, "x_op_dia.npy"), x_d[:n])
+        with open(os.path.join(workdir, "meta_op.json"), "w") as f:
+            json.dump(
+                {
+                    "nproc": nproc,
+                    "poisson_converged": bool(res_p.converged),
+                    "poisson_iterations": int(res_p.iterations),
+                    "dia_converged": bool(res_d.converged),
+                    "dia_iterations": int(res_d.iterations),
+                },
+                f,
+            )
+    print(f"operator worker {pid}/{nproc} done", flush=True)
+
+
 def main() -> None:
     coord, nproc, pid, workdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     from tpucg.comm.mesh import init_distributed
 
     init_distributed(
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
+    if mode == "operator":
+        _operator_mode(workdir, pid, nproc)
+        return
 
     import numpy as np
 

@@ -157,3 +157,72 @@ def test_multiprocess_loading_is_host_sharded(mp_run):
     for r0, r1 in all_reads:
         covered.update(range(r0, r1))
     assert covered == set(range(n)), "every logical row read exactly once"
+
+
+# --- P=4: the reference's wider rank count, on the OPERATOR arms ---------
+NPROC4 = 4
+DEVICES_PER_PROC4 = 2
+
+
+@pytest.fixture(scope="module")
+def mp_run_p4(tmp_path_factory):
+    """4 OS processes x 2 CPU devices: the operator decompositions (Poisson
+    slab halo + DIA band halo) across the cross-process mesh. The reference
+    ran P in {2,4,8} ranks (parallel_cg.c:81-83); the heavy dense battery
+    stays at P=2, this arm proves the wider topology + the sparse halos."""
+    workdir = str(tmp_path_factory.mktemp("mp4"))
+    coord = f"127.0.0.1:{_free_port()}"
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(
+            f"--xla_force_host_platform_device_count={DEVICES_PER_PROC4}"
+        ),
+        PYTHONPATH=(
+            repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(NPROC4), str(pid), workdir,
+             "operator"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(NPROC4)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"p4 worker failed:\n{out[-3000:]}"
+    return workdir
+
+
+def test_multiprocess_p4_operator_arms(mp_run_p4):
+    """Slab-halo Poisson and band-halo DIA solved across 4 OS processes
+    must match the serial oracle on the assembled system."""
+    import tpucg
+    from tpucg.solver.oracle import oracle_cg
+
+    workdir = mp_run_p4
+    m = 8
+    n = m ** 3
+    A = np.asarray(tpucg.poisson3d_csr(m).to_dense(), np.float32)
+    b = np.ones(n, np.float32)
+    tol = 1.0e-5 * float(np.linalg.norm(b))
+    ox, oiters, _ = oracle_cg(A, b, np.zeros(n, np.float32), tol=tol)
+    with open(os.path.join(workdir, "meta_op.json")) as f:
+        meta = json.load(f)
+    assert meta["nproc"] == NPROC4
+    for arm in ("poisson", "dia"):
+        assert meta[f"{arm}_converged"], arm
+        assert abs(meta[f"{arm}_iterations"] - oiters) <= 1, arm
+        x = np.load(os.path.join(workdir, f"x_op_{arm}.npy"))[:n]
+        np.testing.assert_allclose(x, ox, rtol=1e-4, atol=1e-5,
+                                   err_msg=arm)

@@ -701,8 +701,13 @@ def sharded_cg_solve_checkpointed(
             )
         if multiprocess:
             raise NotImplementedError(
-                "multi-process checkpointing supports 1-D meshes (the 2-D "
-                "arm distributes from host arrays)"
+                "multi-process checkpointing supports 1-D meshes. WON'T-DO "
+                "for 2-D: the SUMMA arm distributes from HOST arrays (the "
+                "column permutation is applied at distribution), so a "
+                "multi-process 2-D run would make every host materialize "
+                "all of A — exactly the rank-0 memory ceiling host-sharded "
+                "loading exists to remove. Use a 1-D mesh (which scales the "
+                "same collectives) for multi-process checkpointed runs."
             )
         return _sharded2d_cg_solve_checkpointed(
             A, b, x0, mesh, config, backend,
