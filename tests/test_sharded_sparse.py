@@ -2,6 +2,8 @@
 with ppermute halo exchange (the BASELINE north star: halo transfer
 overlapped with local stencil compute) and row-sharded ELL SpMV."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -365,3 +367,138 @@ class TestOperatorShardedMultiAndBlock:
         assert int(res.iterations) < int(plain.iterations)
         with pytest.raises(ValueError, match="block Jacobi"):
             tpucg.sharded_cg_solve_block(op, B, precondition="block_jacobi")
+
+
+class TestShardedWell:
+    """Row-block sharded WELL — distributed IRREGULAR sparsity (the
+    matrices that are neither banded nor blocky). CSRMatrix inputs to the
+    sharded entry points take this decomposition."""
+
+    @staticmethod
+    def _geo(n=3000, seed=7):
+        from tpucg.io.generator import random_geometric_spd
+
+        return random_geometric_spd(n, seed=seed, avg_degree=10.0)
+
+    def test_builder_global_matvec_parity(self):
+        from tpucg.sparse.well import csr_to_well_sharded
+
+        A, _, _ = self._geo()
+        stacked, st = csr_to_well_sharded(A, 8)
+        npad, rps = st["npad"], st["rps"]
+        x = np.random.default_rng(1).standard_normal(npad)
+        x[A.shape[0]:] = 0.0
+        y_ref = A.matvec(x[: A.shape[0]].astype(np.float64))
+        # Host-side replay of the sharded semantics: each shard's pack
+        # applied to the full x must give its row block.
+        from tpucg.sparse.well import CHUNK, LANE
+
+        for s in range(8):
+            vals = stacked["vals"][s].astype(np.float64)
+            lidx = stacked["lidx"][s].astype(np.int64)
+            wrow = np.repeat(stacked["wrow"][s], CHUNK)
+            gidl = stacked["gidl"][s].reshape(-1)
+            sgb = stacked["sgb"][s]
+            BS = stacked["gidl"][s].shape[1]
+            bg = st["bg"]
+            x2 = x.reshape(-1, LANE)
+            xg = x2[wrow]
+            Pm = vals * np.take_along_axis(xg, lidx, axis=1)
+            g_of_sub = np.repeat(sgb, BS) * bg + gidl
+            y2 = np.zeros((st["nsg"] * bg, LANE))
+            np.add.at(y2, g_of_sub, Pm)
+            y_blk = y2.reshape(-1)[:rps]
+            lo, hi = s * rps, min((s + 1) * rps, A.shape[0])
+            if lo < A.shape[0]:
+                np.testing.assert_allclose(
+                    y_blk[: hi - lo], y_ref[lo:hi], rtol=1e-6, atol=1e-9,
+                    err_msg=f"shard {s}")
+
+    def test_sharded_cg_parity_and_jacobi(self):
+        A, b, _ = self._geo()
+        tol = 1e-5 * float(np.linalg.norm(b))
+        ser = tpucg.cg_solve(tpucg.best_sparse_operator(A), b, tol=tol)
+        for pc in ("none", "jacobi"):
+            sh = tpucg.sharded_operator_cg_solve(A, b, tol=tol,
+                                                 precondition=pc)
+            assert bool(sh.converged), pc
+            r = b - A.matvec(np.asarray(sh.x)[: A.shape[0]].astype(
+                np.float64)).astype(np.float32)
+            assert np.linalg.norm(r) <= 2 * tol, pc
+        np.testing.assert_allclose(
+            np.asarray(sh.x)[: A.shape[0]], np.asarray(ser.x)[: A.shape[0]],
+            rtol=5e-3, atol=5e-3)
+
+    def test_sharded_well_multi_block_deflated_minres(self):
+        A, b, _ = self._geo(n=2000, seed=9)
+        n = A.shape[0]
+        tol = 1e-5 * float(np.linalg.norm(b))
+        B = np.random.default_rng(10).standard_normal((n, 2)).astype(
+            np.float32)
+        rm = tpucg.sharded_cg_solve_multi(A, B, tol=tol)
+        rb = tpucg.sharded_cg_solve_block(A, B, tol=tol,
+                                          precondition="jacobi")
+        assert np.asarray(rm.converged).all()
+        assert np.asarray(rb.converged).all()
+        for j in range(2):
+            rr = B[:, j] - A.matvec(
+                np.asarray(rm.x)[:n, j].astype(np.float64)).astype(
+                np.float32)
+            assert np.linalg.norm(rr) <= 2 * tol, ("multi", j)
+            rrb = B[:, j] - A.matvec(
+                np.asarray(rb.x)[:n, j].astype(np.float64)).astype(
+                np.float32)
+            # jacobi block CG stops on the M^-1/2-weighted residual
+            # (documented contract); the unweighted norm can sit a few x
+            # above tol on degree-varying Laplacians.
+            assert np.linalg.norm(rrb) <= 10 * tol, ("block", j)
+
+        plain = tpucg.sharded_operator_cg_solve(A, b, tol=tol)
+        defl = tpucg.sharded_cg_solve_deflated(A, b, np.asarray(plain.x),
+                                               tol=tol)
+        assert bool(defl.converged) and int(defl.iterations) <= 2
+
+        # Indefinite irregular CSR (staggered-sign diagonal added to the
+        # graph Laplacian's off-diagonal pattern) through sharded MINRES.
+        from tpucg.sparse.formats import COOMatrix
+
+        coo = A.to_coo()
+        off = coo.row != coo.col
+        sign = np.where((np.arange(n) // 64) % 2 == 0, 1.0, -1.0)
+        deg = np.zeros(n)
+        np.add.at(deg, coo.row[off], np.abs(coo.data[off]).astype(
+            np.float64))
+        diag_v = sign * (deg + 1.0)
+        rows = np.concatenate([coo.row[off], np.arange(n)])
+        cols = np.concatenate([coo.col[off], np.arange(n)])
+        data = np.concatenate([coo.data[off].astype(np.float32),
+                               diag_v.astype(np.float32)])
+        Aind = COOMatrix(row=rows, col=cols, data=data,
+                         shape=(n, n)).to_csr()
+        bind = np.random.default_rng(11).standard_normal(n).astype(
+            np.float32)
+        tind = 1e-4 * float(np.linalg.norm(bind))
+        rmr = tpucg.sharded_minres_solve(Aind, bind, tol=tind,
+                                         maxiter=8 * n,
+                                         precondition="jacobi")
+        assert bool(rmr.converged)
+        rres = bind - Aind.matvec(
+            np.asarray(rmr.x)[:n].astype(np.float64)).astype(np.float32)
+        assert np.linalg.norm(rres) <= 2 * tind
+
+    def test_sharded_well_checkpoint_resume(self, tmp_path):
+        # The segmented checkpoint driver is kind-generic: a WELL solve
+        # interrupted by maxiter resumes bit-identically.
+        A, b, _ = self._geo(n=1500, seed=3)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        ck = str(tmp_path / "w.ckpt")
+        cap = tpucg.sharded_operator_cg_solve_checkpointed(
+            A, b, segment_iters=3, maxiter=3, checkpoint_path=ck, tol=tol)
+        assert not bool(cap.converged) and os.path.exists(ck)
+        res = tpucg.sharded_operator_cg_solve_checkpointed(
+            A, b, segment_iters=5, checkpoint_path=ck, tol=tol)
+        plain = tpucg.sharded_operator_cg_solve(A, b, tol=tol)
+        assert bool(res.converged)
+        assert int(res.iterations) == int(plain.iterations)
+        np.testing.assert_array_equal(np.asarray(res.x),
+                                      np.asarray(plain.x))

@@ -533,7 +533,7 @@ def sharded_cg_solve_deflated(
         PoissonOperator,
     )
     from tpucg.solver.sharded import distribute_system, row_align
-    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+    from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
     if config is None:
         config = CGConfig(**overrides)
@@ -549,7 +549,7 @@ def sharded_cg_solve_deflated(
     if mesh.devices.ndim != 1:
         raise ValueError("deflated solves are supported on 1-D meshes")
     if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
-                      DiaOperator, BSRMatrix, BsrOperator)):
+                      DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
         return _sharded_operator_deflated(A, b, V, x0, mesh, config)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
@@ -647,7 +647,7 @@ class RecyclingCG:
             sharded_cg_solve,
             sharded_operator_cg_solve,
         )
-        from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+        from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
         if self._vectors:
             return sharded_cg_solve_deflated(
@@ -656,7 +656,7 @@ class RecyclingCG:
             )
         if isinstance(self.A, (PoissonOperator, EllOperator, EllMatrix,
                                DIAMatrix, DiaOperator, BSRMatrix,
-                               BsrOperator)):
+                               BsrOperator, CSRMatrix)):
             return sharded_operator_cg_solve(
                 self.A, b, x0, mesh=self.mesh, config=self.config
             )

@@ -371,7 +371,7 @@ def sharded_minres_solve(
         PoissonOperator,
     )
     from tpucg.solver.sharded import distribute_system, row_align
-    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+    from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
     if config is None:
         config = CGConfig(**overrides)
@@ -389,7 +389,7 @@ def sharded_minres_solve(
     if mesh.devices.ndim != 1:
         raise ValueError("MINRES is supported on 1-D meshes")
     if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
-                      DiaOperator, BSRMatrix, BsrOperator)):
+                      DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
         return _sharded_operator_minres(A, b, x0, mesh, config)
     axis = mesh.axis_names[0]
     backend = resolve_backend(config.kernel)

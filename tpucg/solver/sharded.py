@@ -805,6 +805,11 @@ def _operator_specs(kind, axis):
         return P(axis, None)
     if kind == "bsr":
         return (P(axis, None, None, None), P(axis, None))
+    if kind == "well":
+        # (vals, lidx, gidl, wrow, sgb), each stacked along a leading
+        # shard axis (see sparse.well.csr_to_well_sharded).
+        return (P(axis, None, None), P(axis, None, None),
+                P(axis, None, None), P(axis, None), P(axis, None))
     return (P(axis, None), P(axis, None))
 
 
@@ -814,7 +819,7 @@ def _operator_uses_pallas(kind, m, m_padded, mesh, backend) -> bool:
     return (
         kind == "poisson"
         and slab_supported(m, m_padded // mesh.devices.size)
-    ) or (kind == "dia" and backend == "pallas")
+    ) or (kind in ("dia", "well") and backend == "pallas")
 
 
 def _matvec_2d(A_blk, r_ax: str, c_ax: str, backend: str):
@@ -1159,6 +1164,26 @@ def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
     if kind == "dia":
         dia_mv = _dia_halo_matvec(offsets, axis, num, backend)
         return lambda v: dia_mv(op_blk, v)
+    if kind == "well":
+        # Row-block sharded WELL: vals/lidx/gidl/wrow/sgb arrive with a
+        # leading stack dim of 1 (P(axis, None, ...)); x is all_gathered
+        # (windows address GLOBAL columns). Statics ride the shared slots:
+        # m = rows per shard, offsets = (bg, nsg) — DIA's band offsets are
+        # meaningless for WELL, so the tuple slot is reused.
+        from tpucg.kernels.gather_spmv import LANE as _WL
+        from tpucg.kernels.gather_spmv import well_spmv, well_spmv_xla
+
+        vals, lidx, gidl, wrow, sgb = (a[0] for a in op_blk)
+        bg, nsg = offsets
+        fn = well_spmv if backend == "pallas" else well_spmv_xla
+
+        def mv(x_blk):
+            x_full = jax.lax.all_gather(x_blk, axis, tiled=True)
+            y2 = fn(vals, lidx, gidl, wrow, sgb,
+                    x_full.reshape(-1, _WL), bg=bg, nsg=nsg)
+            return y2.reshape(-1)[:m]
+
+        return mv
     if kind == "bsr":
         values_blk, indices_blk = op_blk
 
@@ -1171,13 +1196,36 @@ def _operator_matvec(kind, op_blk, axis, num, m, m_padded, offsets, backend):
     return _ell_allgather_matvec(values_blk, indices_blk, axis)
 
 
-def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets):
+def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets,
+                             backend="xla"):
     """(blk, k) -> (blk, k) batched per-shard matvec for the multi-RHS and
     block decompositions: the single-vector closure vmapped over the RHS
     axis, with the XLA arms forced (the Pallas slab/DIA kernels are
     single-vector; the XLA shift-and-add / stencil arms batch into clean
     (blk, k) elementwise + concat ops — the collectives batch into ONE
-    (halo, k) ppermute / (blk, k) all_gather per lap)."""
+    (halo, k) ppermute / (blk, k) all_gather per lap). WELL is the
+    exception: its XLA fallback is not TPU-compilable, so the batched form
+    gathers X once and unrolls the Pallas kernel per column (``backend``
+    applies to this kind only)."""
+    if kind == "well":
+        from tpucg.kernels.gather_spmv import LANE as _WL
+        from tpucg.kernels.gather_spmv import well_spmv, well_spmv_xla
+
+        vals, lidx, gidl, wrow, sgb = (a[0] for a in op_blk)
+        bg, nsg = offsets
+        fn = well_spmv if backend == "pallas" else well_spmv_xla
+
+        def mvb(X_blk):
+            X_full = jax.lax.all_gather(X_blk, axis, tiled=True)
+            cols = [
+                fn(vals, lidx, gidl, wrow, sgb,
+                   X_full[:, j].reshape(-1, _WL),
+                   bg=bg, nsg=nsg).reshape(-1)[:m]
+                for j in range(X_blk.shape[1])
+            ]
+            return jnp.stack(cols, axis=1)
+
+        return mvb
     if kind == "poisson":
         mv1 = _poisson_halo_matvec(m, m_padded, axis, num, force_xla=True)
     else:
@@ -1269,12 +1317,17 @@ def _sharded_operator_multi_jit(
     all_gathers batch into ONE (halo, k) / (blk, k) collective per lap and
     the stencil / shift-and-add arms into (blk, k) elementwise ops. The
     XLA matvec arms are forced (the Pallas slab/DIA kernels are
-    single-vector); ``backend`` is accepted for static-signature parity."""
-    del backend
+    single-vector). WELL lanes unroll statically instead of vmapping (its
+    XLA fallback is not TPU-compilable and the Pallas kernel is not
+    batchable) — one while_loop per lane on the real backend's kernel."""
     num = mesh.devices.size
 
     def solve(op_blk, B_blk, X_blk):
-        if kind == "poisson":
+        if kind == "well":
+            mv1 = _operator_matvec(
+                kind, op_blk, axis, num, m, m_padded, offsets, backend
+            )
+        elif kind == "poisson":
             mv1 = _poisson_halo_matvec(m, m_padded, axis, num,
                                        force_xla=True)
         else:
@@ -1290,6 +1343,13 @@ def _sharded_operator_multi_jit(
             )
             return s.x, s.k, jnp.sqrt(s.rslast), s.done
 
+        if kind == "well":
+            outs = [one(B_blk[:, j], X_blk[:, j])
+                    for j in range(B_blk.shape[1])]
+            return (jnp.stack([o[0] for o in outs], axis=1),
+                    jnp.stack([o[1] for o in outs]),
+                    jnp.stack([o[2] for o in outs]),
+                    jnp.stack([o[3] for o in outs]))
         return jax.vmap(one, in_axes=1, out_axes=(1, 0, 0, 0))(B_blk, X_blk)
 
     return jax.shard_map(
@@ -1297,6 +1357,7 @@ def _sharded_operator_multi_jit(
         mesh=mesh,
         in_specs=(_operator_specs(kind, axis), P(axis, None), P(axis, None)),
         out_specs=(P(axis, None), P(), P(), P()),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
     )(op_arrays, B, X0)
 
 
@@ -1317,7 +1378,6 @@ def _sharded_operator_block_jit(
     matrix-free symmetric equilibration with the prepared 1/diag shard
     (sqrt applied on both sides of the batched matvec); poly the flexible
     M^-1-inner-product ``block_pcg_loop``."""
-    del backend
     from tpucg.solver.cg import (
         block_cg_loop, block_pcg_loop, dot_xla, lambda_max_estimate,
     )
@@ -1326,7 +1386,7 @@ def _sharded_operator_block_jit(
 
     def solve(op_blk, B_blk, X_blk, minv_blk):
         mv = _operator_matvec_batched(
-            kind, op_blk, axis, num, m, m_padded, offsets
+            kind, op_blk, axis, num, m, m_padded, offsets, backend=backend
         )
 
         def gram(U_blk, V_blk):
@@ -1375,6 +1435,7 @@ def _sharded_operator_block_jit(
         in_specs=(_operator_specs(kind, axis), P(axis, None), P(axis, None),
                   P(axis)),
         out_specs=(P(axis, None), P(), P(), P()),
+        check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
     )(op_arrays, B, X0, minv)
 
 
@@ -1385,10 +1446,10 @@ def _operator_types():
         EllOperator,
         PoissonOperator,
     )
-    from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
+    from tpucg.sparse.formats import BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix
 
     return (PoissonOperator, EllOperator, EllMatrix, DIAMatrix, DiaOperator,
-            BSRMatrix, BsrOperator)
+            BSRMatrix, BsrOperator, CSRMatrix)
 
 
 def _pad_rhs_block(B, X0, n, npad):
@@ -1613,6 +1674,8 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
     )
     from tpucg.sparse.formats import BSRMatrix, DIAMatrix, EllMatrix
 
+    from tpucg.sparse.formats import CSRMatrix
+
     axis = mesh.axis_names[0]
     num = mesh.devices.size
     shard1 = NamedSharding(mesh, P(axis))
@@ -1740,10 +1803,47 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
             ).sum(axis=1)
             d = diag_b.reshape(npad)
             minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
+    elif isinstance(op, CSRMatrix):
+        # Genuinely irregular sparsity: row-block sharded WELL (windowed
+        # gather-ELL) — each shard packs its rows against GLOBAL columns
+        # and the matvec all_gathers x (see sparse.well.csr_to_well_sharded
+        # and kernels.gather_spmv). Statics ride the shared slots:
+        # m = rows per shard, offsets = (bg, nsg).
+        from tpucg.sparse.well import csr_to_well_sharded
+
+        kind = "well"
+        n = op.shape[0]
+        stacked, st = csr_to_well_sharded(op, num)
+        npad = st["npad"]
+        m_static = st["rps"]
+        offsets_static = (st["bg"], st["nsg"])
+        backend_static = resolve_backend(config.kernel)
+        if backend_static != "pallas" and jax.default_backend() == "tpu":
+            raise ValueError(
+                "sharded WELL on TPU requires the Pallas kernel (the XLA "
+                "scatter-add fallback is not TPU-compilable); drop "
+                "kernel='xla'"
+            )
+        specs = _operator_specs(kind, axis)
+        op_arrays = tuple(
+            jax.device_put(jnp.asarray(stacked[name]),
+                           NamedSharding(mesh, spec))
+            for name, spec in zip(("vals", "lidx", "gidl", "wrow", "sgb"),
+                                  specs)
+        )
+        if config.precondition == "jacobi":
+            coo = op.to_coo()
+            on_d = coo.row == coo.col
+            dv = np.zeros(n, np.float64)
+            np.add.at(dv, coo.row[on_d], coo.data[on_d].astype(np.float64))
+            d = np.ones(npad, np.float32)
+            d[:n] = np.where(dv != 0, dv, 1.0).astype(np.float32)
+            minv_host = (1.0 / d).astype(np.float32)
     else:
         raise TypeError(
             "sharded_operator_cg_solve supports Poisson/Ell/DIA/BSR "
-            f"operators, got {type(op).__name__}"
+            "operators and CSRMatrix (irregular -> sharded WELL), got "
+            f"{type(op).__name__}"
         )
 
     if jnp.dtype(storage_dtype) != jnp.float32 and kind != "dia":

@@ -305,3 +305,85 @@ def csr_to_well(
         block_sublanes=BS,
         groups_per_super=BG,
     )
+
+
+def csr_to_well_sharded(
+    csr,
+    num_shards: int,
+    block_sublanes: int = 2048,
+    groups_per_super: int = 64,
+):
+    """Row-block partition a square CSR into per-shard WELL packs with
+    UNIFORM static shapes, stacked along a leading shard axis (the form
+    ``shard_map`` wants: device s reads slice [s] of each array).
+
+    Each shard owns ``rps = ceil(n / (P*128)) * 128`` contiguous rows
+    (whole output groups); rows beyond n get the partitioner's identity
+    tail at their GLOBAL diagonal position, so the padded operator is
+    exactly blockdiag(A, I) and stays SPD. Columns stay global — the
+    sharded matvec all_gathers x and window ids index the full
+    ``(npad/128, 128)`` x2. nnz varies per shard, so the value/index/
+    layout arrays are zero-padded to the largest shard (padding stream
+    blocks carry vals=0 / the last super-group id — they accumulate
+    exact zeros).
+
+    Returns (stacked, statics) where ``stacked`` is a dict of
+    (num_shards, ...) host arrays (vals f32, lidx int8, gidl int32,
+    wrow int32, sgb int32) and ``statics`` has rps / npad / bg / nsg.
+    """
+    n_rows, n_cols = csr.shape
+    if n_rows != n_cols:
+        raise ValueError(f"sharded WELL needs a square matrix, got {csr.shape}")
+    P = int(num_shards)
+    rps = -(-n_rows // (P * LANE)) * LANE
+    npad = P * rps
+
+    from tpucg.sparse.formats import COOMatrix
+
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(csr.indptr))
+    cols = csr.indices.astype(np.int64)
+    vals = csr.data.astype(np.float32)
+    if npad != n_rows:  # identity tail at the GLOBAL diagonal
+        tail = np.arange(n_rows, npad, dtype=np.int64)
+        rows = np.concatenate([rows, tail])
+        cols = np.concatenate([cols, tail])
+        vals = np.concatenate([vals, np.ones(tail.size, np.float32)])
+
+    shard_of = rows // rps
+    wells = []
+    for s in range(P):
+        sel = shard_of == s
+        wells.append(csr_to_well(
+            COOMatrix(
+                row=(rows[sel] - s * rps),
+                col=cols[sel],
+                data=vals[sel],
+                shape=(rps, npad),
+            ).to_csr(),
+            block_sublanes=block_sublanes,
+            groups_per_super=groups_per_super,
+        ))
+    nsg = wells[0].n_supergroups
+    assert all(w.n_supergroups == nsg for w in wells)  # rps uniform
+    NS = max(w.n_sublanes for w in wells)
+    NB = NS // wells[0].block_sublanes
+    BS = wells[0].block_sublanes
+
+    def pad_stack(get, shape, dtype, fill=0):
+        out = np.full((P,) + shape, fill, dtype)
+        for s, w in enumerate(wells):
+            a = get(w)
+            out[s, : a.shape[0]] = a
+        return out
+
+    stacked = dict(
+        vals=pad_stack(lambda w: w.vals, (NS, LANE), np.float32),
+        lidx=pad_stack(lambda w: w.lidx, (NS, LANE), np.int8),
+        gidl=pad_stack(lambda w: w.gidl, (NB, BS), np.int32),
+        wrow=pad_stack(lambda w: w.wrow, (NS // CHUNK,), np.int32),
+        # Padding blocks carry the LAST super-group id (keeps sgb
+        # nondecreasing; their zero values accumulate nothing).
+        sgb=pad_stack(lambda w: w.sgb, (NB,), np.int32, fill=nsg - 1),
+    )
+    statics = dict(rps=rps, npad=npad, bg=groups_per_super, nsg=nsg)
+    return stacked, statics
