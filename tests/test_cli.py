@@ -225,3 +225,87 @@ def test_solve_block_jacobi_flags(golden_files, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "converged            : True" in out
+
+
+def test_solve_minres_flag(tmp_path, capsys):
+    # Symmetric INDEFINITE system through --method minres (CG would be
+    # outside contract), serial and sharded.
+    rng = np.random.default_rng(60)
+    n = 64
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([-(1 + rng.uniform(0, 1, n // 2)),
+                          1 + rng.uniform(0, 1, n - n // 2)])
+    A = ((Q * lam) @ Q.T).astype(np.float32)
+    A = 0.5 * (A + A.T)
+    b = rng.standard_normal(n).astype(np.float32)
+    pa, pb = str(tmp_path / "A.txt"), str(tmp_path / "b.txt")
+    save_array(pa, A, fmt="%r")
+    save_array(pb, b, fmt="%r")
+    tol = 1e-4 * float(np.linalg.norm(b))
+    for extra in ([], ["--strategy", "allgather"]):
+        rc = main(["solve", pa, pb, "--method", "minres",
+                   "--tol", str(tol), "--maxiter", str(8 * n)] + extra)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "converged            : True" in out
+
+
+def test_solve_bf16_storage_flag(golden_files, capsys):
+    pa, pb, px = golden_files
+    rc = main(["solve", pa, pb, px, "--storage", "bf16"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "iterations           : 2" in out
+
+
+def test_solve_mtx_minres_and_bf16(tmp_path, capsys):
+    # Banded indefinite .mtx solved by --method minres; the same system
+    # with --storage bf16 under CG... (SPD variant) — both through the
+    # DIA promotion.
+    import tpucg
+    from tpucg.sparse.formats import DIAMatrix
+
+    n = 256
+    data = np.zeros((3, n), np.float32)
+    data[0] = data[2] = -1.0
+    data[1] = 0.3  # shifted 1-D Laplacian: indefinite
+    dia = DIAMatrix(data=data, offsets=(-1, 0, 1), shape=(n, n))
+    coo = dia.to_dense()
+    amtx = str(tmp_path / "A.mtx")
+    bmtx = str(tmp_path / "b.mtx")
+    from tpucg.sparse.formats import COOMatrix
+
+    rows, cols = np.nonzero(coo)
+    tpucg.save_matrix_market(
+        amtx,
+        COOMatrix(row=rows, col=cols, data=coo[rows, cols],
+                  shape=(n, n)),
+        symmetric=True,
+    )
+    b = np.random.default_rng(61).standard_normal(n).astype(np.float32)
+    tpucg.save_matrix_market(bmtx, b)
+    tol = 1e-4 * float(np.linalg.norm(b))
+    rc = main(["solve", amtx, bmtx, "--method", "minres",
+               "--tol", str(tol), "--maxiter", str(8 * n)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out
+
+    # SPD variant (diag 2.5) with bf16 DIA storage under plain CG.
+    data2 = data.copy()
+    data2[1] = 2.5
+    dia2 = DIAMatrix(data=data2, offsets=(-1, 0, 1), shape=(n, n))
+    coo2 = dia2.to_dense()
+    rows2, cols2 = np.nonzero(coo2)
+    amtx2 = str(tmp_path / "A2.mtx")
+    tpucg.save_matrix_market(
+        amtx2,
+        COOMatrix(row=rows2, col=cols2, data=coo2[rows2, cols2],
+                  shape=(n, n)),
+        symmetric=True,
+    )
+    rc = main(["solve", amtx2, bmtx, "--storage", "bf16",
+               "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "+bf16" in out and "converged            : True" in out

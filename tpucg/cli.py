@@ -41,12 +41,19 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size for sharded strategies (default: all)")
     p.add_argument("--method", default="cg",
-                   choices=("cg", "pipelined", "ca", "chebyshev"),
+                   choices=("cg", "pipelined", "ca", "chebyshev", "minres"),
                    help="pipelined = Ghysels-Vanroose single-reduction CG; "
                         "ca = communication-avoiding s-step CG (one fused "
                         "Gram reduction per --s-step laps); chebyshev = "
                         "Chebyshev iteration (ZERO reductions per lap, one "
-                        "exact residual check per --check-every laps)")
+                        "exact residual check per --check-every laps); "
+                        "minres = Paige-Saunders MINRES for symmetric "
+                        "INDEFINITE systems (CG and the reference require "
+                        "SPD)")
+    p.add_argument("--storage", default="f32", choices=("f32", "bf16"),
+                   help="device storage dtype for A: bf16 halves HBM "
+                        "footprint/stream bytes with f32 accumulation "
+                        "(dense systems and banded/DIA .mtx operators)")
     p.add_argument("--s-step", type=int, default=3, dest="s_step",
                    help="block size s for --method ca (3-4 is the usual "
                         "f32 sweet spot)")
@@ -87,19 +94,59 @@ def _solve_args(args, A, b, x0):
     if getattr(args, "residual_history", False) and not record:
         print("note: --residual-history requires --method cg; "
               "no history will be recorded")
+    A = _apply_storage(args, A)
     t0 = time.perf_counter()
-    res = tpucg.cg_solve(
-        A, b, x0,
-        tol=args.tol if args.tol is not None else 1.0e-6,
-        maxiter=args.maxiter, kernel=args.kernel,
-        method=args.method, precondition=args.precondition,
-        poly_degree=args.poly_degree, s_step=args.s_step,
-        pc_block_size=args.pc_block_size,
-        check_every=args.check_every, fused=args.fused,
-        record_residuals=record,
-    )
+    if args.method == "minres":
+        res = tpucg.minres_solve(
+            A, b, x0,
+            tol=args.tol if args.tol is not None else 1.0e-6,
+            maxiter=args.maxiter, kernel=args.kernel,
+            precondition=args.precondition,
+            pc_block_size=args.pc_block_size,
+        )
+    else:
+        res = tpucg.cg_solve(
+            A, b, x0,
+            tol=args.tol if args.tol is not None else 1.0e-6,
+            maxiter=args.maxiter, kernel=args.kernel,
+            method=args.method, precondition=args.precondition,
+            poly_degree=args.poly_degree, s_step=args.s_step,
+            pc_block_size=args.pc_block_size,
+            check_every=args.check_every, fused=args.fused,
+            record_residuals=record,
+        )
     jax.block_until_ready(res.x)
     return res, time.perf_counter() - t0
+
+
+def _apply_storage(args, A):
+    """--storage bf16: rebuild A's device operator with bfloat16 storage
+    (f32 accumulation). Dense arrays and DIA operators support it; other
+    inputs refuse loudly."""
+    if getattr(args, "storage", "f32") != "bf16":
+        return A
+    import numpy as np
+
+    from tpucg.kernels.dispatch import resolve_backend
+    from tpucg.solver.operators import DenseOperator, DiaOperator
+    from tpucg.sparse.formats import DIAMatrix
+
+    if isinstance(A, np.ndarray) and A.ndim == 2:
+        return DenseOperator.create(
+            A, backend=resolve_backend(args.kernel), dtype="bfloat16"
+        )
+    if isinstance(A, (DiaOperator, DIAMatrix)):
+        from tpucg.solver.sharded import _dia_canonical
+
+        data, offsets, n = _dia_canonical(A)
+        return DiaOperator.from_dia(
+            DIAMatrix(data=data, offsets=offsets, shape=(n, n)),
+            backend=args.kernel, storage_dtype="bfloat16",
+        )
+    raise SystemExit(
+        "--storage bf16 supports dense systems and banded (DIA) operators; "
+        f"got {type(A).__name__}"
+    )
 
 
 def _load_rhs_any(path: str, n: int) -> "np.ndarray":
@@ -179,6 +226,9 @@ def _cmd_solve_mtx(args, t_total0) -> int:
     if want_hist and not record:
         print("note: --residual-history requires --method cg --strategy "
               "serial on .mtx systems; no history will be recorded")
+    if getattr(args, "storage", "f32") == "bf16":
+        A_or_op = _apply_storage(args, A_or_op)
+        fmt += "+bf16"
     kw = dict(
         tol=args.tol if args.tol is not None else 1.0e-6,
         maxiter=args.maxiter, method=args.method,
@@ -186,8 +236,21 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         s_step=args.s_step, pc_block_size=args.pc_block_size,
         check_every=args.check_every,
     )
+    mr_kw = dict(
+        tol=kw["tol"], maxiter=args.maxiter,
+        precondition=args.precondition,
+        pc_block_size=args.pc_block_size,
+    )
     t0 = time.perf_counter()
-    if args.strategy == "serial":
+    if args.method == "minres":
+        if args.strategy == "serial":
+            res = tpucg.minres_solve(A_or_op, b, x0, kernel=args.kernel,
+                                     **mr_kw)
+        else:
+            res = tpucg.sharded_minres_solve(
+                A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
+                kernel=args.kernel, strategy=args.strategy, **mr_kw)
+    elif args.strategy == "serial":
         res = tpucg.cg_solve(A_or_op, b, x0, kernel=args.kernel,
                              fused=args.fused, record_residuals=record,
                              **kw)
@@ -334,7 +397,27 @@ def cmd_solve(args) -> int:
         return _cmd_solve_deflated(args, t_total0)
     if args.checkpoint is not None:
         return _cmd_solve_checkpointed(args, t_total0)
-    if args.strategy != "serial":
+    if args.strategy != "serial" and args.method == "minres":
+        # Sharded MINRES distributes from host arrays (the solver manages
+        # its own padding/placement).
+        import tpucg
+
+        if args.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        A, b, x0 = load_system(args.matrix, args.rhs, args.x0, n=args.n)
+        n = A.shape[0]
+        load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = tpucg.sharded_minres_solve(
+            A, b, x0, mesh=tpucg.make_mesh(args.devices),
+            tol=args.tol if args.tol is not None else 1.0e-6,
+            maxiter=args.maxiter, kernel=args.kernel,
+            strategy=args.strategy, precondition=args.precondition,
+            pc_block_size=args.pc_block_size,
+        )
+        jax.block_until_ready(res.x)
+        solve_s = time.perf_counter() - t0
+    elif args.strategy != "serial":
         # Host-sharded loading: each shard's callback parses only its rows
         # (the reference's rank 0 reads everything, parallel_cg.c:100-108).
         import tpucg
@@ -342,6 +425,13 @@ def cmd_solve(args) -> int:
 
         if args.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if getattr(args, "storage", "f32") == "bf16":
+            raise SystemExit(
+                "--storage bf16 with sharded dense strategies: cast at "
+                "distribution is not wired through host-sharded loading; "
+                "use --strategy serial or the library API "
+                "(sharded_cg_solve(..., storage_dtype=bfloat16))"
+            )
         mesh = tpucg.make_mesh(args.devices)
         A, b, x0, n = load_system_sharded(
             args.matrix, args.rhs, args.x0, mesh=mesh, kernel=args.kernel
