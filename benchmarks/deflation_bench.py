@@ -116,14 +116,57 @@ def bench(n, repeats):
     return rows, seq_iters
 
 
+def bench_poisson_sequence(m, nsolves):
+    """Recycled sequence on the OPERATOR-SHARDED slab-halo Poisson solver
+    (RecyclingCG(mesh=...)): the VERDICT-r2 scenario — recycling pays
+    exactly where solves are big and sparse. Smooth RHS sequence
+    b_t = base + 0.05 t drift; each converged solution joins the basis."""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    import tpucg
+    from tpucg.comm.mesh import make_mesh
+    from tpucg.solver.operators import PoissonOperator
+
+    n = m ** 3
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(n).astype(np.float32)
+    drift = rng.standard_normal(n).astype(np.float32)
+    tolf = 1e-5 * float(np.linalg.norm(base))
+    rec = tpucg.RecyclingCG(PoissonOperator(m=m), max_vectors=4,
+                            mesh=make_mesh(), tol=tolf, maxiter=4 * n)
+    rows = []
+    for t in range(nsolves):
+        b = base + 0.05 * t * drift
+        t0 = _t.time()
+        r = rec.solve(b)
+        _ = np.asarray(r.x[:8])  # fetch barrier (tunnel ack != done)
+        wall = _t.time() - t0
+        assert bool(r.converged), t
+        rows.append(dict(t=t, iters=int(r.iterations), wall_s=wall))
+        print(f"poisson-seq[{t}]: {int(r.iterations)} laps, "
+              f"{wall:.2f} s wall", flush=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--poisson-m", type=int, default=64,
+                    help="slab-Poisson grid edge for the recycled "
+                         "operator-sharded sequence (0 disables)")
+    ap.add_argument("--poisson-solves", type=int, default=6)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows, seq_iters = bench(args.n, args.repeats)
+    pois_rows = (
+        bench_poisson_sequence(args.poisson_m, args.poisson_solves)
+        if args.poisson_m else []
+    )
 
     lines = [
         MARK,
@@ -143,6 +186,26 @@ def main():
     ]
     for r in rows:
         lines.append(f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |")
+    if pois_rows:
+        m = args.poisson_m
+        lines += [
+            "",
+            f"Recycled sequence on the OPERATOR-SHARDED slab-halo Poisson "
+            f"solver (m={m}, n={m**3}; `RecyclingCG(PoissonOperator(m), "
+            "mesh=...)`): each converged solution joins the row-sharded "
+            "deflation basis (capped at 4); laps per solve show the "
+            "recycling payoff on the decomposition where solves are "
+            "expensive. Wall seconds include per-basis-size compiles on "
+            "the first solves (each basis width m is a distinct static "
+            "shape); the final solve re-uses a compiled width and is the "
+            "steady-state representative.",
+            "",
+            "| solve # | laps | wall (s) |",
+            "|---|---|---|",
+        ] + [
+            f"| {r['t'] + 1} | {r['iters']} | {r['wall_s']:.2f} |"
+            for r in pois_rows
+        ]
     section = "\n".join(lines) + "\n"
 
     out = args.out or os.path.join(

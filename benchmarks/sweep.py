@@ -42,7 +42,7 @@ def main():
         auto_steps,
         hbm_peak_bytes_per_s,
         time_fn,
-        time_matvec_robust,
+        time_matvec_spread,
         time_solve_chain,
     )
     from tpucg.kernels.dispatch import resolve_backend
@@ -77,6 +77,9 @@ def main():
         from tpucg.kernels.fused import FUSED_AUTO_MAX_N, fused_cg_solve_pallas
         from tpucg.bench.timing import time_run_chain
 
+        # Spread discipline (VERDICT r2 #7, matching the reference's 3 raw
+        # trials per config in results.xlsx sheet1): every headline number
+        # is the MEDIAN of >= 3 independent chains, published with min-max.
         if backend == "pallas" and op.padded_n <= FUSED_AUTO_MAX_N:
             # Mirror cg_solve's auto dispatch: below the crossover the
             # whole-solve-in-one-kernel path is what users get. Chain depth
@@ -88,28 +91,37 @@ def main():
                 )
                 return x
 
-            solve_s = time_run_chain(
-                run_fused, (op.A,), v0, x0_pad,
-                klo=1, khi=8192, iters=args.repeats,
+            solves = sorted(
+                time_run_chain(run_fused, (op.A,), v0, x0_pad,
+                               klo=1, khi=8192, iters=3)
+                for _ in range(3)
             )
         else:
-            solve_s = time_solve_chain(
-                op, v0, x0_pad, maxiter=n, blas_backend=backend,
-                iters=args.repeats, est_solve_s=est,
+            solves = sorted(
+                time_solve_chain(op, v0, x0_pad, maxiter=n,
+                                 blas_backend=backend, iters=3,
+                                 est_solve_s=est)
+                for _ in range(3)
             )
+        solve_s, solve_lo, solve_hi = solves[1], solves[0], solves[-1]
         e2e_s = time_fn(lambda: solve().x, warmup=1, iters=3, reduce="median")
-        mv_s = time_matvec_robust(
+        mv_lo, mv_s, mv_hi = time_matvec_spread(
             lambda o, v: o.matvec(v), op, v0, steps=auto_steps(op.padded_n)
         )
-        gbps = 4.0 * op.padded_n * op.padded_n / mv_s / 1e9
+        bytes_a = 4.0 * op.padded_n * op.padded_n
+        gbps = bytes_a / mv_s / 1e9
         roof = gbps * 1e9 / peak
         ref = REF_SERIAL_S.get(n)
         rows.append(dict(
             n=n, iters=iters, rnorm=rnorm, solve_s=solve_s, e2e_s=e2e_s,
+            solve_lo=solve_lo, solve_hi=solve_hi,
             matvec_ms=mv_s * 1e3, gbps=gbps, roofline=roof,
+            gb_lo=bytes_a / mv_hi / 1e9, gb_hi=bytes_a / mv_lo / 1e9,
             ref_s=ref, speedup=(ref / solve_s if ref else None),
         ))
-        print(f"n={n}: {solve_s*1e3:.3f} ms/solve (e2e {e2e_s*1e3:.1f} ms, "
+        print(f"n={n}: {solve_s*1e3:.3f} ms/solve "
+              f"({solve_lo*1e3:.3f}-{solve_hi*1e3:.3f}; "
+              f"e2e {e2e_s*1e3:.1f} ms, "
               f"{iters} iters, ||r||={rnorm:.2e}), "
               f"matvec {gbps:.0f} GB/s ({100*roof:.0f}%), "
               f"[{time.time()-t0:.0f}s]", flush=True)
@@ -153,16 +165,20 @@ def main():
         for label, sop, steps in variants:
             # Median of 3 independent chained measurements: single runs
             # wobble 2-3x through the tunnel and a corrupted differencing
-            # can return ~zero — the median rejects both (CLAUDE.md rule 4).
-            s = time_matvec_robust(
+            # can return ~zero — the median rejects both (CLAUDE.md rule 4);
+            # the min-max spread is published (reference sheet1 practice).
+            lo, s, hi = time_matvec_spread(
                 lambda o, u: o.matvec(u), sop, v, steps=steps
             )
             sparse_rows.append(dict(
                 m=m, n=n, op=label, matvec_us=s * 1e6,
+                matvec_us_lo=lo * 1e6, matvec_us_hi=hi * 1e6,
                 gnnz_per_s=nnz / s / 1e9,
+                gnnz_lo=nnz / hi / 1e9, gnnz_hi=nnz / lo / 1e9,
                 eff_gbps=8 * n / s / 1e9,
             ))
-            print(f"m={m} {label}: {s*1e6:.1f} us, "
+            print(f"m={m} {label}: {s*1e6:.1f} us "
+                  f"({lo*1e6:.1f}-{hi*1e6:.1f}), "
                   f"{nnz/s/1e9:.1f} Gnnz/s", flush=True)
 
     # Sparse end-to-end SOLVES (BASELINE config 3 reports CG iterations/s,
@@ -209,12 +225,19 @@ def main():
                 return st.x
 
             est = iters * 30e-6  # rough per-lap estimate for chain sizing
-            s = time_run_chain(run, (sop,), bj, x0j, est_solve_s=est)
+            ss = sorted(
+                time_run_chain(run, (sop,), bj, x0j, est_solve_s=est,
+                               iters=3)
+                for _ in range(3)
+            )
+            s = ss[1]
             sparse_solve_rows.append(dict(
                 m=m, n=n, method=label, solve_ms=s * 1e3, iters=iters,
+                solve_ms_lo=ss[0] * 1e3, solve_ms_hi=ss[-1] * 1e3,
                 iters_per_s=iters / s,
             ))
-            print(f"m={m} solve[{label}]: {s*1e3:.3f} ms, {iters} iters "
+            print(f"m={m} solve[{label}]: {s*1e3:.3f} ms "
+                  f"({ss[0]*1e3:.3f}-{ss[-1]*1e3:.3f}), {iters} iters "
                   f"({iters/s:.0f} it/s)", flush=True)
 
         # Whole-solve-in-one-kernel arm (kernels/fused.py): the entire CG
@@ -240,15 +263,18 @@ def main():
                 return x
 
             est = iters * 2.5e-6
-            s = float(np.median([
+            ss = sorted(
                 time_run_chain(run_fused, (), bj, x0j, est_solve_s=est)
                 for _ in range(3)
-            ]))
+            )
+            s = ss[1]
             sparse_solve_rows.append(dict(
                 m=m, n=n, method="cg-fused", solve_ms=s * 1e3, iters=iters,
+                solve_ms_lo=ss[0] * 1e3, solve_ms_hi=ss[-1] * 1e3,
                 iters_per_s=iters / s,
             ))
-            print(f"m={m} solve[cg-fused]: {s*1e3:.3f} ms, {iters} iters "
+            print(f"m={m} solve[cg-fused]: {s*1e3:.3f} ms "
+                  f"({ss[0]*1e3:.3f}-{ss[-1]*1e3:.3f}), {iters} iters "
                   f"({iters/s:.0f} it/s)", flush=True)
 
         # Fused DIA whole-solve arm: same system in BANDED (DIA) form — the
@@ -275,15 +301,18 @@ def main():
                 return x
 
             est = iters * 4e-6
-            s = float(np.median([
+            ss = sorted(
                 time_run_chain(run_fdia, (dop,), bj, x0j, est_solve_s=est)
                 for _ in range(3)
-            ]))
+            )
+            s = ss[1]
             sparse_solve_rows.append(dict(
                 m=m, n=n, method="cg-fused-dia", solve_ms=s * 1e3,
+                solve_ms_lo=ss[0] * 1e3, solve_ms_hi=ss[-1] * 1e3,
                 iters=iters, iters_per_s=iters / s,
             ))
-            print(f"m={m} solve[cg-fused-dia]: {s*1e3:.3f} ms, {iters} "
+            print(f"m={m} solve[cg-fused-dia]: {s*1e3:.3f} ms "
+                  f"({ss[0]*1e3:.3f}-{ss[-1]*1e3:.3f}), {iters} "
                   f"iters ({iters/s:.0f} it/s)", flush=True)
 
     lines = [
@@ -294,17 +323,20 @@ def main():
         "the reference's benchmark matrix (results.xlsx sheet2; BASELINE.md). "
         "Reference hardware: one Linux Intel Xeon.",
         "",
-        "| n | ref serial CG (s) | tpucg CG (s) | speedup | iters | final ||r|| "
-        "| matVec | GB/s | % HBM roofline |",
+        "| n | ref serial CG (s) | tpucg CG (s) (min-max) | speedup | iters "
+        "| final ||r|| | matVec | GB/s (min-max) | % HBM roofline |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         sp = f"{r['speedup']:.1f}x" if r["speedup"] else "—"
         ref = f"{r['ref_s']}" if r["ref_s"] else "—"
         lines.append(
-            f"| {r['n']} | {ref} | {r['solve_s']:.5f} | {sp} | {r['iters']} "
+            f"| {r['n']} | {ref} | {r['solve_s']:.5f} "
+            f"({r['solve_lo']:.5f}-{r['solve_hi']:.5f}) | {sp} "
+            f"| {r['iters']} "
             f"| {r['rnorm']:.2e} | {r['matvec_ms']:.3f} ms "
-            f"| {r['gbps']:.0f} | {100 * r['roofline']:.0f}% |"
+            f"| {r['gbps']:.0f} ({r['gb_lo']:.0f}-{r['gb_hi']:.0f}) "
+            f"| {100 * r['roofline']:.0f}% |"
         )
     lines += [
         "",
@@ -314,7 +346,10 @@ def main():
         "the remote-TPU tunnel's ~25 ms per-dispatch round trip, matching "
         "the reference's practice of fencing only the CG phase "
         "(parallel_cg.c:278-279). matVec GB/s uses the same "
-        "dispatch-corrected chained timing (`time_matvec_loop`).",
+        "dispatch-corrected chained timing (`time_matvec_loop`). Every "
+        "timed number is the MEDIAN of 3 independent chains with the "
+        "(min-max) spread published — the reference's 3-raw-trials-per-"
+        "config practice (results.xlsx sheet1).",
         "",
         "Rows at n <= 1024 time the whole-solve-in-one-kernel path "
         "(`kernels/fused.py`, `fused='auto'` dispatch): the COMPLETE solve — "
@@ -358,12 +393,14 @@ def main():
             "WITHIN-run rankings are the reliable signal, and the "
             "solve-to-convergence rows below are the end-to-end truth.",
             "",
-            "| m | n | operator | matVec (us) | Gnnz/s | effective GB/s |",
+            "| m | n | operator | matVec us (min-max) | Gnnz/s "
+            "| effective GB/s |",
             "|---|---|---|---|---|---|",
         ]
         for r in sparse_rows:
             lines.append(
                 f"| {r['m']} | {r['n']} | {r['op']} | {r['matvec_us']:.1f} "
+                f"({r['matvec_us_lo']:.1f}-{r['matvec_us_hi']:.1f}) "
                 f"| {r['gnnz_per_s']:.1f} | {r['eff_gbps']:.0f} |"
             )
         if sparse_solve_rows:
@@ -371,13 +408,15 @@ def main():
                 "",
                 "### Sparse solves (stencil operator, tol = 1e-5 ||b||)",
                 "",
-                "| m | n | method | solve (ms) | iters | iters/s |",
+                "| m | n | method | solve ms (min-max) | iters | iters/s |",
                 "|---|---|---|---|---|---|",
             ]
             for r in sparse_solve_rows:
                 lines.append(
                     f"| {r['m']} | {r['n']} | {r['method']} "
-                    f"| {r['solve_ms']:.3f} | {r['iters']} "
+                    f"| {r['solve_ms']:.3f} "
+                    f"({r['solve_ms_lo']:.3f}-{r['solve_ms_hi']:.3f}) "
+                    f"| {r['iters']} "
                     f"| {r['iters_per_s']:.0f} |"
                 )
             lines += [
@@ -413,8 +452,10 @@ def main():
     if os.path.exists(out):
         old = open(out).read()
         for header in (
+            "## Irregular sparse (WELL)",
             "## Extensions (beyond the reference)",
             "## Distributed A/B ledger (functional, oversubscribed CPU mesh)",
+            "## Deflated / recycling CG (extension)",
         ):
             if header in old:
                 _, _, rest = old.partition(header)

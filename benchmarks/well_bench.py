@@ -171,8 +171,9 @@ def main():
                      if any(k in ln for k in ("system size", "iterations",
                                               "converged", "CG solve"))]
 
+    MARK = "## Irregular sparse (WELL)"
     section = "\n".join(
-        ["## Irregular sparse (WELL)", "",
+        [MARK, "",
          "Matvec (chained differencing; spread = min/median/max of >= 3 "
          "independent chains):", ""]
         + mv_lines
@@ -182,11 +183,27 @@ def main():
            f"--precondition jacobi; whole-process {cli_s:.0f}s incl. "
            "compile):", "", "```"]
         + cli_lines + ["```"]
-    )
+    ) + "\n"
     print("\n" + section, flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(section + "\n")
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RESULTS.md",
+    )
+    text = open(out).read() if os.path.exists(out) else ""
+    if MARK in text:
+        # Replace ONLY this section (up to the next top-level "## "),
+        # like the other RESULTS writers.
+        head, _, rest = text.partition(MARK)
+        after = ""
+        idx = rest.find("\n## ")
+        if idx >= 0:
+            after = rest[idx + 1:]
+        text = head + section + "\n" + after
+    else:
+        text = (text.rstrip("\n") + "\n\n" if text else "") + section
+    with open(out, "w") as f:
+        f.write(text)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
