@@ -113,3 +113,69 @@ def test_sharded2d_record_residuals():
     assert np.all(np.isfinite(h[: k + 1]))
     assert h[k] < 1.0e-6
     assert np.all(np.isnan(h[k + 1:]))
+
+
+class Test2DRightEdge:
+    """MINRES, deflation, and bf16 storage on the 2-D SUMMA mesh — the
+    right-edge column of the README solver matrix."""
+
+    def test_minres_2d_indefinite(self):
+        import jax.numpy as jnp
+
+        n = 192
+        rng = np.random.default_rng(70)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.concatenate([-(1 + rng.uniform(0, 1, n // 2)),
+                              1 + rng.uniform(0, 1, n - n // 2)])
+        A = ((Q * lam) @ Q.T).astype(np.float32)
+        A = 0.5 * (A + A.T)
+        b = rng.standard_normal(n).astype(np.float32)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        mesh2 = make_mesh2d(2, 4)
+        r = tpucg.sharded_minres_solve(A, b, mesh=mesh2, tol=tol,
+                                       maxiter=4 * n)
+        assert bool(r.converged)
+        x_ref = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(r.x), x_ref,
+                                   rtol=5e-3, atol=5e-3)
+        rj = tpucg.sharded_minres_solve(A, b, mesh=mesh2, tol=tol,
+                                        maxiter=8 * n,
+                                        precondition="jacobi")
+        assert bool(rj.converged)
+        with pytest.raises(ValueError, match="block_jacobi"):
+            tpucg.sharded_minres_solve(A, b, mesh=mesh2,
+                                       precondition="block_jacobi")
+
+    def test_deflated_2d_parity_and_warm_start(self):
+        A, b, _ = tpucg.generate_spd_system(200, seed=71)
+        A, b = np.asarray(A), np.asarray(b)
+        tol = 1e-5 * float(np.linalg.norm(b))
+        mesh2 = make_mesh2d(2, 4)
+        plain = tpucg.sharded_cg_solve(A, b, mesh=mesh2, tol=tol)
+        defl = tpucg.sharded_cg_solve_deflated(A, b, np.asarray(plain.x),
+                                               mesh=mesh2, tol=tol)
+        assert bool(defl.converged) and int(defl.iterations) <= 2
+        V = np.random.default_rng(72).standard_normal((200, 3)).astype(
+            np.float32)
+        d2 = tpucg.sharded_cg_solve_deflated(A, b, V, mesh=mesh2, tol=tol,
+                                             precondition="jacobi")
+        ser = tpucg.cg_solve_deflated(A, b, V, tol=tol,
+                                      precondition="jacobi")
+        assert bool(d2.converged)
+        assert abs(int(d2.iterations) - int(ser.iterations)) <= 2
+        np.testing.assert_allclose(np.asarray(d2.x), np.asarray(ser.x),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_bf16_storage_2d(self):
+        import jax.numpy as jnp
+
+        A, b, _ = tpucg.generate_spd_system(200, seed=73)
+        A, b = np.asarray(A), np.asarray(b)
+        tol = 1e-4 * float(np.linalg.norm(b))
+        mesh2 = make_mesh2d(2, 4)
+        r16 = tpucg.sharded_cg_solve(A, b, mesh=mesh2, tol=tol,
+                                     storage_dtype=jnp.bfloat16)
+        r32 = tpucg.sharded_cg_solve(A, b, mesh=mesh2, tol=tol)
+        assert bool(r16.converged)
+        np.testing.assert_allclose(np.asarray(r16.x), np.asarray(r32.x),
+                                   rtol=1e-2, atol=1e-2)

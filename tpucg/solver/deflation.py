@@ -401,6 +401,127 @@ def _sharded_operator_deflated_jit(
     )(op_arrays, b, x0, W, AW, Ginv, minv)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "backend", "tol", "maxiter", "safe_alpha",
+                     "precondition", "poly_degree"),
+)
+def _sharded2d_deflated_jit(A, b, x0, W, AW, Ginv, minv, *, mesh, backend,
+                            tol, maxiter, safe_alpha, precondition="none",
+                            poly_degree=0):
+    """Deflated CG over the 2-D SUMMA decomposition: W/AW ride the same
+    flat P((rows, cols)) sharding as the vectors, the deflation
+    coefficients psum over BOTH mesh axes, the m x m inverse is
+    replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import _matvec_2d
+
+    r_ax, c_ax = mesh.axis_names
+    axes = (r_ax, c_ax)
+
+    def solve(A_blk, b_blk, x_blk, W_blk, AW_blk, G, minv_blk):
+        mv = _matvec_2d(A_blk, r_ax, c_ax, backend)
+        dot = lambda u, v: jax.lax.psum(dot_xla(u, v), axes)
+
+        def update(x, r, p, ap, alpha):
+            x2 = x + alpha * p
+            r2 = r - alpha * ap
+            return x2, r2, jax.lax.psum(dot_xla(r2, r2), axes)
+
+        base = None
+        if precondition == "jacobi":
+            base = lambda r: minv_blk * r
+        elif precondition == "poly":
+            base = make_poly_precond(mv, dot, b_blk, poly_degree)
+
+        def deflate(z_blk):
+            c = jax.lax.psum(
+                jnp.matmul(AW_blk.T, z_blk, precision=_HI), axes
+            )
+            y = jnp.matmul(G, c, precision=_HI)
+            return z_blk - jnp.matmul(W_blk, y, precision=_HI)
+
+        precond = deflate if base is None else (lambda r: deflate(base(r)))
+
+        r0 = b_blk - mv(x_blk)
+        c0 = jax.lax.psum(jnp.matmul(W_blk.T, r0, precision=_HI), axes)
+        x_blk = x_blk + jnp.matmul(
+            W_blk, jnp.matmul(G, c0, precision=_HI), precision=_HI
+        )
+
+        s = cg_loop(
+            mv, dot, update, b_blk, x_blk,
+            tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+        )
+        return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec, vec, P((r_ax, c_ax), None),
+                  P((r_ax, c_ax), None), P(None, None), vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=(backend != "pallas"),
+    )(A, b, x0, W, AW, Ginv, minv)
+
+
+def _sharded2d_deflated(A, b, V, x0, mesh, config) -> CGResult:
+    """2-D SUMMA arm of :func:`sharded_cg_solve_deflated` (dense host
+    arrays; the basis is built host-side in f64 against the padded
+    UN-permuted system — the column permutation is A-storage-only, so W
+    and AW live in the ordinary vector order)."""
+    from tpucg.solver.sharded import _prepare_sharded2d
+
+    if config.precondition not in ("none", "jacobi", "poly"):
+        raise ValueError(
+            "2-D deflated CG supports precondition in {'none', 'jacobi', "
+            "'poly'} (block Jacobi is 1-D-only: the 2-D decomposition "
+            "stores column-permuted blocks)"
+        )
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    V = np.asarray(V, np.float32)
+    if V.ndim == 1:
+        V = V[:, None]
+    if V.shape[0] != n:
+        raise ValueError(f"V must have {n} rows, got {V.shape}")
+    Ad, bd, x0d, minvd, npad = _prepare_sharded2d(
+        A, b, x0, mesh, config, backend
+    )
+    from tpucg.io.partitioner import pad_identity_tail
+
+    Apad = pad_identity_tail(A, npad)
+    Vpad = np.pad(V, ((0, npad - n), (0, 0))) if npad != n else V
+    W, AW, Ginv = _host_basis(Apad, Vpad)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    r_ax, c_ax = mesh.axis_names
+    shard = NamedSharding(mesh, P((r_ax, c_ax), None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, k, rn, done = _sharded2d_deflated_jit(
+        Ad, bd, x0d,
+        jax.device_put(W, shard),
+        jax.device_put(AW, shard),
+        jax.device_put(Ginv, NamedSharding(mesh, P(None, None))),
+        minvd,
+        mesh=mesh, backend=backend,
+        tol=float(config.tol), maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+        precondition=config.precondition,
+        poly_degree=(
+            int(config.poly_degree) if config.precondition == "poly" else 0
+        ),
+    )
+    res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+    if npad != n:
+        res = res._replace(x=res.x[:n])
+    return res
+
+
 def _sharded_operator_deflated(op, b, V, x0, mesh, config) -> CGResult:
     """Operator (sparse/stencil) arm of :func:`sharded_cg_solve_deflated`.
 
@@ -546,8 +667,17 @@ def sharded_cg_solve_deflated(
         )
     if mesh is None:
         mesh = make_mesh()
+    if mesh.devices.ndim == 2:
+        if isinstance(A, (PoissonOperator, EllOperator, EllMatrix,
+                          DIAMatrix, DiaOperator, BSRMatrix, BsrOperator,
+                          CSRMatrix)):
+            raise ValueError(
+                "sparse operators take the 1-D operator decompositions; "
+                "the 2-D SUMMA arm is dense"
+            )
+        return _sharded2d_deflated(A, b, V, x0, mesh, config)
     if mesh.devices.ndim != 1:
-        raise ValueError("deflated solves are supported on 1-D meshes")
+        raise ValueError("deflated solves are supported on 1-D/2-D meshes")
     if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
                       DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
         return _sharded_operator_deflated(A, b, V, x0, mesh, config)

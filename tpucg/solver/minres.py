@@ -241,6 +241,45 @@ def _sharded_minres_jit(A, b, x0, *, mesh, strategy, backend, tol, maxiter,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "backend", "tol", "maxiter", "precondition"),
+)
+def _sharded2d_minres_jit(A, b, x0, minv, *, mesh, backend, tol, maxiter,
+                          precondition="none"):
+    """MINRES over the 2-D SUMMA decomposition: the same all_gather +
+    partial-GEMV + psum_scatter matvec as 2-D CG, with the Lanczos dots
+    psummed over BOTH mesh axes."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpucg.solver.sharded import _matvec_2d
+
+    r_ax, c_ax = mesh.axis_names
+    tolv = jnp.asarray(tol, jnp.float32)
+
+    def solve(A_blk, b_blk, x_blk, minv_blk):
+        mv = _matvec_2d(A_blk, r_ax, c_ax, backend)
+        dot = lambda u, v: jax.lax.psum(dot_xla(u, v), (r_ax, c_ax))
+        psolve = None
+        if precondition == "jacobi":
+            am = jnp.abs(minv_blk)  # 1/|d|: SPD M for indefinite diagonals
+            psolve = lambda r: am * r
+        s = minres_loop(mv, dot, b_blk, x_blk, tol=tol, maxiter=maxiter,
+                        psolve=psolve)
+        r = b_blk - mv(s.x)
+        rr = dot(r, r)
+        return s.x, s.k, jnp.sqrt(rr), rr < tolv * tolv
+
+    vec = P((r_ax, c_ax),)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec, vec, vec),
+        out_specs=(vec, P(), P(), P()),
+        check_vma=(backend != "pallas"),
+    )(A, b, x0, minv)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "tol", "maxiter", "axis", "kind", "m",
                      "m_padded", "precondition", "offsets", "backend"),
 )
@@ -386,8 +425,40 @@ def sharded_minres_solve(
         )
     if mesh is None:
         mesh = make_mesh()
+    if mesh.devices.ndim == 2:
+        # 2-D SUMMA arm (dense host arrays; jacobi = 1/|d|).
+        from tpucg.solver.sharded import _prepare_sharded2d
+
+        if isinstance(A, (PoissonOperator, EllOperator, EllMatrix,
+                          DIAMatrix, DiaOperator, BSRMatrix, BsrOperator,
+                          CSRMatrix)):
+            raise ValueError(
+                "sparse operators take the 1-D operator decompositions; "
+                "the 2-D SUMMA arm is dense"
+            )
+        if config.precondition == "block_jacobi":
+            raise ValueError(
+                "precondition='block_jacobi' is supported on 1-D meshes "
+                "(the 2-D decomposition stores column-permuted blocks)"
+            )
+        backend = resolve_backend(config.kernel)
+        A = np.asarray(A, np.float32)
+        n = A.shape[0]
+        Ad, bd, x0d, minvd, npad = _prepare_sharded2d(
+            A, b, x0, mesh, config, backend
+        )
+        maxiter = config.maxiter if config.maxiter is not None else n
+        x, k, rn, done = _sharded2d_minres_jit(
+            Ad, bd, x0d, minvd, mesh=mesh, backend=backend,
+            tol=float(config.tol), maxiter=int(maxiter),
+            precondition=config.precondition,
+        )
+        res = CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
+        if npad != n:
+            res = res._replace(x=res.x[:n])
+        return res
     if mesh.devices.ndim != 1:
-        raise ValueError("MINRES is supported on 1-D meshes")
+        raise ValueError("MINRES is supported on 1-D and 2-D meshes")
     if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
                       DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
         return _sharded_operator_minres(A, b, x0, mesh, config)

@@ -1030,9 +1030,12 @@ def distribute_system_2d(
     x0: Optional[np.ndarray],
     mesh: Mesh,
     align: int = 1,
+    storage_dtype=np.float32,
 ):
     """Pad, column-permute, and place (A, b, x0) block-sharded on a 2-D mesh
-    (see ``_colperm_2d``). Returns (A2, b, x0, n_padded)."""
+    (see ``_colperm_2d``). Returns (A2, b, x0, n_padded).
+    ``storage_dtype=bfloat16`` halves each block's HBM bytes (the local
+    partial GEMV upcasts/accumulates in f32, same as the 1-D path)."""
     R, C = mesh.devices.shape
     n = A.shape[0]
     base = int(np.lcm.reduce([R * C, R * align, C * align]))
@@ -1040,6 +1043,10 @@ def distribute_system_2d(
     part = RowPartition(n=n, num_shards=1, align=npad)  # pad to npad exactly
     Ap, bp, x0p = pad_system(A, b, x0, part)
     A2 = Ap[:, _colperm_2d(npad, R, C)]
+    if jnp.dtype(storage_dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        A2 = A2.astype(ml_dtypes.bfloat16)  # host cast: tunnel moves 2 B/elt
     r_ax, c_ax = mesh.axis_names
     return (
         jax.device_put(A2, NamedSharding(mesh, P(r_ax, c_ax))),
@@ -1994,17 +2001,14 @@ def sharded_cg_solve(
     if mesh.devices.ndim == 2:
         if n is not None:
             raise ValueError("n override is for pre-padded 1-D inputs")
-        if jnp.dtype(storage_dtype) != jnp.float32:
-            raise ValueError(
-                "bfloat16 storage is supported on 1-D meshes"
-            )
         if config.precondition == "block_jacobi":
             raise ValueError(
                 "precondition='block_jacobi' is supported on 1-D meshes "
                 "(the 2-D decomposition stores column-permuted blocks)"
             )
         return _sharded2d_solve(
-            A, b, x0, mesh, config, backend, record_residuals
+            A, b, x0, mesh, config, backend, record_residuals,
+            storage_dtype=storage_dtype,
         )
     axis = mesh.axis_names[0]
     num = mesh.devices.size
@@ -2082,7 +2086,8 @@ def sharded_cg_solve(
     )
 
 
-def _prepare_sharded2d(A, b, x0, mesh, config, backend):
+def _prepare_sharded2d(A, b, x0, mesh, config, backend,
+                       storage_dtype=np.float32):
     """Distribute (A, b, x0) and the Jacobi minv onto a 2-D mesh — shared by
     the plain and checkpointed 2-D solvers (padding/permutation and
     preconditioner construction must never diverge between them).
@@ -2096,6 +2101,7 @@ def _prepare_sharded2d(A, b, x0, mesh, config, backend):
         None if x0 is None else np.asarray(x0, np.float32),
         mesh,
         align=align,
+        storage_dtype=storage_dtype,
     )
     # Jacobi diagonal computed on the host from the UN-permuted matrix
     # (identity pad tail -> 1.0), sharded like the vectors.
@@ -2113,11 +2119,12 @@ def _prepare_sharded2d(A, b, x0, mesh, config, backend):
 
 
 def _sharded2d_solve(
-    A, b, x0, mesh, config, backend, record_residuals=False
+    A, b, x0, mesh, config, backend, record_residuals=False,
+    storage_dtype=np.float32,
 ) -> CGResult:
     n = np.asarray(A).shape[0]
     Ad, bd, x0d, minv, npad = _prepare_sharded2d(
-        A, b, x0, mesh, config, backend
+        A, b, x0, mesh, config, backend, storage_dtype=storage_dtype
     )
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded2d_cg_jit(
