@@ -47,9 +47,15 @@ def _pad(v, n):
     return out
 
 
-def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048):
+def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048,
+               storage="f32"):
+    import jax.numpy as jnp
+
     well = csr_to_well(A)
-    op = tpucg.WellOperator.from_well(well, backend="pallas")
+    op = tpucg.WellOperator.from_well(
+        well, backend="pallas",
+        storage_dtype=jnp.bfloat16 if storage == "bf16" else jnp.float32,
+    )
     x = np.random.default_rng(3).standard_normal(op.padded_n).astype(
         np.float32)
     x[: A.shape[0]] *= 1.0
@@ -57,12 +63,15 @@ def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048):
     y = np.asarray(op.matvec(xd))[: A.shape[0]]
     y_ref = A.matvec(np.asarray(x)[: A.shape[0]].astype(np.float64))
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
-    assert rel < 1e-5, (name, rel)
+    assert rel < (2e-2 if storage == "bf16" else 1e-5), (name, rel)
     lo, med, hi = time_matvec_spread(
         lambda o, u: o.matvec(u), op, xd, steps=steps)
     gnnz = A.nnz / med / 1e9
     slots = well.vals.size // 128
-    ceil = (A.nnz / (slots * 128)) * SLOT_CEIL_G  # = fill x HBM slot rate
+    bps = 3.5 if storage == "bf16" else BYTES_PER_SLOT
+    # fill x HBM slot rate; at 3.5 B/slot the VPU lane-gather floor
+    # (227 Gslot/s) starts to co-bind with HBM's 233.
+    ceil = (A.nnz / (slots * 128)) * (ROOFLINE_GBPS / bps)
     lines.append(
         f"| {name} | {A.shape[0]} | {A.nnz} | {well.fill:.2f} "
         f"| {med*1e6:.0f} ({lo*1e6:.0f}-{hi*1e6:.0f}) "
@@ -123,6 +132,10 @@ def main():
 
     matvec_row("geometric deg-12", geo100k[0], "", mv_lines)
     matvec_row("geometric deg-12", geo1m[0], "", mv_lines, steps=512)
+    # bf16 value slabs: 3.5 streamed B/slot instead of 5.5 (values are the
+    # dominant stream; graph-Laplacian values are bf16-exact here).
+    matvec_row("geometric deg-12 (bf16 vals)", geo1m[0], "", mv_lines,
+               steps=512, storage="bf16")
     matvec_row("FEM P1 Delaunay", fem[0], "", mv_lines, steps=1024)
 
     # Shuffled FEM + RCM recovery (the .mtx-in-the-wild story).

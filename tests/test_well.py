@@ -191,3 +191,34 @@ def test_rcm_reduces_bandwidth_and_preserves_matvec():
     f_before = csr_to_well(A, block_sublanes=64, groups_per_super=8).fill
     f_after = csr_to_well(B, block_sublanes=64, groups_per_super=8).fill
     assert f_after > f_before
+
+
+def test_well_bf16_values_storage():
+    """bfloat16 value storage (3.5 B/slot): exact on bf16-representable
+    values, ~1e-2 relative on random ones; sharded arm accepts it too."""
+    import jax.numpy as jnp
+
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+    from tpucg.solver.operators import WellOperator
+
+    A, b, _ = random_geometric_spd(2000, seed=5, avg_degree=8.0)
+    op32 = WellOperator.from_csr(A)
+    op16 = WellOperator.from_csr(A, storage_dtype=jnp.bfloat16)
+    assert op16.vals.dtype == jnp.bfloat16
+    x = np.random.default_rng(6).standard_normal(op32.padded_n).astype(
+        np.float32)
+    y32 = np.asarray(op32.matvec(jnp.asarray(x)))
+    y16 = np.asarray(op16.matvec(jnp.asarray(x)))
+    rel = np.abs(y32 - y16).max() / (np.abs(y32).max() + 1e-30)
+    assert rel < 2e-2, rel
+    tol = 1e-3 * float(np.linalg.norm(b))
+    res = tpucg.cg_solve(op16, b, tol=tol)
+    assert bool(res.converged)
+    # Sharded WELL with bf16 value slabs.
+    sh16 = tpucg.sharded_operator_cg_solve(A, b, tol=tol,
+                                           storage_dtype=jnp.bfloat16)
+    assert bool(sh16.converged)
+    np.testing.assert_allclose(np.asarray(sh16.x)[:2000],
+                               np.asarray(res.x)[:2000],
+                               rtol=2e-2, atol=2e-2)

@@ -54,7 +54,12 @@ def _well_kernel(BG, sgb_ref, vals_ref, lidx_ref, gidl_ref, xg_ref, y_ref):
         xg_ref[...][:, None, :], (BS // CHUNK, CHUNK, LANE)
     ).reshape(BS, LANE)
     li = lidx_ref[...].astype(jnp.int32)
-    P = vals_ref[...] * jnp.take_along_axis(xgr, li, axis=1)
+    # astype: f32 products over (possibly bfloat16-stored) values — a
+    # no-op for f32 storage, an in-vreg upcast for bf16 (3.5 B/slot
+    # streamed instead of 5.5).
+    P = vals_ref[...].astype(jnp.float32) * jnp.take_along_axis(
+        xgr, li, axis=1
+    )
     # gidl arrives (1, 1, BS): Mosaic requires the second-to-last block dim
     # be 8-aligned or whole, so the per-block row rides a leading axis.
     onehot = (
@@ -110,7 +115,7 @@ def well_spmv(
         out_shape=jax.ShapeDtypeStruct((nsg * bg, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * NB * BS * LANE,
-            bytes_accessed=6 * NB * BS * LANE,
+            bytes_accessed=(vals.dtype.itemsize + 2) * NB * BS * LANE,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -137,7 +142,11 @@ def well_spmv_xla(
     """
     NB, BS = gidl.shape
     xg = jnp.repeat(jnp.take(x2, wrow, axis=0), CHUNK, axis=0)
-    P = vals * jnp.take_along_axis(xg, lidx.astype(jnp.int32), axis=1)
+    # bf16 storage upcasts to the vector dtype (f32); f64 stays generic.
+    acc_t = jnp.promote_types(vals.dtype, x2.dtype)
+    P = vals.astype(acc_t) * jnp.take_along_axis(
+        xg, lidx.astype(jnp.int32), axis=1
+    )
     g_of_sub = jnp.repeat(sgb.astype(jnp.int32), BS) * bg + gidl.reshape(-1)
     y2 = jnp.zeros((nsg * bg, LANE), P.dtype)
     return y2.at[g_of_sub].add(P)

@@ -401,7 +401,7 @@ class WellOperator(LinearOperator):
     matrices that are neither banded (DIA) nor blocky (BSR).
     """
 
-    vals: jax.Array   # (NS, 128) float32
+    vals: jax.Array   # (NS, 128) float32 or bfloat16 (storage_dtype)
     lidx: jax.Array   # (NS, 128) int8
     gidl: jax.Array   # (NB, BS) int32
     wrow: jax.Array   # (NS,) int32
@@ -414,17 +414,34 @@ class WellOperator(LinearOperator):
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, backend: str = "auto",
-                 **well_kwargs) -> "WellOperator":
+                 storage_dtype=np.float32, **well_kwargs) -> "WellOperator":
         from tpucg.sparse.well import csr_to_well
 
         if csr.shape[0] != csr.shape[1]:
             raise ValueError(f"WellOperator needs a square matrix, got {csr.shape}")
-        return cls.from_well(csr_to_well(csr, **well_kwargs), backend=backend)
+        return cls.from_well(csr_to_well(csr, **well_kwargs),
+                             backend=backend, storage_dtype=storage_dtype)
 
     @classmethod
-    def from_well(cls, well, backend: str = "auto") -> "WellOperator":
+    def from_well(cls, well, backend: str = "auto",
+                  storage_dtype=np.float32) -> "WellOperator":
+        """``storage_dtype=bfloat16`` stores the packed VALUES in bfloat16
+        (3.5 streamed bytes per slot instead of 5.5 — the value slab is
+        the dominant stream; lane indices stay int8, the gathered window
+        f32); products upcast in-vreg and accumulate in f32. The solve
+        satisfies the f32 contract on the bf16-rounded system."""
+        if jnp.dtype(storage_dtype) not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                f"storage_dtype must be float32 or bfloat16, "
+                f"got {storage_dtype}"
+            )
+        vals = well.vals
+        if jnp.dtype(storage_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            vals = np.asarray(vals, np.float32).astype(ml_dtypes.bfloat16)
         return cls(
-            vals=jnp.asarray(well.vals),
+            vals=jnp.asarray(vals),
             lidx=jnp.asarray(well.lidx),
             gidl=jnp.asarray(well.gidl),
             wrow=jnp.asarray(well.wrow),

@@ -1831,6 +1831,10 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
                 "scatter-add fallback is not TPU-compilable); drop "
                 "kernel='xla'"
             )
+        if jnp.dtype(storage_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            stacked["vals"] = stacked["vals"].astype(ml_dtypes.bfloat16)
         specs = _operator_specs(kind, axis)
         op_arrays = tuple(
             jax.device_put(jnp.asarray(stacked[name]),
@@ -1853,11 +1857,12 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
             f"{type(op).__name__}"
         )
 
-    if jnp.dtype(storage_dtype) != jnp.float32 and kind != "dia":
+    if jnp.dtype(storage_dtype) != jnp.float32 and kind not in ("dia",
+                                                                 "well"):
         raise ValueError(
-            "storage_dtype=bfloat16 is supported for DIA operators (the "
-            "stencil is matrix-free; ELL/BSR index arrays dominate their "
-            f"footprint), got kind={kind!r}"
+            "storage_dtype=bfloat16 is supported for DIA and WELL "
+            "operators (the stencil is matrix-free; ELL/BSR index arrays "
+            f"dominate their footprint), got kind={kind!r}"
         )
     statics = dict(
         kind=kind, m=m_static, m_padded=m_padded, offsets=offsets_static,
