@@ -179,3 +179,31 @@ class Test2DRightEdge:
         assert bool(r16.converged)
         np.testing.assert_allclose(np.asarray(r16.x), np.asarray(r32.x),
                                    rtol=1e-2, atol=1e-2)
+
+    def test_multi_and_block_2d(self):
+        A, b, _ = tpucg.generate_spd_system(200, seed=80)
+        A = np.asarray(A)
+        B = np.random.default_rng(81).standard_normal((200, 3)).astype(
+            np.float32)
+        mesh2 = make_mesh2d(2, 4)
+        rm = tpucg.sharded_cg_solve_multi(A, B, mesh=mesh2, tol=1e-5)
+        rb = tpucg.sharded_cg_solve_block(A, B, mesh=mesh2, tol=1e-5,
+                                          precondition="jacobi")
+        rp = tpucg.sharded_cg_solve_block(A, B, mesh=mesh2, tol=1e-5,
+                                          precondition="poly",
+                                          poly_degree=2)
+        assert np.asarray(rm.converged).all()
+        assert np.asarray(rb.converged).all()
+        assert np.asarray(rp.converged).all()
+        for j in range(3):
+            ser = tpucg.cg_solve(A, B[:, j], tol=1e-5)
+            assert int(np.asarray(rm.iterations)[j]) == int(ser.iterations)
+            np.testing.assert_allclose(np.asarray(rm.x)[:, j],
+                                       np.asarray(ser.x),
+                                       rtol=5e-3, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(rb.x)[:, j],
+                                       np.asarray(ser.x),
+                                       rtol=5e-3, atol=5e-3)
+        with pytest.raises(ValueError, match="block Jacobi"):
+            tpucg.sharded_cg_solve_block(A, B, mesh=mesh2,
+                                         precondition="block_jacobi")

@@ -328,8 +328,15 @@ def sharded_cg_solve_multi(
         )
     if mesh is None:
         mesh = make_mesh()
+    if mesh.devices.ndim == 2:
+        if isinstance(A, _operator_types()):
+            raise ValueError(
+                "sparse operators take the 1-D operator decompositions; "
+                "the 2-D SUMMA arm is dense"
+            )
+        return _sharded2d_multi(A, B, X0, mesh, config)
     if mesh.devices.ndim != 1:
-        raise ValueError("sharded_cg_solve_multi runs on 1-D meshes")
+        raise ValueError("sharded_cg_solve_multi runs on 1-D/2-D meshes")
     if isinstance(A, _operator_types()):
         return _sharded_operator_multi(A, B, X0, mesh, config)
     axis = mesh.axis_names[0]
@@ -505,8 +512,15 @@ def sharded_cg_solve_block(
         )
     if mesh is None:
         mesh = make_mesh()
+    if mesh.devices.ndim == 2:
+        if isinstance(A, _operator_types()):
+            raise ValueError(
+                "sparse operators take the 1-D operator decompositions; "
+                "the 2-D SUMMA arm is dense"
+            )
+        return _sharded2d_block(A, B, X0, mesh, config)
     if mesh.devices.ndim != 1:
-        raise ValueError("sharded_cg_solve_block runs on 1-D meshes")
+        raise ValueError("sharded_cg_solve_block runs on 1-D/2-D meshes")
     if isinstance(A, _operator_types()):
         return _sharded_operator_block(A, B, X0, mesh, config)
     axis = mesh.axis_names[0]
@@ -1444,6 +1458,226 @@ def _sharded_operator_block_jit(
         out_specs=(P(axis, None), P(), P(), P()),
         check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
     )(op_arrays, B, X0, minv)
+
+
+def _matvec_2d_batched(A_blk, r_ax: str, c_ax: str):
+    """(blk, k) -> (blk, k) SUMMA matvec: ONE (n/C, k) all_gather, one
+    local (n/R, n/C) x (n/C, k) GEMM, one (n/R, k) psum_scatter — the k
+    lanes amortize A's stream exactly like the 1-D multi path."""
+
+    def mv(X_blk):
+        X_cols = jax.lax.all_gather(X_blk, r_ax, tiled=True)
+        partial = jnp.matmul(
+            A_blk.astype(jnp.float32), X_cols,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.psum_scatter(
+            partial, c_ax, scatter_dimension=0, tiled=True
+        )
+
+    return mv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "safe_alpha"),
+)
+def _sharded2d_multi_jit(A, B, X0, *, mesh, tol, maxiter, safe_alpha):
+    """2-D SUMMA multi-RHS CG: k lockstep recurrences sharing one batched
+    SUMMA matvec per lap (the scalars vmap; the collectives batch)."""
+    r_ax, c_ax = mesh.axis_names
+    axes = (r_ax, c_ax)
+
+    def solve(A_blk, B_blk, X_blk):
+        mvb = _matvec_2d_batched(A_blk, r_ax, c_ax)
+
+        def dot(u, v):
+            return jax.lax.psum(dot_xla(u, v), axes)
+
+        def one(b_blk, x_blk, mv1):
+            def update(x, r, p, ap, alpha):
+                x2 = x + alpha * p
+                r2 = r - alpha * ap
+                return x2, r2, jax.lax.psum(dot_xla(r2, r2), axes)
+
+            s = cg_loop(
+                mv1, dot, update, b_blk, x_blk,
+                tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            )
+            return s.x, s.k, jnp.sqrt(s.rslast), s.done
+
+        # vmap over lanes; the per-lane matvec re-expands to the batched
+        # closure under vmap (one collective for all lanes).
+        return jax.vmap(
+            lambda b_, x_: one(b_, x_, lambda v: mvb(v[:, None])[:, 0]),
+            in_axes=1, out_axes=(1, 0, 0, 0),
+        )(B_blk, X_blk)
+
+    vec2 = P((r_ax, c_ax), None)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec2, vec2),
+        out_specs=(vec2, P(), P(), P()),
+    )(A, B, X0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tol", "maxiter", "precondition", "poly_degree"),
+)
+def _sharded2d_block_jit(A, B, X0, minv, *, mesh, tol, maxiter,
+                         precondition="none", poly_degree=0):
+    """2-D SUMMA TRUE block CG (BCGrQ): the (blk, k) matvec is one batched
+    SUMMA pass; the Gram/thin-QR (k, k) algebra psums over BOTH axes.
+    Jacobi is matrix-free symmetric equilibration with the flat-sharded
+    1/diag (the diagonal scale commutes with the column permutation —
+    scaling x pre-gather IS scaling A's matching columns)."""
+    from tpucg.solver.cg import (
+        block_cg_loop, block_pcg_loop, dot_xla as _dx, lambda_max_estimate,
+    )
+
+    r_ax, c_ax = mesh.axis_names
+    axes = (r_ax, c_ax)
+
+    def solve(A_blk, B_blk, X_blk, minv_blk):
+        mv = _matvec_2d_batched(A_blk, r_ax, c_ax)
+
+        def gram(U_blk, V_blk):
+            return jax.lax.psum(
+                jnp.matmul(
+                    U_blk.T, V_blk, precision=jax.lax.Precision.HIGHEST
+                ),
+                axes,
+            )
+
+        if precondition == "jacobi":
+            sc_blk = jnp.sqrt(minv_blk)
+            mv_hat = lambda Y_blk: sc_blk[:, None] * mv(
+                sc_blk[:, None] * Y_blk
+            )
+            k, Y, rr, done = block_cg_loop(
+                mv_hat, gram, sc_blk[:, None] * B_blk,
+                X_blk / sc_blk[:, None], tol=tol, maxiter=maxiter,
+            )
+            return sc_blk[:, None] * Y, k, jnp.sqrt(rr), done
+        if precondition == "poly":
+            dot = lambda u, v: jax.lax.psum(_dx(u, v), axes)
+            lam = lambda_max_estimate(
+                lambda p: mv(p[:, None])[:, 0], dot, B_blk[:, 0]
+            )
+            w = jnp.asarray(0.95, B_blk.dtype) / lam
+
+            def pc(R_blk):
+                Z = w * R_blk
+                for _ in range(poly_degree - 1):
+                    Z = Z + w * R_blk - w * mv(Z)
+                return Z
+
+            k, X, rr, done = block_pcg_loop(
+                mv, gram, pc, B_blk, X_blk, tol=tol, maxiter=maxiter
+            )
+            return X, k, jnp.sqrt(rr), done
+        k, X, rr, done = block_cg_loop(
+            mv, gram, B_blk, X_blk, tol=tol, maxiter=maxiter
+        )
+        return X, k, jnp.sqrt(rr), done
+
+    vec2 = P((r_ax, c_ax), None)
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(r_ax, c_ax), vec2, vec2, P((r_ax, c_ax),)),
+        out_specs=(vec2, P(), P(), P()),
+    )(A, B, X0, minv)
+
+
+def _sharded2d_multi(A, B, X0, mesh, config) -> CGResult:
+    """2-D arm of :func:`sharded_cg_solve_multi`."""
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    B = np.asarray(B, np.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    align = 128 if backend == "pallas" else 1
+    r_ax, c_ax = mesh.axis_names
+    Ad, _, _, npad = distribute_system_2d(
+        A, np.zeros(n, np.float32), None, mesh, align=align
+    )
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    X0p = np.zeros((npad, k), np.float32)
+    if X0 is not None:
+        X0p[:n] = np.asarray(X0, np.float32)
+    shard = NamedSharding(mesh, P((r_ax, c_ax), None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded2d_multi_jit(
+        Ad,
+        jax.device_put(Bp, shard),
+        jax.device_put(X0p, shard),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        safe_alpha=bool(config.safe_alpha),
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
+
+
+def _sharded2d_block(A, B, X0, mesh, config) -> CGResult:
+    """2-D arm of :func:`sharded_cg_solve_block`."""
+    if config.precondition not in ("none", "jacobi", "poly"):
+        raise ValueError(
+            "2-D block CG supports precondition in {'none', 'jacobi', "
+            "'poly'} (block Jacobi is 1-D-only: the 2-D decomposition "
+            "stores column-permuted blocks)"
+        )
+    backend = resolve_backend(config.kernel)
+    A = np.asarray(A, np.float32)
+    n = A.shape[0]
+    B = np.asarray(B, np.float32)
+    if B.ndim != 2 or B.shape[0] != n:
+        raise ValueError(f"B must have shape ({n}, k), got {B.shape}")
+    k = B.shape[1]
+    from tpucg.solver.cg import BLOCK_CG_MAX_K
+
+    if k > BLOCK_CG_MAX_K:
+        raise ValueError(
+            f"block CG supports k <= {BLOCK_CG_MAX_K} right-hand sides "
+            f"(got {k}); use sharded_cg_solve_multi for wide batches"
+        )
+    r_ax, c_ax = mesh.axis_names
+    Ad, _, _, npad = distribute_system_2d(
+        A, np.zeros(n, np.float32), None, mesh,
+        align=(128 if backend == "pallas" else 1),
+    )
+    d = np.ones(npad, np.float32)
+    d[:n] = np.diag(A).astype(np.float32)
+    minv = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    X0p = np.zeros((npad, k), np.float32)
+    if X0 is not None:
+        X0p[:n] = np.asarray(X0, np.float32)
+    shard = NamedSharding(mesh, P((r_ax, c_ax), None))
+    maxiter = config.maxiter if config.maxiter is not None else n
+    x, kk, rn, done = _sharded2d_block_jit(
+        Ad,
+        jax.device_put(Bp, shard),
+        jax.device_put(X0p, shard),
+        jax.device_put(minv, NamedSharding(mesh, P((r_ax, c_ax),))),
+        mesh=mesh,
+        tol=float(config.tol),
+        maxiter=int(maxiter),
+        precondition=config.precondition,
+        poly_degree=int(config.poly_degree),
+    )
+    if npad != n:
+        x = x[:n]
+    return CGResult(x=x, iterations=kk, residual_norm=rn, converged=done)
 
 
 def _operator_types():
