@@ -235,6 +235,47 @@ def bench_batch(nsys, n, repeats):
                          batch_ms=s * 1e3, solves_per_s=nsys / s))
         print(f"batch[{label}]: {s*1e3:.3f} ms/batch "
               f"({nsys/s:.0f} solves/s)", flush=True)
+
+    # BANDED battery (cg_solve_batch_banded): nsys tridiagonal systems of
+    # n=1024 through the batched whole-solve DIA kernel — the implicit-PDE
+    # time-stepping serving shape.
+    from tpucg.kernels.fused import fused_batch_dia_cg_solve_pallas
+    from tpucg.kernels.spmv import dia_interleave
+
+    nb = 1024
+    data = np.zeros((nsys, 3, nb), np.float32)
+    offd = rng.uniform(0.2, 1.0, (nsys, nb)).astype(np.float32)
+    data[:, 0] = offd
+    data[:, 2] = offd
+    data[:, 1] = 4.0 + rng.uniform(0, 1, (nsys, nb)).astype(np.float32)
+    bd = rng.standard_normal((nsys, nb)).astype(np.float32)
+    resd = tpucg.cg_solve_batch_banded(data, (-1, 0, 1), bd, tol=1e-5)
+    assert bool(np.all(np.asarray(resd.converged)))
+    iters_d = int(np.asarray(resd.iterations).max())
+    data_il = jnp.asarray(np.stack(
+        [np.asarray(dia_interleave(data[i])) for i in range(nsys)]
+    ))
+    bdj = jax.device_put(jnp.asarray(bd))
+    x0d = jnp.zeros_like(bdj)
+
+    def run_dia(operands, bb, x0_):
+        (d_,) = operands
+        x, _, _ = fused_batch_dia_cg_solve_pallas(
+            d_, (-1, 0, 1), bb, x0_, tol=1e-5, maxiter=nb)
+        return x
+
+    s = float(np.median([
+        time_run_chain(run_dia, (data_il,), bdj, x0d, iters=repeats,
+                       est_solve_s=nsys * 3e-6)
+        for _ in range(3)
+    ]))
+    rows.append(dict(
+        method="banded battery, tridiag n=1024 (batched DIA kernel)",
+        nsys=nsys, n=nb, iters=iters_d, batch_ms=s * 1e3,
+        solves_per_s=nsys / s,
+    ))
+    print(f"batch[banded-dia]: {s*1e3:.3f} ms/batch "
+          f"({nsys/s:.0f} solves/s)", flush=True)
     return rows
 
 

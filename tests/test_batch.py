@@ -158,3 +158,82 @@ def test_batch_jacobi_rides_the_grid_kernel():
         plain = tpucg.cg_solve(As[i], bs[i], tol=tol, maxiter=4 * n,
                                fused="never")
         assert int(np.asarray(res.iterations)[i]) < int(plain.iterations)
+
+
+class TestBatchBanded:
+    """Batched banded (DIA) systems — the serving shape of implicit PDE
+    time stepping (cg_solve_batch_banded; one Pallas launch per batch on
+    chip, vmapped while_loop off-TPU)."""
+
+    @staticmethod
+    def _battery(nsys=6, n=500, seed=0):
+        rng = np.random.default_rng(seed)
+        data = np.zeros((nsys, 3, n), np.float32)
+        off = rng.uniform(0.2, 1.0, (nsys, n)).astype(np.float32)
+        data[:, 0] = off
+        data[:, 2] = off
+        data[:, 1] = 4.0 + rng.uniform(0, 1, (nsys, n)).astype(np.float32)
+        b = rng.standard_normal((nsys, n)).astype(np.float32)
+        return data, (-1, 0, 1), b
+
+    def test_parity_with_per_system_solves(self):
+        import tpucg
+        from tpucg.sparse.formats import DIAMatrix
+
+        data, offsets, b = self._battery()
+        res = tpucg.cg_solve_batch_banded(data, offsets, b, tol=1e-5)
+        assert np.asarray(res.converged).all()
+        for i in range(data.shape[0]):
+            dia = DIAMatrix(data=data[i], offsets=offsets,
+                            shape=(data.shape[2],) * 2)
+            one = tpucg.cg_solve(dia, b[i], tol=1e-5)
+            assert int(np.asarray(res.iterations)[i]) == int(one.iterations)
+            np.testing.assert_allclose(np.asarray(res.x)[i],
+                                       np.asarray(one.x),
+                                       rtol=2e-4, atol=1e-5)
+
+    def test_jacobi_and_bf16(self):
+        import jax.numpy as jnp
+
+        import tpucg
+
+        data, offsets, b = self._battery(seed=1)
+        # Badly scale each system symmetrically (A' = D A D stays SPD):
+        # data[d, j] = A[j, j+off] scales by s_j * s_{j+off}.
+        s = 10.0 ** np.random.default_rng(2).uniform(
+            -1, 1, (data.shape[0], data.shape[2])).astype(np.float32)
+        data[:, 1] *= s * s
+        data[:, 0, 1:] *= s[:, 1:] * s[:, :-1]
+        data[:, 2, :-1] *= s[:, :-1] * s[:, 1:]
+        res = tpucg.cg_solve_batch_banded(data, offsets, b, tol=1e-4,
+                                          precondition="jacobi",
+                                          maxiter=4 * data.shape[2])
+        assert np.asarray(res.converged).all()
+        r16 = tpucg.cg_solve_batch_banded(data, offsets, b, tol=1e-3,
+                                          precondition="jacobi",
+                                          maxiter=4 * data.shape[2],
+                                          storage_dtype=jnp.bfloat16)
+        assert np.asarray(r16.converged).all()
+
+    def test_pallas_kernel_interpret_parity(self):
+        # Drive the fused batched DIA kernel itself (interpret mode on
+        # CPU) against the XLA fallback.
+        import jax.numpy as jnp
+
+        import tpucg
+        from tpucg.kernels.fused import fused_batch_dia_cg_solve_pallas
+        from tpucg.kernels.spmv import dia_interleave
+
+        data, offsets, b = self._battery(nsys=3, n=512, seed=3)
+        data_il = np.stack([np.asarray(dia_interleave(data[i]))
+                            for i in range(3)])
+        x, k, rr = fused_batch_dia_cg_solve_pallas(
+            jnp.asarray(data_il), offsets, jnp.asarray(b),
+            jnp.zeros_like(jnp.asarray(b)), tol=1e-5, maxiter=512)
+        ref = tpucg.cg_solve_batch_banded(data, offsets, b, tol=1e-5,
+                                          kernel="xla")
+        assert (np.asarray(rr) < 1e-10).all()
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(k),
+                                      np.asarray(ref.iterations))

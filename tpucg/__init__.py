@@ -22,6 +22,7 @@ from tpucg.solver.cg import (
     CGResult,
     cg_solve,
     cg_solve_batch,
+    cg_solve_batch_banded,
     cg_solve_block,
     cg_solve_multi,
     spectral_interval,
@@ -69,6 +70,7 @@ __all__ = [
     "CGResult",
     "cg_solve",
     "cg_solve_batch",
+    "cg_solve_batch_banded",
     "cg_solve_block",
     "cg_solve_multi",
     "spectral_interval",

@@ -675,3 +675,127 @@ def fused_batch_cg_solve_pallas(A, b, x0, *, tol, maxiter, safe_alpha=True,
         interpret=interpret_mode(),
     )(*operands)
     return x.reshape(B, npad), k[:, 0], rr[:, 0]
+
+
+def fused_batch_dia_supported(n: int, offsets: tuple,
+                              itemsize: int = 4) -> bool:
+    """Batched whole-solve DIA: one system's slab (double-buffered by the
+    grid pipeline) + solve state must fit VMEM."""
+    from tpucg.kernels.spmv import dia_supported
+
+    if not dia_supported(n, offsets):
+        return False
+    return (
+        2 * itemsize * n * len(offsets) + 4 * n * 8
+        <= _FUSED_DIA_BYTES_CAP
+    )
+
+
+def _fused_batch_dia_cg_kernel(data_ref, b_ref, x0_ref, out_x_ref,
+                               out_k_ref, out_rr_ref, *, offsets, pad_rows,
+                               tol, maxiter, safe_alpha, precondition):
+    from tpucg.kernels.spmv import LANE
+
+    i = pl.program_id(0)
+    rows = b_ref.shape[1]
+    data = data_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+
+    def mv(u):
+        return _dia_apply_values(data, offsets, u, pad_rows, lane)
+
+    if precondition == "jacobi":
+        d0 = offsets.index(0)
+        d = data[:, d0 * LANE:(d0 + 1) * LANE].astype(jnp.float32)
+        minv = jnp.where(d != 0, 1.0 / d, jnp.ones_like(d))
+        precond = lambda r: minv * r
+    else:
+        precond = None
+    x, k, rr = _cg_while(
+        mv, b_ref[0], x0_ref[0],
+        tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
+    )
+    out_x_ref[0] = x
+    # k/rr live whole-array in SMEM (see _fused_batch_cg_kernel).
+    out_k_ref[i, 0] = k
+    out_rr_ref[i, 0] = rr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "tol", "maxiter", "safe_alpha",
+                     "precondition"),
+)
+def fused_batch_dia_cg_solve_pallas(data_il, offsets, b, x0, *, tol,
+                                    maxiter, safe_alpha=True,
+                                    precondition="none"):
+    """Solve a BATCH of independent BANDED (DIA) SPD systems, one whole
+    solve per grid step of a single Pallas launch.
+
+    The banded analog of :func:`fused_batch_cg_solve_pallas` — the serving
+    shape of implicit PDE time steps (many small tridiagonal/banded
+    batteries): ``data_il`` is (B, n//128, ndiag*128), each system's
+    row-interleaved diagonal slab (``kernels.spmv.dia_interleave``; f32 or
+    bfloat16 — the kernel upcasts in-vreg), all sharing one static
+    ``offsets`` tuple (same discretization, different coefficients);
+    ``b``/``x0`` are (B, n) f32. While system i iterates entirely in VMEM
+    the grid pipeline prefetches system i+1's slab from HBM.
+    ``precondition="jacobi"`` reads 1/diag from the resident slab — no
+    extra operand. Returns ``(x, k, rr)`` shaped (B, n) / (B,) / (B,).
+    """
+    from tpucg.kernels.spmv import LANE
+
+    B, rows = data_il.shape[0], data_il.shape[1]
+    n = rows * LANE
+    if not fused_batch_dia_supported(n, offsets, data_il.dtype.itemsize):
+        raise ValueError(
+            f"batched fused DIA solve unsupported for n={n}, "
+            f"ndiag={len(offsets)} (VMEM budget / lane tiling)"
+        )
+    if data_il.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"batched DIA solve stores f32 or bf16 slabs, "
+            f"got {data_il.dtype}"
+        )
+    if precondition not in ("none", "jacobi"):
+        raise ValueError(
+            "batched DIA solve supports precondition 'none' or 'jacobi'"
+        )
+    if precondition == "jacobi" and 0 not in offsets:
+        raise ValueError("jacobi needs a stored main diagonal")
+    maxo = max(abs(int(o)) for o in offsets)
+    pad_rows = -(-maxo // LANE)
+    vec_spec = pl.BlockSpec((1, rows, LANE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    x2, k, rr = pl.pallas_call(
+        functools.partial(
+            _fused_batch_dia_cg_kernel,
+            offsets=tuple(int(o) for o in offsets), pad_rows=pad_rows,
+            tol=float(tol), maxiter=int(maxiter),
+            safe_alpha=bool(safe_alpha), precondition=precondition,
+        ),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        out_specs=(
+            vec_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANE * len(offsets)),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret_mode(),
+    )(
+        data_il,
+        b.astype(jnp.float32).reshape(B, rows, LANE),
+        x0.astype(jnp.float32).reshape(B, rows, LANE),
+    )
+    return x2.reshape(B, n), k[:, 0], rr[:, 0]

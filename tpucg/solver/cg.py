@@ -1451,6 +1451,154 @@ def cg_solve_batch(
     return res
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "tol", "maxiter", "safe_alpha",
+                     "precondition"),
+)
+def _cg_batch_dia_xla_jit(data_il, offsets, b, X0, tol, maxiter,
+                          safe_alpha, precondition):
+    """Off-TPU / oversize fallback: vmapped while_loop over the batch with
+    the interleaved shift-and-add SpMV per system."""
+    from tpucg.kernels.spmv import LANE, dia_spmv_interleaved_xla
+
+    def one(data_i, b_i, x0_i):
+        mv = lambda v: dia_spmv_interleaved_xla(data_i, offsets, v)
+        precond = None
+        if precondition == "jacobi":
+            d0 = offsets.index(0)
+            d = jax.lax.dynamic_slice(
+                data_i, (0, d0 * LANE), (data_i.shape[0], LANE)
+            ).reshape(-1).astype(jnp.float32)
+            minv = jnp.where(d != 0, 1.0 / d, 1.0)
+            precond = lambda r: minv * r
+        update = functools.partial(fused_update, backend="xla")
+        s = cg_loop(mv, dot_xla, update, b_i, x0_i,
+                    tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+                    precond=precond)
+        return s.x, s.k, s.rslast, s.done
+
+    x, k, rr, done = jax.vmap(one)(data_il, b, X0)
+    return CGResult(
+        x=x, iterations=k, residual_norm=jnp.sqrt(rr), converged=done,
+    )
+
+
+def cg_solve_batch_banded(
+    data,
+    offsets,
+    b,
+    X0=None,
+    config: Optional[CGConfig] = None,
+    storage_dtype=jnp.float32,
+    **overrides,
+) -> CGResult:
+    """Solve a BATCH of independent BANDED SPD systems A[i] x[i] = b[i].
+
+    The banded counterpart of :func:`cg_solve_batch` — the serving shape
+    of implicit PDE time stepping (many small tridiagonal/banded batteries
+    sharing one discretization): ``data`` is (B, ndiag, n) canonical DIA
+    values (``data[i, d, j] = A_i[j, j + offsets[d]]``), ``offsets`` one
+    static tuple shared by the batch, ``b``/``X0`` (B, n). On the Pallas
+    path the whole batch is ONE kernel launch
+    (``kernels.fused.fused_batch_dia_cg_solve_pallas``): each system's
+    diagonal slab sits in VMEM for its entire solve while the grid
+    pipeline prefetches the next system's. ``precondition`` in
+    {'none', 'jacobi'} (1/diag read from the resident slab);
+    ``storage_dtype=bfloat16`` halves the slab stream (f32 accumulate).
+    Off-TPU or oversize batches fall back to a vmapped while_loop over
+    the shift-and-add SpMV. Result fields are batched like
+    ``cg_solve_batch``.
+    """
+    import numpy as np
+
+    from tpucg.kernels.fused import (
+        fused_batch_dia_cg_solve_pallas,
+        fused_batch_dia_supported,
+    )
+    from tpucg.kernels.spmv import LANE, dia_interleave
+
+    if config is None:
+        config = CGConfig(**overrides)
+    elif overrides:
+        config = dataclasses_replace(config, **overrides)
+    if config.method != "cg":
+        raise ValueError("cg_solve_batch_banded supports method='cg' only")
+    if config.precondition not in ("none", "jacobi"):
+        raise ValueError(
+            "cg_solve_batch_banded supports precondition 'none' or "
+            "'jacobi'"
+        )
+    if jnp.dtype(storage_dtype) not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"storage_dtype must be float32 or bfloat16, got {storage_dtype}"
+        )
+    data = np.asarray(data, np.float32)
+    if data.ndim != 3:
+        raise ValueError(f"data must be (B, ndiag, n), got {data.shape}")
+    offsets = tuple(int(o) for o in offsets)
+    B_, ndiag, n = data.shape
+    if ndiag != len(offsets):
+        raise ValueError(
+            f"data has {ndiag} diagonals, offsets has {len(offsets)}"
+        )
+    b = jnp.asarray(b, jnp.float32)
+    if b.shape != (B_, n):
+        raise ValueError(f"b must be ({B_}, {n}), got {b.shape}")
+    X0 = (
+        jnp.zeros((B_, n), jnp.float32)
+        if X0 is None
+        else jnp.asarray(X0, jnp.float32)
+    )
+    npad = -(-n // LANE) * LANE
+    if npad != n:
+        if 0 not in offsets:
+            raise ValueError(
+                "non-128-multiple n needs a stored main diagonal for the "
+                "identity padding"
+            )
+        padded = np.zeros((B_, ndiag, npad), np.float32)
+        padded[:, :, :n] = data
+        padded[:, offsets.index(0), n:] = 1.0
+        data = padded
+        b = jnp.pad(b, ((0, 0), (0, npad - n)))
+        X0 = jnp.pad(X0, ((0, 0), (0, npad - n)))
+    # Interleave each system's slab (host-side, setup-only).
+    data_il = np.stack([np.asarray(dia_interleave(data[i]))
+                        for i in range(B_)])
+    if jnp.dtype(storage_dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        data_il = data_il.astype(ml_dtypes.bfloat16)
+    maxiter = config.maxiter if config.maxiter is not None else n
+    backend = resolve_backend(config.kernel)
+    if (
+        backend == "pallas"
+        and config.fused != "never"
+        and fused_batch_dia_supported(
+            npad, offsets, data_il.dtype.itemsize
+        )
+    ):
+        x, k, rr = fused_batch_dia_cg_solve_pallas(
+            jnp.asarray(data_il), offsets, b, X0,
+            tol=float(config.tol), maxiter=int(maxiter),
+            safe_alpha=bool(config.safe_alpha),
+            precondition=config.precondition,
+        )
+        res = CGResult(
+            x=x, iterations=k, residual_norm=jnp.sqrt(rr),
+            converged=rr < jnp.asarray(float(config.tol), rr.dtype) ** 2,
+        )
+    else:
+        res = _cg_batch_dia_xla_jit(
+            jnp.asarray(data_il), offsets, b, X0, float(config.tol),
+            int(maxiter), bool(config.safe_alpha), config.precondition,
+        )
+    if npad != n:
+        res = res._replace(x=res.x[:, :n])
+    return res
+
+
 @functools.partial(jax.jit, static_argnames=("power_iters",))
 def _interval_jit(op, like, power_iters):
     return spectral_interval_estimate(
