@@ -159,18 +159,17 @@ def test_multiprocess_loading_is_host_sharded(mp_run):
     assert covered == set(range(n)), "every logical row read exactly once"
 
 
-# --- P=4: the reference's wider rank count, on the OPERATOR arms ---------
-NPROC4 = 4
-DEVICES_PER_PROC4 = 2
+# --- P in {4, 8}: the reference's wider rank counts, on the OPERATOR arms.
+# 4 procs x 2 devices and 8 procs x 1 device (parallel_cg.c:81-83); the
+# heavy dense battery stays at P=2, these arms prove the wider topologies
+# + the sparse halos.
 
 
-@pytest.fixture(scope="module")
-def mp_run_p4(tmp_path_factory):
-    """4 OS processes x 2 CPU devices: the operator decompositions (Poisson
-    slab halo + DIA band halo) across the cross-process mesh. The reference
-    ran P in {2,4,8} ranks (parallel_cg.c:81-83); the heavy dense battery
-    stays at P=2, this arm proves the wider topology + the sparse halos."""
-    workdir = str(tmp_path_factory.mktemp("mp4"))
+@pytest.fixture(scope="module", params=[(4, 2), (8, 1)],
+                ids=["p4x2", "p8x1"])
+def mp_run_wide(request, tmp_path_factory):
+    nproc, devices_per = request.param
+    workdir = str(tmp_path_factory.mktemp(f"mp{nproc}"))
     coord = f"127.0.0.1:{_free_port()}"
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
@@ -178,7 +177,7 @@ def mp_run_p4(tmp_path_factory):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=(
-            f"--xla_force_host_platform_device_count={DEVICES_PER_PROC4}"
+            f"--xla_force_host_platform_device_count={devices_per}"
         ),
         PYTHONPATH=(
             repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
@@ -186,31 +185,31 @@ def mp_run_p4(tmp_path_factory):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, str(NPROC4), str(pid), workdir,
+            [sys.executable, worker, coord, str(nproc), str(pid), workdir,
              "operator"],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(NPROC4)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=420)
         outs.append(out)
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"p4 worker failed:\n{out[-3000:]}"
-    return workdir
+        assert p.returncode == 0, f"p{nproc} worker failed:\n{out[-3000:]}"
+    return workdir, nproc
 
 
-def test_multiprocess_p4_operator_arms(mp_run_p4):
-    """Slab-halo Poisson and band-halo DIA solved across 4 OS processes
-    must match the serial oracle on the assembled system."""
+def test_multiprocess_wide_operator_arms(mp_run_wide):
+    """Slab-halo Poisson and band-halo DIA solved across 4 and 8 OS
+    processes must match the serial oracle on the assembled system."""
     import tpucg
     from tpucg.solver.oracle import oracle_cg
 
-    workdir = mp_run_p4
+    workdir, nproc = mp_run_wide
     m = 8
     n = m ** 3
     A = np.asarray(tpucg.poisson3d_csr(m).to_dense(), np.float32)
@@ -219,7 +218,7 @@ def test_multiprocess_p4_operator_arms(mp_run_p4):
     ox, oiters, _ = oracle_cg(A, b, np.zeros(n, np.float32), tol=tol)
     with open(os.path.join(workdir, "meta_op.json")) as f:
         meta = json.load(f)
-    assert meta["nproc"] == NPROC4
+    assert meta["nproc"] == nproc
     for arm in ("poisson", "dia"):
         assert meta[f"{arm}_converged"], arm
         assert abs(meta[f"{arm}_iterations"] - oiters) <= 1, arm

@@ -647,14 +647,7 @@ def sharded_cg_solve_deflated(
 
     from tpucg.comm.mesh import make_mesh
     from tpucg.io.partitioner import RowPartition, pad_identity_tail
-    from tpucg.solver.operators import (
-        BsrOperator,
-        DiaOperator,
-        EllOperator,
-        PoissonOperator,
-    )
     from tpucg.solver.sharded import distribute_system, row_align
-    from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
     if config is None:
         config = CGConfig(**overrides)
@@ -667,10 +660,10 @@ def sharded_cg_solve_deflated(
         )
     if mesh is None:
         mesh = make_mesh()
+    from tpucg.solver.sharded import _operator_types
+
     if mesh.devices.ndim == 2:
-        if isinstance(A, (PoissonOperator, EllOperator, EllMatrix,
-                          DIAMatrix, DiaOperator, BSRMatrix, BsrOperator,
-                          CSRMatrix)):
+        if isinstance(A, _operator_types()):
             raise ValueError(
                 "sparse operators take the 1-D operator decompositions; "
                 "the 2-D SUMMA arm is dense"
@@ -678,8 +671,7 @@ def sharded_cg_solve_deflated(
         return _sharded2d_deflated(A, b, V, x0, mesh, config)
     if mesh.devices.ndim != 1:
         raise ValueError("deflated solves are supported on 1-D/2-D meshes")
-    if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
-                      DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
+    if isinstance(A, _operator_types()):
         return _sharded_operator_deflated(A, b, V, x0, mesh, config)
     axis = mesh.axis_names[0]
     num = mesh.devices.size
@@ -767,26 +759,18 @@ class RecyclingCG:
         self._basis: Optional[DeflationBasis] = None
 
     def _solve_sharded(self, b, x0) -> CGResult:
-        from tpucg.solver.operators import (
-            BsrOperator,
-            DiaOperator,
-            EllOperator,
-            PoissonOperator,
-        )
         from tpucg.solver.sharded import (
+            _operator_types,
             sharded_cg_solve,
             sharded_operator_cg_solve,
         )
-        from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
         if self._vectors:
             return sharded_cg_solve_deflated(
                 self.A, b, np.stack(self._vectors, axis=1), x0=x0,
                 mesh=self.mesh, config=self.config,
             )
-        if isinstance(self.A, (PoissonOperator, EllOperator, EllMatrix,
-                               DIAMatrix, DiaOperator, BSRMatrix,
-                               BsrOperator, CSRMatrix)):
+        if isinstance(self.A, _operator_types()):
             return sharded_operator_cg_solve(
                 self.A, b, x0, mesh=self.mesh, config=self.config
             )

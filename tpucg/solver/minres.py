@@ -403,14 +403,7 @@ def sharded_minres_solve(
 
     from tpucg.comm.mesh import make_mesh
     from tpucg.io.partitioner import RowPartition
-    from tpucg.solver.operators import (
-        BsrOperator,
-        DiaOperator,
-        EllOperator,
-        PoissonOperator,
-    )
     from tpucg.solver.sharded import distribute_system, row_align
-    from tpucg.sparse.formats import (BSRMatrix, CSRMatrix, DIAMatrix, EllMatrix)
 
     if config is None:
         config = CGConfig(**overrides)
@@ -425,13 +418,13 @@ def sharded_minres_solve(
         )
     if mesh is None:
         mesh = make_mesh()
+    from tpucg.solver.sharded import _operator_types
+
     if mesh.devices.ndim == 2:
         # 2-D SUMMA arm (dense host arrays; jacobi = 1/|d|).
         from tpucg.solver.sharded import _prepare_sharded2d
 
-        if isinstance(A, (PoissonOperator, EllOperator, EllMatrix,
-                          DIAMatrix, DiaOperator, BSRMatrix, BsrOperator,
-                          CSRMatrix)):
+        if isinstance(A, _operator_types()):
             raise ValueError(
                 "sparse operators take the 1-D operator decompositions; "
                 "the 2-D SUMMA arm is dense"
@@ -459,8 +452,7 @@ def sharded_minres_solve(
         return res
     if mesh.devices.ndim != 1:
         raise ValueError("MINRES is supported on 1-D and 2-D meshes")
-    if isinstance(A, (PoissonOperator, EllOperator, EllMatrix, DIAMatrix,
-                      DiaOperator, BSRMatrix, BsrOperator, CSRMatrix)):
+    if isinstance(A, _operator_types()):
         return _sharded_operator_minres(A, b, x0, mesh, config)
     axis = mesh.axis_names[0]
     backend = resolve_backend(config.kernel)
