@@ -187,6 +187,29 @@ def main():
     MARK = "## Irregular sparse (WELL)"
     section = "\n".join(
         [MARK, "",
+         "Matrices that are neither banded nor blocky — the input class "
+         "the MatrixMarket loader invites — ride the WELL (windowed "
+         "gather-ELL) Pallas kernel (`kernels/gather_spmv.py`): nonzeros "
+         "pack into 128-slot sublane rows whose aligned 8-sublane chunks "
+         "share one 128-wide x window (one XLA row-gather DMA per chunk), "
+         "applied by an in-kernel Mosaic lane-gather and one-hot MXU "
+         "output routing; the stream-block size is picked adaptively "
+         "(`sparse.well._auto_block_sublanes`). Workloads: random "
+         "geometric-graph Laplacians (deg ~12) and an unstructured P1 FEM "
+         "stiffness matrix on a random Delaunay mesh "
+         "(`io/generator.py:fem_p1_system`) — the role the reference's "
+         "`generateSPDmatrix.m` systems play for the dense tables. "
+         "Roofline: HBM streaming at 5.5 B/slot (816 GB/s -> 148 "
+         "Gslot/s); Gnnz/s ceiling = fill x 148. bf16 value slabs "
+         "(`storage_dtype=bfloat16`, f32 in-vreg accumulate) stream 3.5 "
+         "B/slot — the % column for those rows is against fill x 233, "
+         "where the VPU lane-gather floor (~17 ops/slot at 3.85 Tops/s = "
+         "227 Gslot/s) co-binds. Graph-Laplacian values are bf16-exact; "
+         "general values round at ~1e-2 relative. The shuffled-FEM pair "
+         "is the .mtx-in-the-wild story: no spatial numbering -> low "
+         "fill; one reverse-Cuthill-McKee pass (`--rcm` on the CLI) "
+         "restores it — fill is the knob, ordering is how you turn it.",
+         "",
          "Matvec (chained differencing; spread = min/median/max of >= 3 "
          "independent chains):", ""]
         + mv_lines

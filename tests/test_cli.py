@@ -309,3 +309,21 @@ def test_solve_mtx_minres_and_bf16(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "+bf16" in out and "converged            : True" in out
+
+
+def test_solve_mtx_well_bf16(tmp_path, capsys):
+    # Irregular .mtx (WELL promotion) with --storage bf16.
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+
+    A, b, _ = random_geometric_spd(600, seed=62, avg_degree=8.0)
+    amtx = str(tmp_path / "G.mtx")
+    bmtx = str(tmp_path / "gb.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    tol = 1e-3 * float(np.linalg.norm(b))
+    rc = main(["solve", amtx, bmtx, "--storage", "bf16",
+               "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "WellOperator+bf16" in out and "converged            : True" in out

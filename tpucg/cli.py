@@ -143,9 +143,18 @@ def _apply_storage(args, A):
             DIAMatrix(data=data, offsets=offsets, shape=(n, n)),
             backend=args.kernel, storage_dtype="bfloat16",
         )
+    from tpucg.solver.operators import WellOperator
+
+    if isinstance(A, WellOperator):
+        # Only the packed VALUES re-cast (lane indices/layout unchanged).
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        return dataclasses.replace(A, vals=A.vals.astype(jnp.bfloat16))
     raise SystemExit(
-        "--storage bf16 supports dense systems and banded (DIA) operators; "
-        f"got {type(A).__name__}"
+        "--storage bf16 supports dense systems and banded (DIA) or "
+        f"irregular (WELL) operators; got {type(A).__name__}"
     )
 
 

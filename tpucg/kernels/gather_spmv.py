@@ -118,6 +118,11 @@ def well_spmv(
             bytes_accessed=(vals.dtype.itemsize + 2) * NB * BS * LANE,
             transcendentals=0,
         ),
+        # Large stream blocks (BS=4096 is the tuned default at scale)
+        # exceed the 16 MB default scoped-VMEM cap once double-buffered.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20
+        ),
         interpret=interpret_mode(),
     )(sgb, vals, lidx, gidl.reshape(NB, 1, BS), xg)
 

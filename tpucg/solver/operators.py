@@ -404,7 +404,7 @@ class WellOperator(LinearOperator):
     vals: jax.Array   # (NS, 128) float32 or bfloat16 (storage_dtype)
     lidx: jax.Array   # (NS, 128) int8
     gidl: jax.Array   # (NB, BS) int32
-    wrow: jax.Array   # (NS,) int32
+    wrow: jax.Array   # (NS/8,) int32 — window id per 8-sublane chunk
     sgb: jax.Array    # (NB,) int32
     dvec: jax.Array   # (padded_n,) float32 — diag(A), host-built at setup
     n: int = dataclasses.field(metadata=dict(static=True))
