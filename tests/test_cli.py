@@ -327,3 +327,39 @@ def test_solve_mtx_well_bf16(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "WellOperator+bf16" in out and "converged            : True" in out
+
+
+def test_solve_mtx_irregular_sharded_and_block_jacobi(tmp_path, capsys):
+    """Irregular (WELL-promoted) .mtx end-to-end through the CLI: the
+    sharded strategies must hand the source CSR to the sharded WELL
+    decomposition (a serial WellOperator pack is not re-shardable), and
+    --precondition block_jacobi must thread pc_block_size into the
+    operator construction."""
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+
+    A, b, _ = random_geometric_spd(500, seed=13)
+    amtx = str(tmp_path / "Airr.mtx")
+    bmtx = str(tmp_path / "birr.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    tol = 1e-5 * float(np.linalg.norm(b))
+
+    rc = main(["solve", amtx, bmtx, "--strategy", "allgather",
+               "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out
+
+    rc = main(["solve", amtx, bmtx, "--precondition", "block_jacobi",
+               "--pc-block-size", "32", "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out
+
+    rc = main(["solve", amtx, bmtx, "--strategy", "allgather",
+               "--precondition", "block_jacobi", "--pc-block-size", "32",
+               "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out

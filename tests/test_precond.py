@@ -289,14 +289,17 @@ def test_block_jacobi_validation():
     assert bool(sh24.converged) and sh24.x.shape == (n,)
     np.testing.assert_allclose(np.asarray(sh24.x), np.asarray(ser24.x),
                                rtol=5e-3, atol=5e-3)
-    # Unimplemented compositions refuse loudly instead of silently
-    # degrading to unpreconditioned.
+    # Operator-sharded block Jacobi (round-3-late): shard-local block
+    # grid — converges and matches the unsharded operator solve.
     from tpucg.solver.operators import PoissonOperator as _P
 
-    with pytest.raises(ValueError, match="block"):
-        tpucg.sharded_operator_cg_solve(
-            _P(m=8), np.ones(512, np.float32), precondition="block_jacobi"
-        )
+    shp = tpucg.sharded_operator_cg_solve(
+        _P(m=8), np.ones(512, np.float32),
+        precondition="block_jacobi", pc_block_size=64, tol=1e-5,
+    )
+    assert bool(shp.converged)
+    # Unimplemented compositions refuse loudly instead of silently
+    # degrading to unpreconditioned.
     with pytest.raises(ValueError, match="block"):
         tpucg.cg_solve_batch(
             np.stack([L, L]), np.stack([b, b]),

@@ -222,3 +222,59 @@ def test_well_bf16_values_storage():
     np.testing.assert_allclose(np.asarray(sh16.x)[:2000],
                                np.asarray(res.x)[:2000],
                                rtol=2e-2, atol=2e-2)
+
+
+def test_well_block_jacobi_preconditioned():
+    """WELL block Jacobi: blocks extracted host-side from the source CSR
+    at construction (pc_block_size=...); exact extraction checked against
+    the dense matrix, fewer laps than point Jacobi on a block-coupled
+    system, and the solution matches the f64 direct solve."""
+    from tpucg.sparse.formats import csr_diagonal_blocks
+
+    A, b, _ = random_geometric_spd(700, seed=0, shift=0.3)
+    n = A.shape[0]
+    D = A.to_dense().astype(np.float64)
+    bs = 48  # 16 blocks over padded_n=768; rows >= n take identity
+    blocks = np.asarray(csr_diagonal_blocks(A, bs, npad=768))
+    for q in (0, 7, 15):
+        lo = q * bs
+        ref = np.eye(bs)
+        for i in range(bs):
+            for j in range(bs):
+                gi, gj = lo + i, lo + j
+                if gi < n and gj < n:
+                    ref[i, j] = D[gi, gj]
+                elif i != j:
+                    ref[i, j] = 0.0
+        np.testing.assert_allclose(blocks[q], ref, rtol=1e-6, atol=1e-7)
+
+    op = tpucg.WellOperator.from_csr(A, pc_block_size=bs)
+    tol = 1e-6
+    pj = tpucg.cg_solve(op, b, tol=tol, precondition="jacobi")
+    pb = tpucg.cg_solve(op, b, tol=tol, precondition="block_jacobi",
+                        pc_block_size=bs)
+    assert bool(pb.converged)
+    assert int(pb.iterations) <= int(pj.iterations)
+    xs = np.linalg.solve(D, b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(pb.x, np.float64)[:n], xs,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_well_block_jacobi_requires_construction_blocks():
+    A, b, _ = random_geometric_spd(300, seed=2)
+    op = tpucg.WellOperator.from_csr(A)  # no pc_block_size
+    with pytest.raises(NotImplementedError, match="pc_block_size"):
+        tpucg.cg_solve(op, b, precondition="block_jacobi", pc_block_size=16)
+    op2 = tpucg.WellOperator.from_csr(A, pc_block_size=16)
+    with pytest.raises(ValueError, match="pc_block_size"):
+        tpucg.cg_solve(op2, b, precondition="block_jacobi",
+                       pc_block_size=32)
+
+
+def test_best_sparse_operator_threads_pc_block_size():
+    A, b, _ = random_geometric_spd(600, seed=8)
+    op = tpucg.best_sparse_operator(A, pc_block_size=32)
+    assert isinstance(op, tpucg.WellOperator)
+    r = tpucg.cg_solve(op, b, tol=1e-6, precondition="block_jacobi",
+                       pc_block_size=32)
+    assert bool(r.converged)

@@ -139,6 +139,7 @@ def time_solve_chain(
     est_solve_s: Optional[float] = None,
     target_s: float = 0.05,
     precondition: str = "none",
+    pc_block_size: int = 64,
 ) -> float:
     """Steady-state seconds per CG solve, dispatch-corrected.
 
@@ -172,20 +173,27 @@ def time_solve_chain(
         x0 = jnp.zeros((npad,), x0.dtype).at[: x0.shape[0]].set(x0)
 
     minv = None
+    apply_minv = None
     if precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
+        apply_minv = lambda r: minv * r
+    elif precondition == "block_jacobi":
+        from tpucg.solver.cg import block_jacobi_minv, make_block_precond
+
+        minv = block_jacobi_minv(op, int(pc_block_size))
+        apply_minv = make_block_precond(minv, b.shape[0])
     elif precondition != "none":
         raise ValueError(
-            "time_solve_chain supports precondition in {'none', 'jacobi'}"
+            "time_solve_chain supports precondition in "
+            "{'none', 'jacobi', 'block_jacobi'}"
         )
 
     def run(operands, bj, x0_):
         (op,) = operands
         update = functools.partial(fused_update, backend=blas_backend)
         s = cg_loop(op.matvec, dot_xla, update, bj, x0_,
-                    tol=tol, maxiter=maxiter,
-                    precond=None if minv is None else (lambda r: minv * r))
+                    tol=tol, maxiter=maxiter, precond=apply_minv)
         return s.x
 
     return time_run_chain(

@@ -219,7 +219,15 @@ def _cmd_solve_mtx(args, t_total0) -> int:
 
             perm = rcm_order(csr)
             csr = permute_csr(csr, perm)
-        A_or_op = tpucg.best_sparse_operator(csr, backend=args.kernel)
+        A_or_op = tpucg.best_sparse_operator(
+            csr, backend=args.kernel,
+            # WELL needs its diagonal blocks extracted from the CSR at
+            # construction (the packed slabs are not addressable).
+            pc_block_size=(
+                args.pc_block_size
+                if args.precondition == "block_jacobi" else None
+            ),
+        )
         fmt = type(A_or_op).__name__
         if perm is not None:
             fmt += "+rcm"
@@ -250,14 +258,27 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         precondition=args.precondition,
         pc_block_size=args.pc_block_size,
     )
+    from tpucg.solver.operators import WellOperator
+
+    sh_target, sh_kw = A_or_op, {}
+    if args.strategy != "serial" and isinstance(A_or_op, WellOperator):
+        # The sharded WELL decomposition re-packs each shard's rows
+        # against global columns — hand it the source CSR (the serial
+        # pack is not re-shardable); bf16 rides storage_dtype.
+        sh_target = csr
+        if getattr(args, "storage", "f32") == "bf16":
+            sh_kw["storage_dtype"] = "bfloat16"
     t0 = time.perf_counter()
     if args.method == "minres":
         if args.strategy == "serial":
             res = tpucg.minres_solve(A_or_op, b, x0, kernel=args.kernel,
                                      **mr_kw)
         else:
+            if sh_kw:
+                print("note: --storage bf16 is serial-only for MINRES on "
+                      "irregular (WELL) systems; solving in f32")
             res = tpucg.sharded_minres_solve(
-                A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
+                sh_target, b, x0, mesh=tpucg.make_mesh(args.devices),
                 kernel=args.kernel, strategy=args.strategy, **mr_kw)
     elif args.strategy == "serial":
         res = tpucg.cg_solve(A_or_op, b, x0, kernel=args.kernel,
@@ -269,8 +290,8 @@ def _cmd_solve_mtx(args, t_total0) -> int:
             kernel=args.kernel, strategy=args.strategy, **kw)
     else:
         res = tpucg.sharded_operator_cg_solve(
-            A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
-            kernel=args.kernel, strategy=args.strategy, **kw)
+            sh_target, b, x0, mesh=tpucg.make_mesh(args.devices),
+            kernel=args.kernel, strategy=args.strategy, **sh_kw, **kw)
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
     total_s = time.perf_counter() - t_total0

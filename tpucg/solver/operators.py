@@ -411,20 +411,35 @@ class WellOperator(LinearOperator):
     bg: int = dataclasses.field(metadata=dict(static=True))
     nsg: int = dataclasses.field(metadata=dict(static=True))
     backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    # Optional (nb, bs, bs) raw diagonal blocks for block Jacobi, built
+    # host-side from the source CSR (the packed WELL slabs are not
+    # addressable by (row, col); see ``diagonal_blocks``).
+    dblk: jax.Array = None
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, backend: str = "auto",
-                 storage_dtype=np.float32, **well_kwargs) -> "WellOperator":
+                 storage_dtype=np.float32, pc_block_size=None,
+                 **well_kwargs) -> "WellOperator":
+        """``pc_block_size`` pre-extracts the (nb, bs, bs) diagonal blocks
+        from the CSR coordinates so ``precondition='block_jacobi'`` works
+        on the WELL path (the packed device form loses addressability)."""
+        from tpucg.sparse.formats import csr_diagonal_blocks
         from tpucg.sparse.well import csr_to_well
 
         if csr.shape[0] != csr.shape[1]:
             raise ValueError(f"WellOperator needs a square matrix, got {csr.shape}")
+        dblk = None
+        if pc_block_size is not None:
+            dblk = jnp.asarray(csr_diagonal_blocks(
+                csr, int(pc_block_size), npad=round_up(csr.shape[0], 128)
+            ))
         return cls.from_well(csr_to_well(csr, **well_kwargs),
-                             backend=backend, storage_dtype=storage_dtype)
+                             backend=backend, storage_dtype=storage_dtype,
+                             dblk=dblk)
 
     @classmethod
     def from_well(cls, well, backend: str = "auto",
-                  storage_dtype=np.float32) -> "WellOperator":
+                  storage_dtype=np.float32, dblk=None) -> "WellOperator":
         """``storage_dtype=bfloat16`` stores the packed VALUES in bfloat16
         (3.5 streamed bytes per slot instead of 5.5 — the value slab is
         the dominant stream; lane indices stay int8, the gathered window
@@ -451,6 +466,7 @@ class WellOperator(LinearOperator):
             bg=well.groups_per_super,
             nsg=well.n_supergroups,
             backend=backend,
+            dblk=dblk,
         )
 
     @property
@@ -490,6 +506,21 @@ class WellOperator(LinearOperator):
         # Built host-side at from_well time: the device scatter-add this
         # would need is not TPU-compilable (see matvec).
         return self.dvec
+
+    def diagonal_blocks(self, bs: int) -> jax.Array:
+        if self.dblk is None:
+            raise NotImplementedError(
+                "block Jacobi on a WellOperator needs the diagonal blocks "
+                "extracted from the source CSR at construction: use "
+                "WellOperator.from_csr(csr, pc_block_size=bs) (or "
+                "best_sparse_operator(csr, pc_block_size=bs))"
+            )
+        if self.dblk.shape[1] != bs:
+            raise ValueError(
+                f"this WellOperator was built with pc_block_size="
+                f"{self.dblk.shape[1]}, solve requested {bs}"
+            )
+        return self.dblk
 
 
 @jax.tree_util.register_dataclass
@@ -578,6 +609,7 @@ def best_sparse_operator(
     blocksize: int = 8,
     bsr_fill_cap: float = 3.0,
     fallback: str = "well",
+    pc_block_size=None,
 ) -> LinearOperator:
     """Auto-promote a CSR matrix to the most TPU-honest device format.
 
@@ -635,7 +667,11 @@ def best_sparse_operator(
             )
         return op
     if fallback == "well" and n == csr.shape[1]:
-        return WellOperator.from_csr(csr, backend=backend)
+        # pc_block_size: see WellOperator.from_csr — pre-extracts the
+        # diagonal blocks so precondition='block_jacobi' is available
+        # (DIA/BSR/dense extract theirs from addressable storage).
+        return WellOperator.from_csr(csr, backend=backend,
+                                     pc_block_size=pc_block_size)
     return EllOperator.from_csr(csr)
 
 

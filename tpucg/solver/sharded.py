@@ -47,6 +47,7 @@ from tpucg.solver.cg import (
     ca_cg_loop,
     cg_loop,
     dataclasses_replace,
+    make_block_precond,
     make_poly_precond,
     pipelined_cg_loop,
 )
@@ -1280,6 +1281,11 @@ def _sharded_operator_cg_jit(
         precond = None
         if precondition == "jacobi":
             precond = lambda r: minv_blk * r
+        elif precondition == "block_jacobi":
+            # Shard-local batched block-GEMV: the block grid restarts at
+            # every shard boundary (see _diag_blocks_sharded), so no
+            # communication per apply.
+            precond = make_block_precond(minv_blk, b_blk.shape[0])
         elif precondition == "poly":
             precond = make_poly_precond(mv, dot, b_blk, poly_degree)
         if method == "pipelined":
@@ -1312,13 +1318,16 @@ def _sharded_operator_cg_jit(
         return s.x, s.k, jnp.sqrt(s.rslast), s.done, hist
 
     vec = P(axis)
+    minv_spec = (
+        P(axis, None, None) if precondition == "block_jacobi" else vec
+    )
     # The Pallas arms (slab stencil / DIA halo kernel) carry no VMA
     # annotation on their outputs — only then must the verifier stand down
     # (see _sharded_cg_jit).
     return jax.shard_map(
         solve,
         mesh=mesh,
-        in_specs=(_operator_specs(kind, axis), vec, vec, vec),
+        in_specs=(_operator_specs(kind, axis), vec, vec, minv_spec),
         out_specs=(vec, P(), P(), P(), P()),
         check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
     )(op_arrays, b, x0, minv)
@@ -1824,6 +1833,12 @@ def sharded_operator_cg_solve(
     ``ROWS % P == 0``, ``parallel_cg.c:86-90``; tpucg pads instead).
     ``storage_dtype=bfloat16`` (DIA only) halves the per-shard slab bytes
     (f32 accumulation; same extension as the dense solver's bf16 storage).
+
+    ``precondition='block_jacobi'`` (Poisson / DIA / CSRMatrix-WELL): the
+    block grid restarts at every shard boundary so no block crosses a
+    shard — the per-lap apply is one shard-local batched block-GEMV, zero
+    communication; ``pc_block_size`` need not divide rows-per-shard
+    (virtual grid-tail rows take identity).
     """
     from tpucg.kernels.spmv import LANE, dia_supported
     from tpucg.solver.operators import (
@@ -1840,19 +1855,18 @@ def sharded_operator_cg_solve(
         config = dataclasses_replace(config, **overrides)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
-    if config.precondition == "block_jacobi":
-        raise ValueError(
-            "sharded_operator_cg_solve supports precondition 'none', "
-            "'jacobi', or 'poly' (block Jacobi on sharded sparse "
-            "operators is unimplemented; the serial cg_solve supports it "
-            "on DIA/Poisson)"
-        )
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
         op, mesh, config, storage_dtype=storage_dtype
     )
+    if config.precondition == "block_jacobi" and minv_host is None:
+        raise ValueError(
+            "precondition='block_jacobi' on sharded operators is "
+            "implemented for Poisson/DIA/WELL (shard-local diagonal "
+            "blocks); ELL/BSR support 'none', 'jacobi', or 'poly'"
+        )
     shard1 = NamedSharding(mesh, P(axis))
 
     b = np.asarray(b, np.float32)
@@ -1863,15 +1877,27 @@ def sharded_operator_cg_solve(
     x0p = np.zeros(npad, np.float32)
     if x0 is not None:
         x0p[:n] = np.asarray(x0, np.float32)
-    minv = (
-        minv_host if minv_host is not None else np.ones(npad, np.float32)
-    )
+    if config.precondition == "block_jacobi":
+        # One-time batched block inversion (ridge + symmetrization in
+        # invert_blocks), then placed block-sharded: ceil(blk/bs) blocks
+        # per shard, so the per-lap apply is shard-local.
+        from tpucg.solver.cg import invert_blocks
+
+        minv_dev = jax.device_put(
+            invert_blocks(jnp.asarray(minv_host)),
+            NamedSharding(mesh, P(axis, None, None)),
+        )
+    else:
+        minv = (
+            minv_host if minv_host is not None else np.ones(npad, np.float32)
+        )
+        minv_dev = jax.device_put(jnp.asarray(minv), shard1)
     maxiter = config.maxiter if config.maxiter is not None else n
     x, k, rnorm, done, hist = _sharded_operator_cg_jit(
         op_arrays,
         jax.device_put(jnp.asarray(bp), shard1),
         jax.device_put(jnp.asarray(x0p), shard1),
-        jax.device_put(jnp.asarray(minv), shard1),
+        minv_dev,
         mesh=mesh,
         tol=float(config.tol),
         maxiter=int(maxiter),
@@ -1893,6 +1919,61 @@ def sharded_operator_cg_solve(
         x=x, iterations=k, residual_norm=rnorm, converged=done,
         residual_history=hist if record_residuals else None,
     )
+
+
+def _diag_blocks_sharded(offsets, data, num: int, bs: int) -> np.ndarray:
+    """Shard-aligned diagonal blocks from DIA storage (numpy, host setup).
+
+    The per-shard analog of ``operators._blocks_from_diag_data``: the
+    ``bs``-block grid restarts at every shard boundary (``npad/num`` rows
+    per shard) so no block crosses a shard and the distributed apply is
+    one shard-local batched block-GEMV. Virtual grid-tail rows (``bs`` not
+    dividing rows-per-shard) take identity — the apply pads the local
+    vector with zeros there, and identity rows pass them through.
+    Returns raw (num * ceil(blk/bs), bs, bs) blocks (invert separately).
+    """
+    ndiag, npad = data.shape
+    blk = npad // num
+    assert blk * num == npad
+    nbl = -(-blk // bs)
+    D = np.zeros((ndiag, num, nbl * bs), np.float32)
+    D[:, :, :blk] = np.asarray(data, np.float32).reshape(ndiag, num, blk)
+    blocks = np.zeros((num, nbl, bs, bs), np.float32)
+    for d, off in enumerate(int(o) for o in offsets):
+        if abs(off) >= bs:
+            continue  # never lands inside a bs-block
+        rs = np.arange(max(0, -off), bs - max(0, off))
+        blocks[:, :, rs, rs + off] = D[d].reshape(num, nbl, bs)[..., rs]
+    if nbl * bs != blk:
+        # Zero any cross-shard band entries the slice carried into the
+        # tail, then identity the virtual rows (same tail contract as
+        # _blocks_from_diag_data).
+        tail = np.arange(nbl * bs).reshape(nbl, bs) >= blk
+        cut = tail[None, :, :, None] | tail[None, :, None, :]
+        blocks = np.where(cut, 0.0, blocks)
+        blocks += np.eye(bs, dtype=np.float32)[None, None] * tail[None, :, :, None]
+    return blocks.reshape(num * nbl, bs, bs)
+
+
+def _poisson_dia_rows(m: int, npad: int):
+    """DIA-form rows of the PADDED slab-decomposed 3-D 7-point Laplacian
+    (pad planes identity, exactly the operator ``_poisson_halo_matvec``
+    applies) — block-Jacobi setup input for ``_diag_blocks_sharded``."""
+    N = m ** 3
+    i = np.arange(npad)
+    offsets = [0]
+    rows = [np.where(i < N, 6.0, 1.0).astype(np.float32)]
+    for off, ok_fwd in (
+        (1, (i % m) != m - 1),
+        (m, ((i // m) % m) != m - 1),
+        (m * m, (i // (m * m)) != m - 1),
+    ):
+        fwd = np.where(ok_fwd & (i + off < N) & (i < N), -1.0, 0.0)
+        bwd = np.zeros(npad, np.float32)
+        bwd[off:] = fwd[:-off]
+        offsets += [off, -off]
+        rows += [fwd.astype(np.float32), bwd]
+    return offsets, np.stack(rows)
 
 
 def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
@@ -1939,6 +2020,11 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
         if config.precondition == "jacobi":
             minv_host = np.ones(npad, np.float32)
             minv_host[:n] = 1.0 / 6.0
+        elif config.precondition == "block_jacobi":
+            minv_host = _diag_blocks_sharded(
+                *_poisson_dia_rows(op.m, npad), num,
+                int(config.pc_block_size),
+            )
     elif isinstance(op, (EllOperator, EllMatrix)):
         kind = "ell"
         values = np.asarray(op.values, np.float32)
@@ -2007,6 +2093,10 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
         if config.precondition == "jacobi":
             d = data[offsets_static.index(0)]
             minv_host = np.where(d != 0, 1.0 / d, 1.0).astype(np.float32)
+        elif config.precondition == "block_jacobi":
+            minv_host = _diag_blocks_sharded(
+                offsets_static, data, num, int(config.pc_block_size)
+            )
     elif isinstance(op, (BSRMatrix, BsrOperator)):
         kind = "bsr"
         if isinstance(op, BSRMatrix):
@@ -2084,6 +2174,12 @@ def _prepare_sharded_operator(op, mesh: Mesh, config: CGConfig,
             d = np.ones(npad, np.float32)
             d[:n] = np.where(dv != 0, dv, 1.0).astype(np.float32)
             minv_host = (1.0 / d).astype(np.float32)
+        elif config.precondition == "block_jacobi":
+            from tpucg.sparse.formats import csr_diagonal_blocks
+
+            minv_host = csr_diagonal_blocks(
+                op, int(config.pc_block_size), npad=npad, shards=num
+            )
     else:
         raise TypeError(
             "sharded_operator_cg_solve supports Poisson/Ell/DIA/BSR "

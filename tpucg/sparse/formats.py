@@ -281,6 +281,49 @@ def csr_to_bsr(csr: CSRMatrix, blocksize: int) -> BSRMatrix:
     )
 
 
+def csr_diagonal_blocks(
+    csr: CSRMatrix, bs: int, npad: int = None, shards: int = 1
+) -> np.ndarray:
+    """Extract the (nb, bs, bs) diagonal blocks of a CSR matrix — the
+    block-Jacobi setup for irregular sparsity (`LinearOperator.
+    diagonal_blocks` for formats whose entries are addressable only
+    through host-side coordinates, e.g. WELL).
+
+    The block grid restarts at every shard boundary (``npad/shards`` rows
+    per shard), so no block ever crosses a shard — the distributed apply
+    stays shard-local, one batched block-GEMV with zero communication.
+    Rows past ``csr.shape[0]`` (identity padding) and the per-shard grid
+    tail (when ``bs`` does not divide rows-per-shard) take identity rows,
+    matching ``_blocks_from_diag_data``'s tail contract: padded/virtual
+    coordinates pass through the preconditioner unchanged.
+    """
+    n = csr.shape[0]
+    if npad is None:
+        npad = n
+    rps = npad // shards
+    if rps * shards != npad:
+        raise ValueError(f"shards={shards} must divide npad={npad}")
+    nbl = -(-rps // bs)
+    blocks = np.zeros((shards * nbl, bs, bs), np.float32)
+    coo = csr.to_coo()
+    r, c, v = coo.row, coo.col, coo.data.astype(np.float32)
+    lr, lc = r % rps, c % rps
+    keep = ((r // rps) == (c // rps)) & ((lr // bs) == (lc // bs))
+    bid = (r[keep] // rps) * nbl + (lr[keep] // bs)
+    np.add.at(blocks, (bid, lr[keep] % bs, lc[keep] % bs), v[keep])
+    # Identity diagonals for pad rows (global index >= n) and virtual
+    # grid-tail rows (per-shard local index >= rps). Neither row class can
+    # carry off-diagonal entries (CSR rows stop at n; the grid tail is
+    # beyond every shard's data), so setting the diagonal suffices.
+    bid_all = np.arange(shards * nbl)
+    local = (bid_all % nbl)[:, None] * bs + np.arange(bs)[None, :]
+    g = (bid_all // nbl)[:, None] * rps + local
+    ident = (g >= n) | (local >= rps)
+    di = np.arange(bs)
+    blocks[:, di, di] = np.where(ident, 1.0, blocks[:, di, di])
+    return blocks
+
+
 def csr_to_ell(csr: CSRMatrix, width_align: int = 1) -> EllMatrix:
     """Convert CSR to ELLPACK, padding row width to a multiple of width_align."""
     n = csr.shape[0]
