@@ -363,3 +363,72 @@ def test_solve_mtx_irregular_sharded_and_block_jacobi(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "converged            : True" in out
+
+
+def test_info_spectrum_and_solve_interval(golden_files, capsys):
+    # The reusable-interval flow: `info --spectrum` estimates the bounds,
+    # `solve --interval LO HI` feeds them back so CA/Chebyshev skip their
+    # per-solve power-method setup.
+    pa, pb, px = golden_files
+    rc = main(["info", "--spectrum", pa])
+    out = capsys.readouterr().out
+    assert rc == 0
+    spec = json.loads(out)["spectrum"]
+    assert spec["lam_hi"] >= spec["lam_lo"] > 0
+
+    for method in ("ca", "chebyshev"):
+        rc = main([
+            "solve", pa, pb, px, "--method", method,
+            "--interval", str(spec["lam_lo"]), str(spec["lam_hi"]),
+            "--maxiter", "64",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "converged            : True" in out
+
+    # Sharded dense path takes the same flag.
+    rc = main([
+        "solve", pa, pb, px, "--method", "ca", "--strategy", "allgather",
+        "--interval", str(spec["lam_lo"]), str(spec["lam_hi"]),
+        "--maxiter", "64",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out
+
+    # Wrong method refuses loudly.
+    with pytest.raises(ValueError, match="interval"):
+        main(["solve", pa, pb, px, "--interval", "1.0", "2.0"])
+
+
+def test_solve_mtx_two_level(tmp_path, capsys):
+    # FEM-class .mtx through the two-level flag: fewer laps than jacobi,
+    # serial and sharded WELL.
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+
+    A, b, _ = random_geometric_spd(6_000, seed=4, avg_degree=10.0,
+                                   shift=0.05)
+    amtx, bmtx = str(tmp_path / "A.mtx"), str(tmp_path / "b.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    tol = 1e-5 * float(np.linalg.norm(b))
+
+    rc = main(["solve", amtx, bmtx, "--precondition", "jacobi",
+               "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    jac_laps = int(out.split("iterations           : ")[1].split()[0])
+
+    rc = main(["solve", amtx, bmtx, "--two-level", "64", "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "+2lvl64" in out
+    tl_laps = int(out.split("iterations           : ")[1].split()[0])
+    assert tl_laps < jac_laps
+
+    rc = main(["solve", amtx, bmtx, "--two-level", "64",
+               "--strategy", "allgather", "--tol", str(tol)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "converged            : True" in out

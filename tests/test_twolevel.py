@@ -1,0 +1,200 @@
+"""Two-level (AMG-lite) preconditioner tests.
+
+The round-4 iteration-count answer for FEM-class irregular systems
+(``tpucg.solver.twolevel``): contiguous-aggregate coarse space (restriction
+= reshape-sum, prolongation = broadcast, coarse solve = one dense GEMV
+against a precomputed f64 inverse) wrapped in a symmetric V(1,1) damped-
+Jacobi cycle. These tests pin (a) correctness on the goldens-by-proxy
+(solution parity with plain CG), (b) the SPD structure PCG requires,
+(c) the lap-count win vs point Jacobi on a mesh Laplacian, and (d) the
+validation surface (npad / method / precondition mismatches fail loudly).
+"""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.io.generator import fem_p1_system, random_geometric_spd
+
+
+@pytest.fixture(scope="module")
+def fem():
+    A, b, x0 = fem_p1_system(6_000, seed=0)
+    return A, b, x0
+
+
+def test_two_level_matches_plain_cg_solution(fem):
+    A, b, _ = fem
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    plain = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n)
+    two = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl)
+    assert bool(two.converged)
+    # Both solve the same system; compare through the true residual (the
+    # f32 recurrence drift bounds how close the x's themselves get).
+    res_two = np.linalg.norm(b - A.matvec(np.asarray(two.x, np.float64)))
+    res_plain = np.linalg.norm(
+        b - A.matvec(np.asarray(plain.x, np.float64))
+    )
+    assert res_two < 10 * max(res_plain, tol)
+
+
+def test_two_level_cuts_fem_laps_vs_jacobi(fem):
+    A, b, _ = fem
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    jac = tpucg.cg_solve(
+        op, b, tol=tol, maxiter=4 * n, precondition="jacobi"
+    )
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    two = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl)
+    assert bool(two.converged)
+    # The design target (VERDICT round-3 item 1): a multiple-of-laps win.
+    # Measured here: ~60 vs ~330 at n~5900; 3x is the safe floor.
+    assert int(two.iterations) * 3 <= int(jac.iterations)
+
+
+def test_two_level_preconditioner_is_spd():
+    # PCG requires M fixed and SPD: materialize B = precond(I) on a small
+    # FEM system and check symmetry + positive eigenvalues.
+    import jax
+    import jax.numpy as jnp
+
+    from tpucg.kernels.blas1 import dot_xla
+    from tpucg.solver.twolevel import make_two_level_precond
+
+    A, b, _ = fem_p1_system(900, seed=1)
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    pc = make_two_level_precond(tl, op.matvec, dot_xla, jnp.asarray(b))
+    B = np.asarray(
+        jax.jit(jax.vmap(pc, in_axes=1, out_axes=1))(
+            jnp.eye(n, dtype=jnp.float32)
+        )
+    )
+    assert np.abs(B - B.T).max() <= 1e-5 * np.abs(B).max()
+    w = np.linalg.eigvalsh(0.5 * (B + B.T).astype(np.float64))
+    assert w.min() > 0
+
+
+def test_two_level_on_well_operator():
+    # The target pipeline: irregular CSR -> WELL (XLA fallback off-TPU),
+    # two-level built against the WELL padding (round_up(n, 128) default).
+    A, b, _ = random_geometric_spd(20_000, seed=0, avg_degree=12.0,
+                                   shift=0.05)
+    n = A.shape[0]
+    op = tpucg.WellOperator.from_csr(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    tl = tpucg.build_two_level(A, agg_size=64)
+    assert tl.npad == op.padded_n
+    jac = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n,
+                         precondition="jacobi")
+    two = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl)
+    assert bool(two.converged)
+    assert int(two.iterations) < int(jac.iterations)
+    res = np.linalg.norm(b - A.matvec(np.asarray(two.x, np.float64)))
+    assert res < 100 * tol
+
+
+def test_two_level_validation(fem):
+    A, b, _ = fem
+    op = tpucg.EllOperator.from_csr(A)
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    with pytest.raises(ValueError, match="padded size"):
+        bad = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n + 128)
+        tpucg.cg_solve(op, b, two_level=bad)
+    with pytest.raises(ValueError, match="method='cg'"):
+        tpucg.cg_solve(op, b, two_level=tl, method="chebyshev")
+    with pytest.raises(ValueError, match="precondition"):
+        tpucg.cg_solve(op, b, two_level=tl, precondition="jacobi")
+    with pytest.raises(ValueError, match="agg_size"):
+        tpucg.build_two_level(A, agg_size=1)
+    with pytest.raises(ValueError, match="square"):
+        from tpucg.sparse.formats import COOMatrix
+
+        tpucg.build_two_level(
+            COOMatrix(
+                row=np.array([0]), col=np.array([0]),
+                data=np.array([1.0], np.float32), shape=(2, 3),
+            ).to_csr()
+        )
+
+
+def test_two_level_sharded_matches_serial():
+    # Row-block-sharded two-level on the WELL decomposition (8-device CPU
+    # mesh): same preconditioner algebra, shard-local restrict/prolong,
+    # one (nc,) all_gather per apply. Lap counts must track the serial
+    # solve closely (identical math, different reduction order).
+    import jax
+
+    A, b, _ = random_geometric_spd(20_000, seed=2, avg_degree=12.0,
+                                   shift=0.05)
+    n = A.shape[0]
+    num = len(jax.devices())
+    tol = 1e-5 * float(np.linalg.norm(b))
+    npad_sh = -(-n // (128 * num)) * (128 * num)
+    tl_sh = tpucg.build_two_level(A, agg_size=64, npad=npad_sh)
+    sh = tpucg.sharded_operator_cg_solve(
+        A, b, tol=tol, maxiter=4 * n, two_level=tl_sh
+    )
+    assert bool(sh.converged)
+
+    op = tpucg.WellOperator.from_csr(A)
+    tl = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n)
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl)
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 3
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(ser.x), rtol=1e-2, atol=1e-4
+    )
+
+
+def test_two_level_sharded_dia():
+    # The band-halo DIA decomposition takes the same two_level argument
+    # (the closure only needs the sharded matvec + dinv + coarse inverse).
+    import jax
+
+    from tpucg.io.generator import poisson3d_dia
+
+    dia = poisson3d_dia(16)
+    n = 16 ** 3
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n).astype(np.float32)
+    num = len(jax.devices())
+    tol = 1e-5 * float(np.linalg.norm(b))
+    npad_sh = -(-n // (128 * num)) * (128 * num)
+    tl = tpucg.build_two_level(
+        tpucg.poisson3d_csr(16), agg_size=64, npad=npad_sh
+    )
+    two = tpucg.sharded_operator_cg_solve(
+        dia, b, tol=tol, maxiter=4 * n, two_level=tl
+    )
+    plain = tpucg.sharded_operator_cg_solve(dia, b, tol=tol, maxiter=4 * n)
+    assert bool(two.converged)
+    assert int(two.iterations) < int(plain.iterations)
+    np.testing.assert_allclose(
+        np.asarray(two.x), np.asarray(plain.x), rtol=1e-2, atol=1e-4
+    )
+
+
+def test_two_level_sharded_validation():
+    A, b, _ = random_geometric_spd(5_000, seed=3, avg_degree=10.0)
+    tl = tpucg.build_two_level(A, agg_size=64)  # serial npad: wrong here
+    import jax
+
+    num = len(jax.devices())
+    npad_sh = -(-A.shape[0] // (128 * num)) * (128 * num)
+    if npad_sh != tl.npad:
+        with pytest.raises(ValueError, match="sharded decomposition"):
+            tpucg.sharded_operator_cg_solve(A, b, two_level=tl)
+    tl_badagg = tpucg.build_two_level(A, agg_size=3 * 128, npad=npad_sh)
+    if (npad_sh // num) % (3 * 128):
+        with pytest.raises(ValueError, match="rows-per-shard"):
+            tpucg.sharded_operator_cg_solve(A, b, two_level=tl_badagg)
+    with pytest.raises(ValueError, match="method='cg'"):
+        tpucg.sharded_operator_cg_solve(
+            A, b, two_level=tl, method="pipelined"
+        )

@@ -40,6 +40,7 @@ from tpucg.solver.deflation import (
     sharded_cg_solve_deflated,
 )
 from tpucg.solver.ir import cg_solve_ir, sharded_cg_solve_ir
+from tpucg.solver.twolevel import TwoLevel, build_two_level
 from tpucg.solver.minres import minres_solve, sharded_minres_solve
 from tpucg.solver.sharded import (
     load_system_sharded,
@@ -84,6 +85,8 @@ __all__ = [
     "sharded_operator_cg_solve_checkpointed",
     "best_sparse_operator",
     "cg_solve_ir",
+    "TwoLevel",
+    "build_two_level",
     "minres_solve",
     "sharded_minres_solve",
     "sharded_cg_solve_ir",

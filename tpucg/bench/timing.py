@@ -140,6 +140,7 @@ def time_solve_chain(
     target_s: float = 0.05,
     precondition: str = "none",
     pc_block_size: int = 64,
+    two_level=None,
 ) -> float:
     """Steady-state seconds per CG solve, dispatch-corrected.
 
@@ -171,6 +172,31 @@ def time_solve_chain(
     if npad is not None and b.shape[0] != npad:
         b = jnp.zeros((npad,), b.dtype).at[: b.shape[0]].set(b)
         x0 = jnp.zeros((npad,), x0.dtype).at[: x0.shape[0]].set(x0)
+
+    if two_level is not None:
+        if precondition != "none":
+            raise ValueError("two_level excludes precondition")
+        from tpucg.solver.twolevel import make_two_level_precond
+
+        # tl rides operands (NOT a closure capture: its (nc, nc) coarse
+        # inverse would otherwise inline into the compile payload); the
+        # per-solve lambda_max setup inside run matches what cg_solve's
+        # jit pays per call — the honest steady-state number.
+        def run_tl(operands, bj, x0_):
+            op_, tl = operands
+            import functools as _ft
+
+            precond = make_two_level_precond(tl, op_.matvec, dot_xla, bj)
+            update = _ft.partial(fused_update, backend=blas_backend)
+            s = cg_loop(op_.matvec, dot_xla, update, bj, x0_,
+                        tol=tol, maxiter=maxiter, precond=precond)
+            return s.x
+
+        return time_run_chain(
+            run_tl, (op, two_level), b, x0,
+            klo=klo, khi=khi, iters=iters, est_solve_s=est_solve_s,
+            target_s=target_s,
+        )
 
     minv = None
     apply_minv = None

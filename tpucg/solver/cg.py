@@ -460,6 +460,7 @@ def ca_cg_loop(
     maxiter,
     safe_alpha: bool = True,
     power_iters: int = 12,
+    interval=None,
 ) -> _State:
     """Communication-avoiding (s-step) CG — Chronopoulos & Gear 1989;
     Carson, Knight & Demmel 2013 (monomial-basis CA-KSMs); Hoemmen 2010.
@@ -517,6 +518,14 @@ def ca_cg_loop(
     ``matvec``/``dot``/``gram`` abstract the execution model: serial
     closures, or block-local closures under shard_map where ``gram`` is
     psum(V_blk^T V_blk) and ``dot`` is psum-reducing.
+
+    ``interval=(lam_lo, lam_hi)`` (scalars, traced or python) supplies the
+    basis interval directly and SKIPS the 2 x ``power_iters``-matvec
+    power-method setup — the reusable-artifact path for repeated solves on
+    one operator (get it once from ``tpucg.spectral_interval``). The
+    interval affects only basis CONDITIONING, never correctness (the
+    change-of-basis B is exact at any [a, b]), so a cached estimate from an
+    earlier solve is safe to reuse as long as the operator is unchanged.
     """
     if s < 1:
         raise ValueError("ca s-step count must be >= 1")
@@ -546,9 +555,13 @@ def ca_cg_loop(
             D[base + i, base + i] = 1.0
     S1, S2, D = jnp.asarray(S1), jnp.asarray(S2), jnp.asarray(D)
 
-    lam_lo, lam_hi = spectral_interval_estimate(
-        matvec, dot, b, power_iters
-    )
+    if interval is None:
+        lam_lo, lam_hi = spectral_interval_estimate(
+            matvec, dot, b, power_iters
+        )
+    else:
+        lam_lo = jnp.asarray(interval[0], f32)
+        lam_hi = jnp.asarray(interval[1], f32)
     # 5% pad absorbs power-method under/over-shoot (eigenvalues slightly
     # outside the interval only grow T_i mildly); the width floor guards
     # the exactly-scalar operator A = const*I (h = 0 would NaN — any tiny
@@ -658,6 +671,7 @@ def chebyshev_loop(
     check_every: int = 8,
     power_iters: int = 16,
     precond: Optional[Callable] = None,
+    interval=None,
 ) -> _State:
     """Chebyshev iteration (Saad, *Iterative Methods*, alg. 12.1) — the
     terminal point of tpucg's reduction-cadence spectrum: classic CG pays
@@ -700,12 +714,23 @@ def chebyshev_loop(
     reduction-free per application) this is preconditioned Chebyshev on
     M^-1 A: the interval is estimated on the preconditioned operator and
     laps stay reduction-free.
+
+    ``interval=(lam_lo, lam_hi)`` supplies the spectrum bounds directly
+    and skips the power-method setup (see ``ca_cg_loop``); with a
+    ``precond`` the supplied interval must bound the PRECONDITIONED
+    operator M^-1 A. A wrong interval degrades toward the widened-interval
+    guard below rather than correctness (the chunk guard re-anchors and
+    widens), but costs rate — cache intervals per (operator, M) pair.
     """
     f32 = b.dtype
     tol2 = jnp.asarray(tol, f32) ** 2
     pmv = matvec if precond is None else (lambda v: precond(matvec(v)))
 
-    lam_lo, lam_hi = spectral_interval_estimate(pmv, dot, b, power_iters)
+    if interval is None:
+        lam_lo, lam_hi = spectral_interval_estimate(pmv, dot, b, power_iters)
+    else:
+        lam_lo = jnp.asarray(interval[0], f32)
+        lam_hi = jnp.asarray(interval[1], f32)
     bnd0 = 1.10 * lam_hi
     a0 = jnp.maximum(0.75 * lam_lo, jnp.asarray(1e-8, f32) * lam_hi)
 
@@ -816,12 +841,13 @@ def chebyshev_loop(
 
 
 def _run_chebyshev(matvec, dot, b, x0, *, tol, maxiter, check_every,
-                   precond=None):
+                   precond=None, interval=None):
     """Chebyshev loop -> the (x, k, rnorm, done) result tuple shared by the
     serial and sharded drivers."""
     st = chebyshev_loop(
         matvec, dot, b, x0,
         tol=tol, maxiter=maxiter, check_every=check_every, precond=precond,
+        interval=interval,
     )
     return st.x, st.k, jnp.sqrt(st.rslast), st.done
 
@@ -1216,10 +1242,14 @@ def block_cg_loop(
 )
 def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
             method="cg", record=False, poly_degree=0, s_step=3,
-            check_every=8):
+            check_every=8, interval=None, two_level=None):
     matvec = op.matvec
     dot = dot_xla
-    if poly_degree:
+    if two_level is not None:
+        from tpucg.solver.twolevel import make_two_level_precond
+
+        precond = make_two_level_precond(two_level, matvec, dot, b)
+    elif poly_degree:
         precond = make_poly_precond(matvec, dot, b, poly_degree)
     elif minv is not None:
         # 1-D minv = point Jacobi (elementwise); 3-D = block Jacobi
@@ -1256,6 +1286,7 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
         st = ca_cg_loop(
             matvec, dot, gram, b, x0,
             s=s_step, tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            interval=interval,
         )
         # rslast carries the exact (verified) block-end r.r.
         return CGResult(
@@ -1268,7 +1299,7 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
         x, k, rn, done = _run_chebyshev(
             matvec, dot, b, x0,
             tol=tol, maxiter=maxiter, check_every=check_every,
-            precond=precond,
+            precond=precond, interval=interval,
         )
         return CGResult(x=x, iterations=k, residual_norm=rn, converged=done)
     update = functools.partial(fused_update, backend=blas_backend)
@@ -1909,6 +1940,8 @@ def cg_solve(
     x0=None,
     config: Optional[CGConfig] = None,
     record_residuals: bool = False,
+    interval=None,
+    two_level=None,
     **overrides,
 ) -> CGResult:
     """Solve the SPD system A x = b on the current device.
@@ -1918,6 +1951,19 @@ def cg_solve(
     recurrence, tolerance, and iteration cap), jitted end-to-end.
     ``record_residuals=True`` additionally returns the per-iteration ||r||
     trace in ``result.residual_history``.
+
+    ``interval=(lam_lo, lam_hi)`` (methods "ca"/"chebyshev" only) supplies
+    cached spectrum bounds — e.g. the first two values of
+    ``tpucg.spectral_interval(A)`` — and skips the per-solve power-method
+    setup whose 2 x 12-16 matvecs otherwise dominate short solves
+    (RESULTS.md cadence table). For preconditioned Chebyshev the bounds
+    must be for M^-1 A.
+
+    ``two_level`` (a prebuilt :func:`tpucg.build_two_level` result; method
+    "cg", ``precondition="none"``) runs two-level-preconditioned CG — the
+    coarse-space correction that cuts FEM-class lap counts where
+    point/block Jacobi cannot (see ``tpucg.solver.twolevel``). It must
+    have been built with ``npad`` equal to the operator's ``padded_n``.
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -1959,8 +2005,34 @@ def cg_solve(
         minv = block_jacobi_minv(op, int(config.pc_block_size)).astype(dtype)
     if record_residuals and config.method != "cg":
         raise ValueError("record_residuals requires method='cg'")
-    fused_kind = _fused_eligible(config, op, backend, dtype,
-                                 record_residuals)
+    if interval is not None:
+        if config.method not in ("ca", "chebyshev"):
+            raise ValueError(
+                "interval=(lam_lo, lam_hi) applies to method='ca'/"
+                f"'chebyshev' (got method={config.method!r})"
+            )
+        interval = jnp.asarray(
+            [float(interval[0]), float(interval[1])], dtype
+        )
+    if two_level is not None:
+        if config.method != "cg" or config.precondition != "none":
+            raise ValueError(
+                "two_level runs as THE preconditioner of a method='cg' "
+                f"solve (got method={config.method!r}, "
+                f"precondition={config.precondition!r})"
+            )
+        if dtype != jnp.float32:
+            raise ValueError("two_level preconditioning is float32-only")
+        if two_level.npad != npad:
+            raise ValueError(
+                f"two_level was built for padded size {two_level.npad}, "
+                f"operator has {npad} — rebuild with "
+                f"build_two_level(csr, npad={npad})"
+            )
+    fused_kind = (
+        None if two_level is not None
+        else _fused_eligible(config, op, backend, dtype, record_residuals)
+    )
     fused_pc = dict(
         precondition=config.precondition,
         poly_degree=(
@@ -2001,7 +2073,7 @@ def cg_solve(
         op, b, x0, minv, float(config.tol), int(maxiter), blas_backend,
         bool(config.safe_alpha), config.method, bool(record_residuals),
         config.poly_degree if config.precondition == "poly" else 0,
-        int(config.s_step), int(config.check_every),
+        int(config.s_step), int(config.check_every), interval, two_level,
     )
     if npad != n:
         res = res._replace(x=res.x[:n])

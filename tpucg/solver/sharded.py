@@ -110,13 +110,15 @@ def _run_pipelined(mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
 
 
 def _run_ca(mv, dot, b_blk, x_blk, axes, *, s_step, tol, maxiter,
-            safe_alpha):
+            safe_alpha, interval=None):
     """Distributed CA (s-step) CG: the basis towers ride the block-local
     matvec closure (so each of the 2s-1 basis matvecs pays only ITS
     communication — allgather or ring), and the block's Gram matrix is ONE
     fused (2s+1)^2 psum (plus the exact block-end verification dot) per s
     laps — versus 2-3 scalar psums per lap for classic CG. See
-    ``tpucg.solver.cg.ca_cg_loop``."""
+    ``tpucg.solver.cg.ca_cg_loop``. ``interval`` (a cached (lam_lo,
+    lam_hi)) skips the power-method setup — and with it the setup's OWN
+    matvec communication."""
 
     def gram(V):
         return jax.lax.psum(
@@ -126,8 +128,24 @@ def _run_ca(mv, dot, b_blk, x_blk, axes, *, s_step, tol, maxiter,
     st = ca_cg_loop(
         mv, dot, gram, b_blk, x_blk,
         s=s_step, tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+        interval=interval,
     )
     return st.x, st.k, jnp.sqrt(st.rslast), st.done
+
+
+def _interval_static(interval, config):
+    """Validate and staticize a cached spectral interval for the sharded
+    jits (a host-known (lam_lo, lam_hi) pair — e.g. the first two values of
+    ``tpucg.spectral_interval`` — closed over as compile-time constants;
+    one compile per cached interval, the reuse regime it exists for)."""
+    if interval is None:
+        return None
+    if config.method not in ("ca", "chebyshev"):
+        raise ValueError(
+            "interval=(lam_lo, lam_hi) applies to method='ca'/'chebyshev' "
+            f"(got method={config.method!r})"
+        )
+    return (float(interval[0]), float(interval[1]))
 
 
 def _ring_perm(num: int) -> list:
@@ -179,13 +197,13 @@ def _make_matvec(A_blk, strategy: str, num_shards: int, backend: str, axis: str)
     static_argnames=(
         "mesh", "strategy", "backend", "tol", "maxiter", "safe_alpha", "axis",
         "precondition", "method", "poly_degree", "record", "s_step",
-        "check_every", "pc_block_size",
+        "check_every", "pc_block_size", "interval",
     ),
 )
 def _sharded_cg_jit(
     A, b, x0, *, mesh, strategy, backend, tol, maxiter, safe_alpha, axis,
     precondition="none", method="cg", poly_degree=0, record=False, s_step=3,
-    check_every=8, pc_block_size=64,
+    check_every=8, pc_block_size=64, interval=None,
 ):
     num = mesh.devices.size
 
@@ -224,7 +242,7 @@ def _sharded_cg_jit(
             x, k, rn, done = _run_ca(
                 mv, dot, b_blk, x_blk, axis,
                 s_step=s_step, tol=tol, maxiter=maxiter,
-                safe_alpha=safe_alpha,
+                safe_alpha=safe_alpha, interval=interval,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
         if method == "chebyshev":
@@ -233,7 +251,7 @@ def _sharded_cg_jit(
             x, k, rn, done = _run_chebyshev(
                 mv, dot, b_blk, x_blk,
                 tol=tol, maxiter=maxiter, check_every=check_every,
-                precond=precond,
+                precond=precond, interval=interval,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -1262,18 +1280,18 @@ def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets,
     static_argnames=(
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
         "m_padded", "precondition", "poly_degree", "offsets", "backend",
-        "record", "s_step", "check_every",
+        "record", "s_step", "check_every", "interval", "tl_agg", "tl_omega",
     ),
 )
 def _sharded_operator_cg_jit(
-    op_arrays, b, x0, minv, *, mesh, tol, maxiter, safe_alpha, axis,
+    op_arrays, b, x0, minv, acinv, *, mesh, tol, maxiter, safe_alpha, axis,
     method="cg", kind="ell", m=None, m_padded=None, precondition="none",
     poly_degree=0, offsets=None, backend="xla", record=False, s_step=3,
-    check_every=8,
+    check_every=8, interval=None, tl_agg=0, tl_omega=0.7,
 ):
     num = mesh.devices.size
 
-    def solve(op_blk, b_blk, x_blk, minv_blk):
+    def solve(op_blk, b_blk, x_blk, minv_blk, acinv_rep):
         mv = _operator_matvec(
             kind, op_blk, axis, num, m, m_padded, offsets, backend
         )
@@ -1288,6 +1306,17 @@ def _sharded_operator_cg_jit(
             precond = make_block_precond(minv_blk, b_blk.shape[0])
         elif precondition == "poly":
             precond = make_poly_precond(mv, dot, b_blk, poly_degree)
+        elif precondition == "two_level":
+            # minv carries the sharded 1/diag; acinv the replicated
+            # coarse inverse (see solver.twolevel).
+            from tpucg.solver.twolevel import (
+                make_two_level_precond_sharded,
+            )
+
+            precond = make_two_level_precond_sharded(
+                mv, dot, b_blk, acinv_rep, minv_blk, tl_agg, tl_omega,
+                axis,
+            )
         if method == "pipelined":
             x, k, rn, done = _run_pipelined(
                 mv, dot, dots, b_blk, x_blk, tol, maxiter, safe_alpha,
@@ -1298,14 +1327,14 @@ def _sharded_operator_cg_jit(
             x, k, rn, done = _run_ca(
                 mv, dot, b_blk, x_blk, axis,
                 s_step=s_step, tol=tol, maxiter=maxiter,
-                safe_alpha=safe_alpha,
+                safe_alpha=safe_alpha, interval=interval,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
         if method == "chebyshev":
             x, k, rn, done = _run_chebyshev(
                 mv, dot, b_blk, x_blk,
                 tol=tol, maxiter=maxiter, check_every=check_every,
-                precond=precond,
+                precond=precond, interval=interval,
             )
             return x, k, rn, done, jnp.zeros((1,), jnp.float32)
 
@@ -1327,10 +1356,11 @@ def _sharded_operator_cg_jit(
     return jax.shard_map(
         solve,
         mesh=mesh,
-        in_specs=(_operator_specs(kind, axis), vec, vec, minv_spec),
+        in_specs=(_operator_specs(kind, axis), vec, vec, minv_spec,
+                  P(None, None)),
         out_specs=(vec, P(), P(), P(), P()),
         check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
-    )(op_arrays, b, x0, minv)
+    )(op_arrays, b, x0, minv, acinv)
 
 
 @functools.partial(
@@ -1813,6 +1843,8 @@ def sharded_operator_cg_solve(
     config: Optional[CGConfig] = None,
     record_residuals: bool = False,
     storage_dtype=np.float32,
+    interval=None,
+    two_level=None,
     **overrides,
 ) -> CGResult:
     """Distributed CG on a sparse/stencil operator over a 1-D mesh.
@@ -1839,6 +1871,15 @@ def sharded_operator_cg_solve(
     shard — the per-lap apply is one shard-local batched block-GEMV, zero
     communication; ``pc_block_size`` need not divide rows-per-shard
     (virtual grid-tail rows take identity).
+
+    ``two_level`` (a :func:`tpucg.build_two_level` result; method "cg",
+    ``precondition="none"``): distributed two-level PCG — shard-local
+    restrict/prolong (contiguous aggregates never cross a shard), one
+    (nc,)-length all_gather of the coarse residual per apply, the coarse
+    inverse replicated. Build it with ``npad`` equal to the SHARDED
+    padding (the error message states the required value — e.g.
+    round_up(n, 128 * P) for the CSR/WELL decomposition) and an
+    ``agg_size`` dividing rows-per-shard.
     """
     from tpucg.kernels.spmv import LANE, dia_supported
     from tpucg.solver.operators import (
@@ -1867,6 +1908,33 @@ def sharded_operator_cg_solve(
             "implemented for Poisson/DIA/WELL (shard-local diagonal "
             "blocks); ELL/BSR support 'none', 'jacobi', or 'poly'"
         )
+    precondition = config.precondition
+    tl_agg, tl_omega = 0, 0.7
+    acinv_host = np.zeros((1, 1), np.float32)
+    if two_level is not None:
+        if config.method != "cg" or config.precondition != "none":
+            raise ValueError(
+                "two_level runs as THE preconditioner of a method='cg' "
+                f"solve (got method={config.method!r}, "
+                f"precondition={config.precondition!r})"
+            )
+        if two_level.npad != npad:
+            raise ValueError(
+                f"two_level was built for padded size {two_level.npad}, "
+                f"the sharded decomposition pads to {npad} — rebuild with "
+                f"build_two_level(csr, agg_size={two_level.agg}, "
+                f"npad={npad})"
+            )
+        num = mesh.devices.size
+        if (npad // num) % two_level.agg:
+            raise ValueError(
+                f"agg_size={two_level.agg} must divide rows-per-shard "
+                f"({npad // num}) so aggregates stay shard-local"
+            )
+        precondition = "two_level"
+        tl_agg, tl_omega = two_level.agg, two_level.omega
+        minv_host = np.asarray(two_level.dinv)  # sharded like jacobi's
+        acinv_host = np.asarray(two_level.acinv)
     shard1 = NamedSharding(mesh, P(axis))
 
     b = np.asarray(b, np.float32)
@@ -1898,19 +1966,24 @@ def sharded_operator_cg_solve(
         jax.device_put(jnp.asarray(bp), shard1),
         jax.device_put(jnp.asarray(x0p), shard1),
         minv_dev,
+        jax.device_put(jnp.asarray(acinv_host),
+                       NamedSharding(mesh, P(None, None))),
         mesh=mesh,
         tol=float(config.tol),
         maxiter=int(maxiter),
         safe_alpha=bool(config.safe_alpha),
         axis=axis,
         method=config.method,
-        precondition=config.precondition,
+        precondition=precondition,
         poly_degree=(
             config.poly_degree if config.precondition == "poly" else 0
         ),
         record=record_residuals,
         s_step=int(config.s_step),
         check_every=int(config.check_every),
+        interval=_interval_static(interval, config),
+        tl_agg=int(tl_agg),
+        tl_omega=float(tl_omega),
         **statics,
     )
     if npad != n:
@@ -2303,6 +2376,7 @@ def sharded_cg_solve(
     n: Optional[int] = None,
     record_residuals: bool = False,
     storage_dtype=np.float32,
+    interval=None,
     **overrides,
 ) -> CGResult:
     """Solve A x = b with A row-block-sharded across the mesh.
@@ -2336,6 +2410,11 @@ def sharded_cg_solve(
     if mesh.devices.ndim == 2:
         if n is not None:
             raise ValueError("n override is for pre-padded 1-D inputs")
+        if interval is not None:
+            raise ValueError(
+                "interval caching is implemented for the 1-D decompositions "
+                "(the 2-D SUMMA arm re-estimates per solve)"
+            )
         if config.precondition == "block_jacobi":
             raise ValueError(
                 "precondition='block_jacobi' is supported on 1-D meshes "
@@ -2412,6 +2491,7 @@ def sharded_cg_solve(
         s_step=int(config.s_step),
         check_every=int(config.check_every),
         pc_block_size=int(config.pc_block_size),
+        interval=_interval_static(interval, config),
     )
     if part.n_padded != n:
         x = x[:n]

@@ -1,0 +1,223 @@
+"""Two-level (AMG-lite) preconditioner — the iteration-count answer for
+FEM-class irregular systems.
+
+The reference is unpreconditioned CG (``serialConjugate.c:180-259``); tpucg's
+point/block-Jacobi and Neumann-poly preconditioners bound the per-lap cost
+but not the LAP COUNT on mesh Laplacians: the measured FEM P1 n=300k solve is
+1718 jacobi laps at a 91%-of-roofline kernel (RESULTS.md) — iteration count,
+not bandwidth, is the entire cost. What CG lacks there is the LOW-frequency
+end of the spectrum; a coarse-space correction supplies exactly that.
+
+TPU-honest construction (contrast classic AMG, whose C/F splitting,
+triangular smoothers, and per-level sparse hierarchies are gather/scatter
+machines XLA cannot tile):
+
+- **Aggregates are fixed-size CONTIGUOUS index blocks** (``agg_size`` rows
+  each). After a locality-restoring ordering (mesh numbering or ``--rcm``),
+  consecutive rows are spatially adjacent, so contiguous blocks are honest
+  spatial aggregates — and the transfer operators vanish into layout:
+  restriction is ``r.reshape(nc, agg).sum(axis=1)`` (one VPU reduction),
+  prolongation a broadcast — ZERO gathers, zero stored P.
+- **The Galerkin coarse operator Ac = P^T A P** is assembled host-side from
+  the CSR coordinates in one ``np.add.at`` pass (entries pool by
+  (row//agg, col//agg)) and INVERTED ONCE in f64; the per-lap coarse solve
+  is then a single dense (nc, nc) GEMV — MXU work, no sparse triangular
+  solves anywhere.
+- **Smoothing is damped Jacobi** (w D^-1, w = omega / lambda_max(D^-1 A),
+  the estimate riding the same matvec/dot closures as the solve, so the
+  whole preconditioner works unchanged under every decomposition).
+
+Per application (the symmetric V(1,1) cycle below): 2 operator matvecs,
+2 Jacobi scalings, one (nc,) reshape-sum + (nc, nc) GEMV + broadcast.
+The cycle
+
+    z1 = S r                    (pre-smooth,  S = w D^-1)
+    z2 = z1 + P Ac^-1 P^T (r - A z1)
+    z  = z2 + S (r - A z2)      (post-smooth)
+
+composes to B = 2S - SAS + (I - SA) C (I - AS) with C = P Ac^-1 P^T —
+symmetric by construction and SPD whenever w * lambda_max(D^-1 A) < 2
+(guaranteed by the omega < 1 default against the power-method estimate),
+so plain PCG applies with the true-residual stopping contract unchanged.
+
+Measured effect (tests / RESULTS.md): the coarse space removes the smooth
+modes CG crawls on — FEM P1 lap counts drop ~5-10x vs point Jacobi at ~3x
+the per-lap cost, a net win precisely on the systems whose iteration count
+is the bottleneck (VERDICT round-3 item 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucg.io.partitioner import round_up
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TwoLevel:
+    """A prebuilt two-level preconditioner (device arrays + static layout).
+
+    acinv (nc, nc) f32 — dense inverse of the Galerkin coarse matrix
+                         P^T A P (f64 inverse at setup, symmetrized);
+    dinv  (npad,) f32  — 1/diag(A) over the padded rows (identity tail -> 1);
+    agg                — rows per aggregate (contiguous);
+    npad               — padded system size this was built for (must match
+                         the operator's ``padded_n``);
+    omega              — Jacobi damping relative to the lambda_max(D^-1 A)
+                         estimate (w = omega / lam; omega < 1 keeps the
+                         cycle SPD even under estimate error).
+    """
+
+    acinv: jax.Array
+    dinv: jax.Array
+    agg: int = dataclasses.field(metadata=dict(static=True))
+    npad: int = dataclasses.field(metadata=dict(static=True))
+    omega: float = dataclasses.field(
+        default=0.7, metadata=dict(static=True)
+    )
+
+    @property
+    def nc(self) -> int:
+        return int(self.acinv.shape[0])
+
+
+def build_two_level(
+    csr,
+    agg_size: int = 64,
+    omega: float = 0.7,
+    npad: Optional[int] = None,
+    ridge: float = 0.0,
+) -> TwoLevel:
+    """Build a :class:`TwoLevel` preconditioner from a square SPD CSR.
+
+    Host-side, setup-only (one COO pass + one f64 dense inverse of the
+    (nc, nc) coarse matrix, nc = ceil(npad / agg_size)); keep nc in the
+    low thousands — agg_size 64-256 for n ~ 10^5-10^6. ``npad`` defaults
+    to ``round_up(n, 128)`` (the WELL/DIA operator padding); pass the
+    operator's ``padded_n`` explicitly if it differs. Rows [n, npad) are
+    the partitioner's identity tail and contribute identity to their
+    aggregates, so the coarse matrix stays SPD with no empty rows.
+
+    ``ridge`` adds a trace-relative diagonal term before inversion — zero
+    by default (the Galerkin coarse of an SPD fine matrix is SPD; the knob
+    exists for near-singular shifted systems).
+    """
+    n, ncols = csr.shape
+    if n != ncols:
+        raise ValueError(f"two-level needs a square matrix, got {csr.shape}")
+    agg = int(agg_size)
+    if agg < 2:
+        raise ValueError(f"agg_size must be >= 2, got {agg_size}")
+    if npad is None:
+        npad = round_up(n, 128)
+    if npad < n:
+        raise ValueError(f"npad {npad} < n {n}")
+    nc = -(-npad // agg)
+
+    coo = csr.to_coo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    vals = coo.data.astype(np.float64)
+
+    # Galerkin coarse matrix: entries pool by aggregate pair; identity tail
+    # rows add 1 to their aggregate's diagonal (blockdiag(A, I) exactly).
+    Ac = np.zeros((nc, nc), np.float64)
+    np.add.at(Ac, (rows // agg, cols // agg), vals)
+    tail_counts = np.bincount(
+        np.arange(n, nc * agg, dtype=np.int64) // agg, minlength=nc
+    )
+    idx = np.arange(nc)
+    Ac[idx, idx] += tail_counts
+    Ac = 0.5 * (Ac + Ac.T)
+    if ridge:
+        Ac[idx, idx] += ridge * (np.trace(Ac) / nc)
+    acinv = np.linalg.inv(Ac)
+    acinv = (0.5 * (acinv + acinv.T)).astype(np.float32)
+
+    on_d = rows == cols
+    dv = np.zeros(n, np.float64)
+    np.add.at(dv, rows[on_d], vals[on_d])
+    d = np.ones(npad, np.float32)
+    d[:n] = np.where(dv != 0, dv, 1.0).astype(np.float32)
+    dinv = (1.0 / d).astype(np.float32)
+
+    return TwoLevel(
+        acinv=jnp.asarray(acinv), dinv=jnp.asarray(dinv),
+        agg=agg, npad=int(npad), omega=float(omega),
+    )
+
+
+def make_two_level_precond(
+    tl: TwoLevel, matvec: Callable, dot: Callable, like: jax.Array
+) -> Callable:
+    """The serial z = B r closure (the symmetric V(1,1) cycle above), built
+    from the same matvec/dot closures as the solve — trace-time cost is one
+    power-method lambda_max(D^-1 A) estimate (12 matvecs, once per jit)."""
+    from tpucg.solver.cg import lambda_max_estimate
+
+    lam = lambda_max_estimate(
+        lambda v: tl.dinv * matvec(v), dot, like
+    )
+    w = jnp.asarray(tl.omega, jnp.float32) / lam
+    nc, agg, npad = tl.nc, tl.agg, tl.npad
+    npc = nc * agg
+    _HI = jax.lax.Precision.HIGHEST
+
+    def restrict(v):
+        vp = jnp.pad(v, (0, npc - npad)) if npc != npad else v
+        return jnp.sum(vp.reshape(nc, agg), axis=1)
+
+    def prolong(u):
+        z = jnp.broadcast_to(u[:, None], (nc, agg)).reshape(-1)
+        return z[:npad] if npc != npad else z
+
+    def precond(r):
+        z = (w * tl.dinv) * r
+        e = jnp.matmul(tl.acinv, restrict(r - matvec(z)), precision=_HI)
+        z = z + prolong(e)
+        return z + (w * tl.dinv) * (r - matvec(z))
+
+    return precond
+
+
+def make_two_level_precond_sharded(
+    matvec, dot, b_blk, acinv, dinv_blk, agg: int, omega: float, axis
+):
+    """The row-block-sharded z = B r closure: shard-LOCAL restrict /
+    prolong (contiguous aggregates never cross a shard — the caller
+    enforces agg | rows-per-shard), ONE (nc,)-length ``all_gather`` of the
+    coarse residual per coarse solve (nc is in the low thousands — a
+    rounding error beside the matvec's own collective), the (nc, nc)
+    inverse REPLICATED, plus the cycle's two sharded matvecs. ``matvec``/
+    ``dot`` are the same per-shard closures the solve uses, so this rides
+    every 1-D operator decomposition (WELL all-gather, DIA band-halo,
+    Poisson slab) unchanged."""
+    from tpucg.solver.cg import lambda_max_estimate
+
+    lam = lambda_max_estimate(
+        lambda v: dinv_blk * matvec(v), dot, b_blk
+    )
+    w = jnp.asarray(omega, jnp.float32) / lam
+    ncl = dinv_blk.shape[0] // agg  # local coarse entries per shard
+    _HI = jax.lax.Precision.HIGHEST
+
+    def coarse(r_blk):
+        rc_loc = jnp.sum(r_blk.reshape(ncl, agg), axis=1)
+        rc = jax.lax.all_gather(rc_loc, axis, tiled=True)  # (nc,)
+        e = jnp.matmul(acinv, rc, precision=_HI)
+        my = jax.lax.axis_index(axis)
+        e_loc = jax.lax.dynamic_slice(e, (my * ncl,), (ncl,))
+        return jnp.broadcast_to(e_loc[:, None], (ncl, agg)).reshape(-1)
+
+    def precond(r_blk):
+        z = (w * dinv_blk) * r_blk
+        z = z + coarse(r_blk - matvec(z))
+        return z + (w * dinv_blk) * (r_blk - matvec(z))
+
+    return precond
