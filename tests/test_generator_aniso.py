@@ -1,0 +1,80 @@
+"""Anisotropic-diffusion P1 family (the second independent generator,
+VERDICT round-3 item 6): SPD-ness, the eps-hardness it exists to provide,
+WELL-pipeline compatibility, and the two-level pairing."""
+
+import numpy as np
+import pytest
+
+import tpucg
+from tpucg.io.generator import fem_p1_aniso_system, fem_p1_system
+
+
+@pytest.fixture(scope="module")
+def aniso():
+    A, b, x0 = fem_p1_aniso_system(6_000, eps=1e-2, seed=0)
+    return A, b, x0
+
+
+def test_aniso_is_spd(aniso):
+    A, b, _ = aniso
+    Ad = A.to_dense().astype(np.float64)
+    np.testing.assert_allclose(Ad, Ad.T, atol=1e-10)
+    w = np.linalg.eigvalsh(Ad)
+    assert w.min() > 0
+
+
+def test_aniso_reduces_to_isotropic_at_eps_one():
+    # K = R^T diag(1, 1) R = I: the assembly must agree with the isotropic
+    # family exactly (same mesh, same seed).
+    A_iso, b_iso, _ = fem_p1_system(800, seed=2)
+    A_one, b_one, _ = fem_p1_aniso_system(800, eps=1.0, seed=2)
+    np.testing.assert_allclose(
+        A_one.to_dense(), A_iso.to_dense(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(b_one, b_iso, rtol=1e-5)
+
+
+def test_aniso_is_iteration_harder_than_isotropic(aniso):
+    # The family's reason to exist: at eps=1e-2 the jacobi lap count must
+    # exceed the isotropic mesh's substantially (measured 457 vs 262 at
+    # n~5900; the unstructured mesh tempers the nominal 1/eps growth).
+    A, b, _ = aniso
+    A_iso, b_iso, _ = fem_p1_system(6_000, seed=0)
+    op = tpucg.EllOperator.from_csr(A)
+    op_iso = tpucg.EllOperator.from_csr(A_iso)
+    n = A.shape[0]
+    r = tpucg.cg_solve(
+        op, b, tol=1e-5 * float(np.linalg.norm(b)), maxiter=8 * n,
+        precondition="jacobi",
+    )
+    r_iso = tpucg.cg_solve(
+        op_iso, b_iso, tol=1e-5 * float(np.linalg.norm(b_iso)),
+        maxiter=8 * n, precondition="jacobi",
+    )
+    assert bool(r.converged)
+    assert int(r.iterations) > 1.5 * int(r_iso.iterations)
+
+
+def test_aniso_through_well_and_two_level(aniso):
+    # The target pipeline (RESULTS.md irregular table): WELL operator +
+    # two-level PCG on the hard family — the lap count must beat jacobi.
+    A, b, _ = aniso
+    n = A.shape[0]
+    op = tpucg.WellOperator.from_csr(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    jac = tpucg.cg_solve(op, b, tol=tol, maxiter=8 * n,
+                         precondition="jacobi")
+    tl = tpucg.build_two_level(A, agg_size=32)
+    two = tpucg.cg_solve(op, b, tol=tol, maxiter=8 * n, two_level=tl)
+    assert bool(two.converged)
+    assert int(two.iterations) * 2 <= int(jac.iterations)
+
+
+def test_aniso_rotating_and_shuffle():
+    A, b, x0 = fem_p1_aniso_system(1_500, eps=1e-2, rotating=True, seed=1,
+                                   shuffle=True)
+    Ad = A.to_dense().astype(np.float64)
+    np.testing.assert_allclose(Ad, Ad.T, atol=1e-10)
+    assert np.linalg.eigvalsh(Ad).min() > 0
+    with pytest.raises(ValueError, match="eps"):
+        fem_p1_aniso_system(100, eps=0.0)

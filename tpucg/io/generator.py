@@ -244,19 +244,25 @@ def fem_p1_system(
     seed: int = 0,
     shuffle: bool = False,
     dtype=np.float32,
+    diffusion=None,
 ) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
     """Unstructured 2-D FEM system: P1 (linear-triangle) stiffness matrix on
     a random Delaunay mesh of the unit square, Dirichlet boundary eliminated.
 
     The SuiteSparse-style real-world workload (genuinely irregular row
     lengths, cotangent-weight values, mesh topology): assemble
-    K_ij = sum_T grad(phi_i) . grad(phi_j) |T| over all triangles, drop
+    K_ij = sum_T grad(phi_i) . K grad(phi_j) |T| over all triangles, drop
     rows/cols of convex-hull (boundary) nodes — K restricted to interior
     nodes is SPD (Poisson problem with Dirichlet conditions). b is the
     assembled unit load vector. Interior nodes keep Delaunay input order
     (spatial locality comparable to a real mesh numbering);
     ``shuffle=True`` destroys it for reordering experiments
     (``tpucg.sparse.ordering.rcm_order``).
+
+    ``diffusion``: optional per-triangle SPD diffusion tensor — a callable
+    mapping the (nt, 2) triangle centroids to (nt, 2, 2) tensors (the
+    isotropic Laplacian K = I when None). Used by
+    :func:`fem_p1_aniso_system` to build the anisotropic-diffusion family.
 
     Returns (A_csr, b, x0). Requires scipy (Delaunay); raises ImportError
     with a clear message if unavailable.
@@ -279,7 +285,10 @@ def fem_p1_system(
     tri = Delaunay(pts)
     T = tri.simplices  # (nt, 3)
     # P1 stiffness per triangle: with edge vectors e_k opposite vertex k,
-    # K_local[i, j] = (e_i . e_j) / (4 |T|)  (gradients rotate edges).
+    # grad(phi_k) = perp(e_k) / (2|T|), so for a diffusion tensor K
+    # K_local[i, j] = perp(e_i) . K perp(e_j) / (4 |T|)
+    # (the isotropic case reduces to (e_i . e_j) / (4 |T|): a rotation
+    # applied to both sides of the identity cancels).
     p0, p1, p2 = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
     e0 = p2 - p1
     e1 = p0 - p2
@@ -287,7 +296,20 @@ def fem_p1_system(
     area2 = np.abs(e2[:, 0] * (-e1[:, 1]) - e2[:, 1] * (-e1[:, 0]))  # 2|T|
     area2 = np.maximum(area2, 1e-14)
     E = np.stack([e0, e1, e2], axis=1)          # (nt, 3, 2)
-    Kloc = np.einsum("tid,tjd->tij", E, E) / (2.0 * area2)[:, None, None]
+    if diffusion is None:
+        Kloc = np.einsum("tid,tjd->tij", E, E) / (2.0 * area2)[:, None, None]
+    else:
+        centroids = (p0 + p1 + p2) / 3.0        # (nt, 2)
+        Kt = np.asarray(diffusion(centroids))   # (nt, 2, 2) SPD
+        if Kt.shape != (T.shape[0], 2, 2):
+            raise ValueError(
+                f"diffusion must map (nt, 2) centroids to (nt, 2, 2) "
+                f"tensors, got {Kt.shape}"
+            )
+        Perp = np.stack([-E[:, :, 1], E[:, :, 0]], axis=2)  # perp(e_k)
+        Kloc = np.einsum("tic,tcd,tjd->tij", Perp, Kt, Perp) / (
+            2.0 * area2
+        )[:, None, None]
     rows = np.repeat(T, 3, axis=1).reshape(-1)          # i index
     cols = np.tile(T, (1, 3)).reshape(-1)               # j index
     vals = Kloc.reshape(-1)
@@ -312,3 +334,54 @@ def fem_p1_system(
         b_s[relabel] = b
         b = b_s
     return A, b.astype(dtype), np.zeros(n, dtype)
+
+
+def fem_p1_aniso_system(
+    n_points: int,
+    eps: float = 1e-2,
+    theta: float = np.pi / 6.0,
+    rotating: bool = False,
+    seed: int = 0,
+    shuffle: bool = False,
+    dtype=np.float32,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
+    """Anisotropic-diffusion P1 FEM system — the second independent
+    generator family (VERDICT round-3 item 6): same unstructured Delaunay
+    pipeline as :func:`fem_p1_system` but with the diffusion tensor
+
+        K(x) = R(t)^T diag(1, eps) R(t),   t = theta (fixed) or the
+        rotating field t(x) = theta + atan2(y - 1/2, x - 1/2)
+
+    so heat flows ``1/eps`` times more easily along one direction than
+    across it. This is the classic ITERATION-HARD input (strong coupling
+    along characteristic lines, weak across): condition grows ~1/eps and
+    point-Jacobi CG degrades far beyond the isotropic family — the
+    workload the two-level preconditioner and RCM/WELL pipeline are
+    benchmarked against in RESULTS.md. ``rotating=True`` bends the
+    characteristic direction around the domain center (no single
+    grid-aligned ordering can follow it — the harder variant).
+
+    Returns (A_csr, b, x0) with the same conventions as
+    :func:`fem_p1_system`.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+
+    def diffusion(c):
+        t = np.full(c.shape[0], float(theta))
+        if rotating:
+            t = t + np.arctan2(c[:, 1] - 0.5, c[:, 0] - 0.5)
+        ct, st = np.cos(t), np.sin(t)
+        # R^T diag(1, eps) R assembled directly: K = u u^T + eps v v^T
+        # with u = (ct, st) the strong direction, v = (-st, ct).
+        u = np.stack([ct, st], axis=1)
+        v = np.stack([-st, ct], axis=1)
+        return (
+            np.einsum("ti,tj->tij", u, u)
+            + float(eps) * np.einsum("ti,tj->tij", v, v)
+        )
+
+    return fem_p1_system(
+        n_points, seed=seed, shuffle=shuffle, dtype=dtype,
+        diffusion=diffusion,
+    )
