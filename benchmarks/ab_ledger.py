@@ -160,10 +160,19 @@ def main():
         # (RESULTS.md extensions caveat) — give all three arms the same
         # reachable target so iteration counts are comparable.
         tol_m = 1e-5 * float(np.linalg.norm(b))
-        for method in ("cg", "pipelined", "ca", "chebyshev"):
+        # Warm-interval rows (the reusable spectral artifact): ca/chebyshev
+        # re-run with cached (lam_lo, lam_hi) so their rows show amortized
+        # steady-state cost instead of paying the 2x16-matvec power-method
+        # setup every solve (cg_solve(..., interval=...)).
+        lam_lo, lam_hi, _ = tpucg.spectral_interval(A)
+        arms = [("cg", None), ("pipelined", None), ("ca", None),
+                ("chebyshev", None), ("ca-warm", (lam_lo, lam_hi)),
+                ("chebyshev-warm", (lam_lo, lam_hi))]
+        for method, iv in arms:
+            base = method.removesuffix("-warm")
             solve = lambda: tpucg.sharded_cg_solve(
                 Ad, bd, x0d, mesh=mesh_m, strategy="allgather", n=n,
-                method=method, tol=tol_m,
+                method=base, tol=tol_m, interval=iv,
             )
             r = solve()
             jax.block_until_ready(r.x)
@@ -267,24 +276,29 @@ def main():
         f"floor caveat), functional/CPU mesh — reduction-latency wins need "
         f"a real multi-chip mesh where psum latency is nonzero:",
         "",
-        "| n | classic CG (s/iters) | pipelined (s/iters) | ca s=3 (s/iters) | chebyshev (s/iters) |",
-        "|---|---|---|---|---|",
+        "| n | classic CG (s/iters) | pipelined (s/iters) | ca s=3 (s/iters)"
+        " | chebyshev (s/iters) | ca warm (s/iters) | chebyshev warm "
+        "(s/iters) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for n in sizes:
         row = f"| {n} "
-        for method in ("cg", "pipelined", "ca", "chebyshev"):
+        for method in ("cg", "pipelined", "ca", "chebyshev", "ca-warm",
+                       "chebyshev-warm"):
             mr = method_results[(n, method)]
             row += f"| {mr['cg_s']:.4f} / {mr['iters']} "
         lines.append(row + "|")
     lines += [
         "",
-        "CA's rows here are dominated by its FIXED setup — 24 power-method "
-        "matvecs estimating the Chebyshev interval — which dwarfs the 3-4 "
-        "solve laps of this well-conditioned family; the per-s-laps "
-        "reduction saving amortizes only over many-iteration solves on "
-        "latency-bound meshes. The chebyshev arm (`method='chebyshev'`, "
-        "ZERO reductions per lap, one exact check per 8 laps) pays the "
-        "same interval setup plus a no-minimization rate penalty — its "
+        "COLD CA/chebyshev rows are dominated by their FIXED setup — 2x16 "
+        "power-method matvecs estimating the Chebyshev interval — which "
+        "dwarfs the 3-4 solve laps of this well-conditioned family. The "
+        "WARM rows re-run the same arms with a cached interval "
+        "(`cg_solve(..., interval=tpucg.spectral_interval(A)[:2])` — the "
+        "reusable spectral artifact): setup vanishes and the rows show the "
+        "amortized steady-state cost a repeated-solve workload sees. The "
+        "chebyshev arm (ZERO reductions per lap, one exact check per 8 "
+        "laps) additionally pays a no-minimization rate penalty — its "
         "iteration counts round up to the check cadence; it is the "
         "extreme latency point, not a bandwidth winner.",
         "",

@@ -361,6 +361,103 @@ def bench_block(n, k, repeats):
     return rows
 
 
+def bench_block_well(n_points, k, repeats):
+    """Block CG / multi-RHS on the IRREGULAR (WELL) operator — the
+    VERDICT round-3 item-3 ask ("dense AND WELL"): one FEM P1 stiffness
+    system (Dirichlet SPD, spread low modes — the regime where the shared
+    block-Krylov space deflates) with k random right-hand sides. Arms:
+    BCGrQ block CG, vmapped lockstep multi (both lift the Pallas WELL
+    kernel over the RHS axis via vmap — exercised here on real TPU for
+    the first time; a Mosaic batching failure falls back to reporting
+    sequential only, loudly), and k sequential single-vector solves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpucg
+    from tpucg.bench.timing import time_run_chain
+    from tpucg.io.generator import fem_p1_system
+    from tpucg.solver.cg import _cg_block_jit, _cg_jit, _cg_multi_jit
+
+    A, _, _ = fem_p1_system(n_points, seed=0)
+    n = A.shape[0]
+    op = tpucg.WellOperator.from_csr(A)
+    npad = op.padded_n
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    Bp = np.zeros((npad, k), np.float32)
+    Bp[:n] = B
+    tol = 3e-4 * float(np.linalg.norm(B[:, 0]))
+    maxiter = 4 * n
+    Bj = jax.device_put(jnp.asarray(Bp))
+    X0 = jnp.zeros_like(Bj)
+    jax.block_until_ready((Bj,))
+
+    rows = []
+
+    def run_singles(operands, bb, x0_):
+        (op_,) = operands
+        cols = []
+        for j in range(k):
+            cols.append(
+                _cg_jit(op_, bb[:, j], x0_[:, j], None, tol, maxiter,
+                        "xla", True).x
+            )
+        return jnp.stack(cols, axis=1)
+
+    # Sequential reference first (always available).
+    res_1 = _cg_jit(op, Bj[:, 0], X0[:, 0], None, tol, maxiter, "xla",
+                    True)
+    seq_laps = int(res_1.iterations)
+    mv_est = 60e-6  # measured WELL matvec at n~50k scale
+    s_seq = float(np.median([
+        time_run_chain(run_singles, (op,), Bj, X0, iters=repeats,
+                       est_solve_s=k * seq_laps * mv_est)
+        for _ in range(3)
+    ]))
+    rows.append(dict(method="k sequential solves", n=n, k=k,
+                     iters=seq_laps, solve_ms=s_seq * 1e3))
+    print(f"block-well[seq]: {s_seq*1e3:.3f} ms ({seq_laps} laps)",
+          flush=True)
+
+    def run_multi(operands, bb, x0_):
+        (op_,) = operands
+        return _cg_multi_jit(op_, bb, x0_, None, tol, maxiter, True).x
+
+    def run_block(operands, bb, x0_):
+        (op_,) = operands
+        return _cg_block_jit(op_, bb, x0_, tol, maxiter).x
+
+    for label, solve_fn, run in (
+        ("multi (vmap lockstep)",
+         lambda: _cg_multi_jit(op, Bj, X0, None, tol, maxiter, True),
+         run_multi),
+        ("block-cg (BCGrQ)",
+         lambda: _cg_block_jit(op, Bj, X0, tol, maxiter),
+         run_block),
+    ):
+        try:
+            res = solve_fn()
+            conv = np.asarray(jax.device_get(res.converged))
+            assert conv.all(), (label, conv)
+            iters = int(np.asarray(res.iterations).max())
+            mult = 3 if "block" in label else 1
+            s = float(np.median([
+                time_run_chain(run, (op,), Bj, X0, iters=repeats,
+                               est_solve_s=iters * mult * mv_est)
+                for _ in range(3)
+            ]))
+            rows.append(dict(method=label, n=n, k=k, iters=iters,
+                             solve_ms=s * 1e3))
+            print(f"block-well[{label}]: {s*1e3:.3f} ms ({iters} laps)",
+                  flush=True)
+        except Exception as e:  # Mosaic vmap-batching failure: report it
+            rows.append(dict(method=f"{label} — FAILED ({type(e).__name__})",
+                             n=n, k=k, iters=0, solve_ms=float("nan")))
+            print(f"block-well[{label}] FAILED: {e}", flush=True)
+    return rows
+
+
 def bench_block_jacobi(n, repeats):
     """Block Jacobi where it structurally wins: a DENSE system (the
     matvec's n^2 streaming makes the n*bs block-inverse traffic free —
@@ -651,6 +748,7 @@ def main():
     precond_rows = bench_precond(args.repeats)
     block_rows = bench_block(512, 8, args.repeats)
     block_pcg_rows = bench_block_precond(512, 8, args.repeats)
+    block_well_rows = bench_block_well(50_000, 8, args.repeats)
     bj_rows = bench_block_jacobi(8192, args.repeats)
 
     lines = [
@@ -750,6 +848,26 @@ def main():
         "|---|---|---|",
     ]
     for r in block_rows:
+        lines.append(
+            f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
+        )
+    lines += [
+        "",
+        "### Block CG / multi-RHS on the irregular (WELL) operator",
+        "",
+        f"One unstructured FEM P1 stiffness system "
+        f"(n={block_well_rows[0]['n']}, WELL Pallas kernel) with "
+        f"k={block_well_rows[0]['k']} random right-hand sides, tol 3e-4 "
+        "||b||. The multi/block arms lift the WELL matvec over the RHS "
+        "axis with `vmap` (a leading Mosaic grid dimension — the gather "
+        "traffic does NOT amortize across lanes the way the dense GEMM "
+        "does, so the win here is launch/dispatch amortization plus the "
+        "block arm's lap cut, not k-fold bandwidth reuse).",
+        "",
+        "| method | solve (ms) | laps |",
+        "|---|---|---|",
+    ]
+    for r in block_well_rows:
         lines.append(
             f"| {r['method']} | {r['solve_ms']:.3f} | {r['iters']} |"
         )
