@@ -87,7 +87,7 @@ def matvec_row(name, A, csr_note, lines, legacy=False, steps=2048,
 
 
 def solve_row(name, A, b, lines, precondition="none", pc_block_size=64,
-              two_level_agg=None):
+              two_level_agg=None, smooth_degree=1):
     op = tpucg.best_sparse_operator(
         A,
         pc_block_size=(
@@ -100,10 +100,13 @@ def solve_row(name, A, b, lines, precondition="none", pc_block_size=64,
     label = precondition
     if two_level_agg is not None:
         tl = tpucg.build_two_level(A, agg_size=two_level_agg,
-                                   npad=op.padded_n)
+                                   npad=op.padded_n,
+                                   smooth_degree=smooth_degree)
         kw["two_level"] = tl
         chain_kw["two_level"] = tl
         label = f"two_level({two_level_agg})"
+        if smooth_degree > 1:
+            label += f"+cheb{smooth_degree}"
     elif precondition != "none":
         kw["precondition"] = precondition
         kw["pc_block_size"] = pc_block_size
@@ -200,6 +203,11 @@ def main():
               two_level_agg=64)
     solve_row("FEM P1 Delaunay", fem[0], fem[1], sv_lines,
               two_level_agg=128)
+    # Chebyshev-smoothed cycle (smooth_degree=2): ~1.8x fewer laps than
+    # the Jacobi cycle at 5 vs 3 matvecs per lap — and half the coarse
+    # solves, which at nc~4.7k stream an 88 MB inverse each.
+    solve_row("FEM P1 Delaunay", fem[0], fem[1], sv_lines,
+              two_level_agg=64, smooth_degree=2)
     # The anisotropic family (the iteration-HARD input class): jacobi vs
     # two-level shows the coarse correction surviving where point
     # smoothing degrades.
@@ -207,6 +215,8 @@ def main():
               precondition="jacobi")
     solve_row("FEM P1 aniso eps=1e-2", aniso[0], aniso[1], sv_lines,
               two_level_agg=64)
+    solve_row("FEM P1 aniso eps=1e-2", aniso[0], aniso[1], sv_lines,
+              two_level_agg=64, smooth_degree=2)
 
     # End-to-end .mtx via the CLI (the reference always ran its shipped
     # systems; this is tpucg's equivalent for the real-world input class).

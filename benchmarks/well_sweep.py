@@ -66,35 +66,36 @@ def sweep(A, label, storage, bs_list, bg_list, steps):
     return rows
 
 
-def time_gather_only(A, steps=512):
+def time_gather_only(A, label, steps=512):
     """The x window row-gather alone (the stream the 0.5 B/slot model
-    amortizes): measured so the byte model can be corrected."""
+    amortizes): measured so the byte model can be corrected. The gather
+    reads RANDOM 512-B rows — DMA-descriptor-bound, not streaming-bound,
+    so its effective GB/s is the number to measure, not assume."""
     well = csr_to_well(A)
     wrow = jnp.asarray(well.wrow)
     G = -(-A.shape[0] // 128)
-    x2 = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (G, 128)).astype(np.float32))
-
-    def take(w, x):
-        return jnp.take(x, w, axis=0)
+    xf = jnp.asarray(np.random.default_rng(0).standard_normal(
+        G * 128).astype(np.float32))
 
     from tpucg.bench.timing import time_matvec_loop
 
-    # take's output feeds a cheap reduce so the chain stays data-dependent.
+    # The gathered rows feed a scalar into the carried vector so the
+    # chain stays data-dependent (XLA cannot elide the takes).
     def apply(w, x):
-        g = jnp.take(x, w, axis=0)
+        g = jnp.take(x.reshape(-1, 128), w, axis=0)
         return x + jnp.sum(g) * 1e-30
 
-    t = time_matvec_loop(lambda w, x: apply(w, x), wrow, x2, steps=steps)
+    t = time_matvec_loop(lambda w, x: apply(w, x), wrow, xf, steps=steps)
     bytes_moved = well.wrow.size * 128 * 4
-    print(f"x-gather alone: {t*1e6:.1f} us for {bytes_moved/1e6:.1f} MB "
-          f"of window rows -> {bytes_moved/t/1e9:.0f} GB/s effective",
-          flush=True)
+    print(f"{label} x-gather alone: {t*1e6:.1f} us for "
+          f"{bytes_moved/1e6:.1f} MB of window rows -> "
+          f"{bytes_moved/t/1e9:.0f} GB/s effective", flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2048)
+    ap.add_argument("--skip-100k", action="store_true")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
     print("| system | BG | BS | fill | sublanes | us (min-max) | Gnnz/s |",
@@ -102,12 +103,14 @@ def main():
     print("|---|---|---|---|---|---|---|", flush=True)
 
     geo100k = random_geometric_spd(100_000, seed=0, avg_degree=12.0)
-    sweep(geo100k[0], "geo100k f32", "f32",
-          bs_list=(1024, 2048, 4096), bg_list=(32, 64, 128),
-          steps=args.steps)
-    time_gather_only(geo100k[0])
+    if not args.skip_100k:
+        sweep(geo100k[0], "geo100k f32", "f32",
+              bs_list=(1024, 2048, 4096), bg_list=(32, 64, 128),
+              steps=args.steps)
+    time_gather_only(geo100k[0], "geo100k", steps=args.steps)
 
     geo1m = random_geometric_spd(1_000_000, seed=0, avg_degree=12.0)
+    time_gather_only(geo1m[0], "geo1m", steps=512)
     sweep(geo1m[0], "geo1m f32", "f32",
           bs_list=(4096,), bg_list=(32, 64, 128), steps=512)
     sweep(geo1m[0], "geo1m bf16", "bf16",

@@ -198,3 +198,71 @@ def test_two_level_sharded_validation():
         tpucg.sharded_operator_cg_solve(
             A, b, two_level=tl, method="pipelined"
         )
+
+
+def test_two_level_chebyshev_smoother(fem):
+    # smooth_degree >= 2: the l-step Chebyshev smoother on the upper
+    # spectrum of D^-1 A — measurably fewer laps than the Jacobi cycle
+    # (measured 68 vs 123 at n~30k), same SPD structure.
+    A, b, _ = fem
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    tl1 = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n)
+    tl2 = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n,
+                                smooth_degree=2)
+    r1 = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl1)
+    r2 = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl2)
+    assert bool(r2.converged)
+    assert int(r2.iterations) < int(r1.iterations)
+    res = np.linalg.norm(b - A.matvec(np.asarray(r2.x, np.float64)))
+    assert res < 100 * tol
+    with pytest.raises(ValueError, match="smooth_degree"):
+        tpucg.build_two_level(A, agg_size=64, smooth_degree=0)
+
+
+def test_two_level_chebyshev_smoother_is_spd():
+    import jax
+    import jax.numpy as jnp
+
+    from tpucg.kernels.blas1 import dot_xla
+    from tpucg.solver.twolevel import make_two_level_precond
+
+    A, b, _ = fem_p1_system(900, seed=1)
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n,
+                               smooth_degree=3)
+    pc = make_two_level_precond(tl, op.matvec, dot_xla, jnp.asarray(b))
+    B = np.asarray(
+        jax.jit(jax.vmap(pc, in_axes=1, out_axes=1))(
+            jnp.eye(n, dtype=jnp.float32)
+        )
+    )
+    assert np.abs(B - B.T).max() <= 1e-5 * np.abs(B).max()
+    assert np.linalg.eigvalsh(0.5 * (B + B.T).astype(np.float64)).min() > 0
+
+
+def test_two_level_sharded_chebyshev_smoother():
+    import jax
+
+    A, b, _ = random_geometric_spd(20_000, seed=2, avg_degree=12.0,
+                                   shift=0.05)
+    n = A.shape[0]
+    num = len(jax.devices())
+    tol = 1e-5 * float(np.linalg.norm(b))
+    npad_sh = -(-n // (128 * num)) * (128 * num)
+    tl = tpucg.build_two_level(A, agg_size=64, npad=npad_sh,
+                               smooth_degree=2)
+    sh = tpucg.sharded_operator_cg_solve(
+        A, b, tol=tol, maxiter=4 * n, two_level=tl
+    )
+    assert bool(sh.converged)
+
+    op = tpucg.WellOperator.from_csr(A)
+    tl_s = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n,
+                                 smooth_degree=2)
+    ser = tpucg.cg_solve(op, b, tol=tol, maxiter=4 * n, two_level=tl_s)
+    # The serial/sharded coarse spaces differ in their identity tails
+    # (npad 128-pad vs 128P-pad) and reduction order — a few laps apart.
+    assert abs(int(sh.iterations) - int(ser.iterations)) <= 6

@@ -87,6 +87,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                         "systems, method=cg): coarse-space correction "
                         "that cuts FEM-class lap counts ~5-10x where "
                         "Jacobi cannot (pairs well with --rcm)")
+    p.add_argument("--smooth-degree", type=int, default=1,
+                   dest="smooth_degree",
+                   help="smoother degree for --two-level: 1 = damped "
+                        "Jacobi; l >= 2 = l-step Chebyshev smoothing "
+                        "(fewer laps at l extra matvecs per half-cycle)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the reference's informal "
                         "determinism/NaN checking, made a real tool)")
@@ -295,7 +300,8 @@ def _cmd_solve_mtx(args, t_total0) -> int:
             P_ = len(jax.devices()) if args.devices is None else args.devices
             tl_npad = -(-n // (128 * P_)) * (128 * P_)
         kw["two_level"] = _t.build_two_level(
-            csr, agg_size=args.two_level, npad=tl_npad
+            csr, agg_size=args.two_level, npad=tl_npad,
+            smooth_degree=getattr(args, "smooth_degree", 1),
         )
         fmt += f"+2lvl{args.two_level}"
     mr_kw = dict(

@@ -1281,13 +1281,15 @@ def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets,
         "mesh", "tol", "maxiter", "safe_alpha", "axis", "method", "kind", "m",
         "m_padded", "precondition", "poly_degree", "offsets", "backend",
         "record", "s_step", "check_every", "interval", "tl_agg", "tl_omega",
+        "tl_sd", "tl_sa",
     ),
 )
 def _sharded_operator_cg_jit(
     op_arrays, b, x0, minv, acinv, *, mesh, tol, maxiter, safe_alpha, axis,
     method="cg", kind="ell", m=None, m_padded=None, precondition="none",
     poly_degree=0, offsets=None, backend="xla", record=False, s_step=3,
-    check_every=8, interval=None, tl_agg=0, tl_omega=0.7,
+    check_every=8, interval=None, tl_agg=0, tl_omega=0.7, tl_sd=1,
+    tl_sa=4.0,
 ):
     num = mesh.devices.size
 
@@ -1315,7 +1317,7 @@ def _sharded_operator_cg_jit(
 
             precond = make_two_level_precond_sharded(
                 mv, dot, b_blk, acinv_rep, minv_blk, tl_agg, tl_omega,
-                axis,
+                axis, smooth_degree=tl_sd, smooth_alpha=tl_sa,
             )
         if method == "pipelined":
             x, k, rn, done = _run_pipelined(
@@ -1909,7 +1911,7 @@ def sharded_operator_cg_solve(
             "blocks); ELL/BSR support 'none', 'jacobi', or 'poly'"
         )
     precondition = config.precondition
-    tl_agg, tl_omega = 0, 0.7
+    tl_agg, tl_omega, tl_sd, tl_sa = 0, 0.7, 1, 4.0
     acinv_host = np.zeros((1, 1), np.float32)
     if two_level is not None:
         if config.method != "cg" or config.precondition != "none":
@@ -1933,6 +1935,7 @@ def sharded_operator_cg_solve(
             )
         precondition = "two_level"
         tl_agg, tl_omega = two_level.agg, two_level.omega
+        tl_sd, tl_sa = two_level.smooth_degree, two_level.smooth_alpha
         minv_host = np.asarray(two_level.dinv)  # sharded like jacobi's
         acinv_host = np.asarray(two_level.acinv)
     shard1 = NamedSharding(mesh, P(axis))
@@ -1984,6 +1987,8 @@ def sharded_operator_cg_solve(
         interval=_interval_static(interval, config),
         tl_agg=int(tl_agg),
         tl_omega=float(tl_omega),
+        tl_sd=int(tl_sd),
+        tl_sa=float(tl_sa),
         **statics,
     )
     if npad != n:

@@ -81,6 +81,18 @@ class TwoLevel:
     omega: float = dataclasses.field(
         default=0.7, metadata=dict(static=True)
     )
+    # Smoother degree: 1 = one damped-Jacobi step (w = omega / lam_est);
+    # ell >= 2 = an ell-step CHEBYSHEV smoother on the upper spectrum
+    # [lam/alpha, 1.05 lam] of D^-1 A (the classic AMG smoother upgrade:
+    # a fixed polynomial p(D^-1 A) D^-1 — still symmetric, still
+    # reduction-free, ell matvecs per application). More per-lap matvecs,
+    # fewer laps; measured crossovers live in RESULTS.md.
+    smooth_degree: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
+    smooth_alpha: float = dataclasses.field(
+        default=4.0, metadata=dict(static=True)
+    )
 
     @property
     def nc(self) -> int:
@@ -93,6 +105,8 @@ def build_two_level(
     omega: float = 0.7,
     npad: Optional[int] = None,
     ridge: float = 0.0,
+    smooth_degree: int = 1,
+    smooth_alpha: float = 4.0,
 ) -> TwoLevel:
     """Build a :class:`TwoLevel` preconditioner from a square SPD CSR.
 
@@ -147,10 +161,56 @@ def build_two_level(
     d[:n] = np.where(dv != 0, dv, 1.0).astype(np.float32)
     dinv = (1.0 / d).astype(np.float32)
 
+    if smooth_degree < 1:
+        raise ValueError(f"smooth_degree must be >= 1, got {smooth_degree}")
     return TwoLevel(
         acinv=jnp.asarray(acinv), dinv=jnp.asarray(dinv),
         agg=agg, npad=int(npad), omega=float(omega),
+        smooth_degree=int(smooth_degree), smooth_alpha=float(smooth_alpha),
     )
+
+
+def _make_smoother(matvec, dinv, lam, omega, degree: int, alpha: float):
+    """The cycle's symmetric smoother S (z ~ smooth-solve of A z = r):
+
+    degree 1: one damped-Jacobi step, S = (omega / lam) D^-1;
+    degree l >= 2: the l-step CHEBYSHEV smoother on the upper interval
+      [lam / alpha, 1.1 lam] of D^-1 A — the fixed polynomial
+      S = p(D^-1 A) D^-1 (symmetric; SPD because the Chebyshev error
+      polynomial q = 1 - lam p(lam) stays in (0, 1) BELOW the interval —
+      q(0) = 1 exactly — and in [-1/T_l(s1), 1/T_l(s1)] on it; the 1.1
+      pad guards the power-method's underestimate, the direction where q
+      escapes). l - 1 matvecs per application; same scalars as
+      ``chebyshev_loop``'s lap recurrence.
+    """
+    f32 = jnp.float32
+    if degree == 1:
+        w = jnp.asarray(omega, f32) / lam
+
+        def smooth(r):
+            return (w * dinv) * r
+
+        return smooth
+
+    a = lam / jnp.asarray(alpha, f32)
+    b = jnp.asarray(1.1, f32) * lam
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+
+    def smooth(r):
+        d = (dinv * r) / theta
+        z = d
+        rho = 1.0 / sigma1
+        for _ in range(degree - 1):
+            rr = r - matvec(z)
+            rho_n = 1.0 / (2.0 * sigma1 - rho)
+            d = rho_n * rho * d + (2.0 * rho_n / delta) * (dinv * rr)
+            z = z + d
+            rho = rho_n
+        return z
+
+    return smooth
 
 
 def make_two_level_precond(
@@ -164,7 +224,8 @@ def make_two_level_precond(
     lam = lambda_max_estimate(
         lambda v: tl.dinv * matvec(v), dot, like
     )
-    w = jnp.asarray(tl.omega, jnp.float32) / lam
+    S = _make_smoother(matvec, tl.dinv, lam, tl.omega, tl.smooth_degree,
+                       tl.smooth_alpha)
     nc, agg, npad = tl.nc, tl.agg, tl.npad
     npc = nc * agg
     _HI = jax.lax.Precision.HIGHEST
@@ -178,16 +239,17 @@ def make_two_level_precond(
         return z[:npad] if npc != npad else z
 
     def precond(r):
-        z = (w * tl.dinv) * r
+        z = S(r)
         e = jnp.matmul(tl.acinv, restrict(r - matvec(z)), precision=_HI)
         z = z + prolong(e)
-        return z + (w * tl.dinv) * (r - matvec(z))
+        return z + S(r - matvec(z))
 
     return precond
 
 
 def make_two_level_precond_sharded(
-    matvec, dot, b_blk, acinv, dinv_blk, agg: int, omega: float, axis
+    matvec, dot, b_blk, acinv, dinv_blk, agg: int, omega: float, axis,
+    smooth_degree: int = 1, smooth_alpha: float = 4.0,
 ):
     """The row-block-sharded z = B r closure: shard-LOCAL restrict /
     prolong (contiguous aggregates never cross a shard — the caller
@@ -203,7 +265,8 @@ def make_two_level_precond_sharded(
     lam = lambda_max_estimate(
         lambda v: dinv_blk * matvec(v), dot, b_blk
     )
-    w = jnp.asarray(omega, jnp.float32) / lam
+    S = _make_smoother(matvec, dinv_blk, lam, omega, smooth_degree,
+                       smooth_alpha)
     ncl = dinv_blk.shape[0] // agg  # local coarse entries per shard
     _HI = jax.lax.Precision.HIGHEST
 
@@ -216,8 +279,8 @@ def make_two_level_precond_sharded(
         return jnp.broadcast_to(e_loc[:, None], (ncl, agg)).reshape(-1)
 
     def precond(r_blk):
-        z = (w * dinv_blk) * r_blk
+        z = S(r_blk)
         z = z + coarse(r_blk - matvec(z))
-        return z + (w * dinv_blk) * (r_blk - matvec(z))
+        return z + S(r_blk - matvec(z))
 
     return precond
