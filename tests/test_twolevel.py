@@ -266,3 +266,43 @@ def test_two_level_sharded_chebyshev_smoother():
     # The serial/sharded coarse spaces differ in their identity tails
     # (npad 128-pad vs 128P-pad) and reduction order — a few laps apart.
     assert abs(int(sh.iterations) - int(ser.iterations)) <= 6
+
+
+def test_two_level_composes_with_deflation_and_recycling(fem):
+    # The FEM sequence story: two-level handles the smooth band, the
+    # recycled basis the sequence's specific directions. Later solves of
+    # a smooth RHS sequence must need (far) fewer laps than the first.
+    A, b, _ = fem
+    n = A.shape[0]
+    op = tpucg.EllOperator.from_csr(A)
+    # 3e-5 ||b||: above the composed recurrence's f32 floor (the strong
+    # two-level base re-injects projection noise ~2-3x plain PCG's floor
+    # — see cg_solve_deflated's docstring).
+    tol = 3e-5 * float(np.linalg.norm(b))
+    tl = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n,
+                               smooth_degree=2)
+    rec = tpucg.RecyclingCG(op, max_vectors=4, two_level=tl, tol=tol,
+                            maxiter=4 * n)
+    laps = []
+    for k in range(4):
+        # Perturbations at b's own scale (the fixed config tol is
+        # derived from the first b).
+        res = rec.solve(b * (1.0 + 0.05 * k)
+                        + 0.02 * k * np.roll(np.asarray(b), 7 * k))
+        assert bool(res.converged), k
+        laps.append(int(res.iterations))
+    assert laps[-1] < laps[0] // 2, laps
+
+    # Explicit deflated + two_level composition and its validation.
+    r = tpucg.cg_solve_deflated(
+        op, b, np.stack(rec._vectors, axis=1), tol=tol, maxiter=4 * n,
+        two_level=tl,
+    )
+    assert bool(r.converged)
+    with pytest.raises(ValueError, match="base preconditioner"):
+        tpucg.cg_solve_deflated(op, b, np.asarray(b)[:, None], tol=tol,
+                                two_level=tl, precondition="jacobi")
+    with pytest.raises(ValueError, match="serial-only"):
+        from tpucg.comm.mesh import make_mesh
+
+        tpucg.RecyclingCG(op, mesh=make_mesh(), two_level=tl)
