@@ -363,23 +363,26 @@ def bench_block(n, k, repeats):
 
 def bench_block_well(n_points, k, repeats):
     """Block CG / multi-RHS on the IRREGULAR (WELL) operator — the
-    VERDICT round-3 item-3 ask ("dense AND WELL"): one FEM P1 stiffness
-    system (Dirichlet SPD, spread low modes — the regime where the shared
-    block-Krylov space deflates) with k random right-hand sides. Arms:
-    BCGrQ block CG, vmapped lockstep multi (both lift the Pallas WELL
-    kernel over the RHS axis via vmap — exercised here on real TPU for
-    the first time; a Mosaic batching failure falls back to reporting
-    sequential only, loudly), and k sequential single-vector solves."""
+    VERDICT round-3 item-3 ask ("dense AND WELL"): one geometric-graph
+    Laplacian (the irregular solve table's own workload — an
+    unpreconditioned FEM stiffness does NOT converge inside the watchdog
+    clamp below) with k random right-hand sides. Arms: BCGrQ block CG,
+    vmapped lockstep multi (both lift the Pallas WELL kernel over the RHS
+    axis via vmap — exercised here on real TPU for the first time; a
+    Mosaic batching failure falls back to reporting sequential only,
+    loudly), and k sequential single-vector solves. On a ~30-lap system
+    the block arm's lap cut is modest — the measured story is
+    launch/dispatch amortization of the gather kernel across lanes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import tpucg
     from tpucg.bench.timing import time_run_chain
-    from tpucg.io.generator import fem_p1_system
+    from tpucg.io.generator import random_geometric_spd
     from tpucg.solver.cg import _cg_block_jit, _cg_jit, _cg_multi_jit
 
-    A, _, _ = fem_p1_system(n_points, seed=0)
+    A, _, _ = random_geometric_spd(n_points, seed=0, avg_degree=12.0)
     n = A.shape[0]
     op = tpucg.WellOperator.from_csr(A)
     npad = op.padded_n
@@ -387,8 +390,12 @@ def bench_block_well(n_points, k, repeats):
     B = rng.standard_normal((n, k)).astype(np.float32)
     Bp = np.zeros((npad, k), np.float32)
     Bp[:n] = B
-    tol = 3e-4 * float(np.linalg.norm(B[:, 0]))
-    maxiter = 4 * n
+    tol = 1e-5 * float(np.linalg.norm(B[:, 0]))
+    # Watchdog clamp (CLAUDE.md rule 6, learned AGAIN here: a
+    # non-converging maxiter=4n WELL solve in one dispatch crashed the
+    # TPU worker): cap laps well under the single-dispatch limit and
+    # assert convergence instead.
+    maxiter = min(4 * n, 4096)
     Bj = jax.device_put(jnp.asarray(Bp))
     X0 = jnp.zeros_like(Bj)
     jax.block_until_ready((Bj,))
@@ -408,6 +415,7 @@ def bench_block_well(n_points, k, repeats):
     # Sequential reference first (always available).
     res_1 = _cg_jit(op, Bj[:, 0], X0[:, 0], None, tol, maxiter, "xla",
                     True)
+    assert bool(res_1.converged), "single WELL solve hit the lap clamp"
     seq_laps = int(res_1.iterations)
     mv_est = 60e-6  # measured WELL matvec at n~50k scale
     s_seq = float(np.median([
@@ -748,8 +756,16 @@ def main():
     precond_rows = bench_precond(args.repeats)
     block_rows = bench_block(512, 8, args.repeats)
     block_pcg_rows = bench_block_precond(512, 8, args.repeats)
-    block_well_rows = bench_block_well(50_000, 8, args.repeats)
     bj_rows = bench_block_jacobi(8192, args.repeats)
+    # LAST: a worker crash here (vmapped Pallas on real TPU is this
+    # arm's exercise) must not lose the arms above.
+    try:
+        block_well_rows = bench_block_well(100_000, 8, args.repeats)
+    except Exception as e:
+        print(f"block-well arm failed: {e}", flush=True)
+        block_well_rows = [dict(method=f"FAILED ({type(e).__name__})",
+                                n=100_000, k=8, iters=0,
+                                solve_ms=float("nan"))]
 
     lines = [
         MARK,
@@ -855,14 +871,14 @@ def main():
         "",
         "### Block CG / multi-RHS on the irregular (WELL) operator",
         "",
-        f"One unstructured FEM P1 stiffness system "
-        f"(n={block_well_rows[0]['n']}, WELL Pallas kernel) with "
-        f"k={block_well_rows[0]['k']} random right-hand sides, tol 3e-4 "
-        "||b||. The multi/block arms lift the WELL matvec over the RHS "
-        "axis with `vmap` (a leading Mosaic grid dimension — the gather "
-        "traffic does NOT amortize across lanes the way the dense GEMM "
-        "does, so the win here is launch/dispatch amortization plus the "
-        "block arm's lap cut, not k-fold bandwidth reuse).",
+        f"One geometric-graph Laplacian (n={block_well_rows[0]['n']}, "
+        f"WELL Pallas kernel) with k={block_well_rows[0]['k']} random "
+        "right-hand sides, tol 1e-5 ||b||. The multi/block arms lift the "
+        "WELL matvec over the RHS axis with `vmap` (a leading Mosaic "
+        "grid dimension — the gather traffic does NOT amortize across "
+        "lanes the way the dense GEMM does, so the win here is "
+        "launch/dispatch amortization plus the block arm's lap cut, not "
+        "k-fold bandwidth reuse).",
         "",
         "| method | solve (ms) | laps |",
         "|---|---|---|",

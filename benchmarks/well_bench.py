@@ -28,11 +28,12 @@ import numpy as np
 import tpucg
 from tpucg.bench.timing import time_matvec_spread, time_solve_chain
 from tpucg.io.generator import (
+    aniso_grid_system,
     fem_p1_aniso_system,
     fem_p1_system,
     random_geometric_spd,
 )
-from tpucg.sparse.ordering import permute_csr, rcm_order
+from tpucg.sparse.ordering import permute_csr, rcm_order, strength_order
 from tpucg.sparse.well import csr_to_well
 
 ROOFLINE_GBPS = 816.0   # v5e HBM, BASELINE.md
@@ -162,6 +163,10 @@ def main():
     matvec_row("geometric deg-12 (bf16 vals)", geo1m[0], "", mv_lines,
                steps=512, storage="bf16")
     matvec_row("FEM P1 Delaunay", fem[0], "", mv_lines, steps=1024)
+    # Scale point: the same mesh family at n=1M (18M nnz) — the coarse
+    # path must hold its rate as n grows 3.3x.
+    fem1m = fem_p1_system(1_000_000, seed=0)
+    matvec_row("FEM P1 Delaunay", fem1m[0], "", mv_lines, steps=256)
     # Second independent family (anisotropic diffusion, eps=1e-2): same
     # mesh topology class, different values/conditioning — the kernel rate
     # depends only on the pattern, so this row should match FEM P1's.
@@ -208,6 +213,14 @@ def main():
     # solves, which at nc~4.7k stream an 88 MB inverse each.
     solve_row("FEM P1 Delaunay", fem[0], fem[1], sv_lines,
               two_level_agg=64, smooth_degree=2)
+    # Scale rows (n=1M, 18M nnz): agg=256 keeps the replicated coarse
+    # inverse at 61 MB (nc=3907) — the tunnel-push ceiling rules out
+    # agg<=128 here (977 MB at 64); the lap count pays for the coarser
+    # space, the point is that the composition still wins at 3.3x n.
+    solve_row("FEM P1 Delaunay", fem1m[0], fem1m[1], sv_lines,
+              precondition="jacobi")
+    solve_row("FEM P1 Delaunay", fem1m[0], fem1m[1], sv_lines,
+              two_level_agg=256, smooth_degree=2)
     # The anisotropic family (the iteration-HARD input class): jacobi vs
     # two-level shows the coarse correction surviving where point
     # smoothing degrades.
@@ -217,6 +230,25 @@ def main():
               two_level_agg=64)
     solve_row("FEM P1 aniso eps=1e-2", aniso[0], aniso[1], sv_lines,
               two_level_agg=64, smooth_degree=2)
+
+    # STRUCTURED anisotropy (aniso_grid_system m=256: -u_xx - eps u_yy,
+    # strong couplings form LONG unbroken x-lines) with SHUFFLED numbering
+    # — the foreign-.mtx stand-in. The ordering decides whether two-level
+    # aggregates semi-coarsen: plain RCM follows weak and strong edges
+    # alike; strength_order (RCM on the strength-filtered graph,
+    # --strength-order on the CLI) recovers line-contiguous numbering
+    # from the matrix alone. On the unstructured Delaunay aniso family
+    # this lever is measured NEUTRAL (strong chains too short: mean
+    # strong degree ~1.4 at theta=0.25) — regularity is what makes it
+    # work, hence this workload.
+    grid = aniso_grid_system(256, eps=1e-2, seed=0, shuffle=True)
+    p_r = rcm_order(grid[0])
+    solve_row("aniso grid eps=1e-2 shuf+rcm", permute_csr(grid[0], p_r),
+              grid[1][p_r], sv_lines, two_level_agg=64)
+    p_s = strength_order(grid[0], theta=0.25)
+    solve_row("aniso grid eps=1e-2 shuf+strength",
+              permute_csr(grid[0], p_s), grid[1][p_s], sv_lines,
+              two_level_agg=64)
 
     # End-to-end .mtx via the CLI (the reference always ran its shipped
     # systems; this is tpucg's equivalent for the real-world input class).
@@ -263,16 +295,31 @@ def main():
          "general values round at ~1e-2 relative. The shuffled-FEM pair "
          "is the .mtx-in-the-wild story: no spatial numbering -> low "
          "fill; one reverse-Cuthill-McKee pass (`--rcm` on the CLI) "
-         "restores it — fill is the knob, ordering is how you turn it. "
+         "restores it — fill is the knob, ordering is how you turn it.  Sub-80% rows are covered by BASELINE.md's round-4 measured-floor amendment (benchmarks/well_sweep.py): the n=100k gap is the descriptor-bound x-row-gather (measured 15 us / 228 GB/s effective standalone) plus 13-block-grid ramp — ~75% of the corrected composite floor; bf16 n=1M is a three-way HBM/VPU/MXU co-bind at ~71% of the perfectly-overlapped bound, and the on-chip (BS, BG) sweep found no layout lever (BG=64 + adaptive BS is optimal). ",
          "`FEM P1 aniso` is the second independent family "
          "(`fem_p1_aniso_system`: anisotropic diffusion K = R^T "
-         "diag(1, eps) R, the iteration-HARD input class). `two_level` "
+         "diag(1, eps) R, the iteration-HARD input class). Every matrix "
+         "here is generated because this environment has NO network "
+         "egress (a SuiteSparse download is impossible); the "
+         "external-validity stand-ins are the independent families plus "
+         "the save-to-.mtx-and-reload CLI path, which exercises exactly "
+         "the loader/ordering/promotion pipeline a foreign file would. "
+         "`two_level` "
          "rows run the AMG-lite coarse-space PCG (`tpucg.build_two_level`"
          ", `--two-level AGG` on the CLI): contiguous AGG-row aggregates, "
          "restriction a reshape-sum, coarse solve one dense (nc, nc) MXU "
          "GEMV against a precomputed f64 inverse, symmetric V(1,1) "
          "damped-Jacobi cycle — 3 matvecs/lap total, bought back "
-         "many-fold in lap count on mesh Laplacians.",
+         "many-fold in lap count on mesh Laplacians. `aniso grid` rows "
+         "are STRUCTURED anisotropy (`aniso_grid_system`: -u_xx - eps "
+         "u_yy, strong couplings in long x-lines) under shuffled "
+         "numbering: `shuf+strength` reorders by `strength_order` (RCM "
+         "on the strength-filtered graph, `--strength-order` on the "
+         "CLI) so contiguous two-level aggregates follow the strong "
+         "lines — ordering-based semi-coarsening; plain RCM cannot see "
+         "the anisotropy. On the unstructured aniso family the lever is "
+         "measured neutral (strong chains too short) — it is published "
+         "here on the workload class it serves.",
          "",
          "Matvec (chained differencing; spread = min/median/max of >= 3 "
          "independent chains):", ""]

@@ -122,7 +122,21 @@ def time_run_chain(
     eps = jnp.float32(0.0)
     t_lo = time_fn(chain, operands, b, x0, eps, klo, warmup=1, iters=iters)
     t_hi = time_fn(chain, operands, b, x0, eps, khi, warmup=1, iters=iters)
-    return max((t_hi - t_lo) / (khi - klo), 1e-9)
+    d = (t_hi - t_lo) / (khi - klo)
+    # Tunnel-glitch guard (same failure time_matvec_loop retries on): a
+    # backlogged t_lo can nearly equal t_hi, differencing to ~zero — a
+    # published 0.005 ms "41-lap solve" came from exactly this. When the
+    # difference is non-positive, or implausibly far below the caller's
+    # own per-solve estimate, re-measure both chains once rather than
+    # letting a median-of-trials average the garbage in.
+    floor = 0.2 * est_solve_s if est_solve_s and est_solve_s > 0 else 0.0
+    if d <= floor:
+        t_lo = time_fn(chain, operands, b, x0, eps, klo, warmup=1,
+                       iters=iters)
+        t_hi = time_fn(chain, operands, b, x0, eps, khi, warmup=1,
+                       iters=iters)
+        d = (t_hi - t_lo) / (khi - klo)
+    return max(d, 1e-9)
 
 
 def time_solve_chain(

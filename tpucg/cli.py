@@ -229,14 +229,22 @@ def _cmd_solve_mtx(args, t_total0) -> int:
                              "CG needs square SPD")
         csr = coo.to_csr()
         n = coo.shape[0]
-        if getattr(args, "rcm", False):
+        s_theta = getattr(args, "strength_order", None)
+        if getattr(args, "rcm", False) or s_theta is not None:
             # Locality-restoring symmetric reordering: .mtx files in the
             # wild often carry no spatial numbering; RCM shrinks the
-            # bandwidth so DIA/WELL packing (hence Gnnz/s) improves. The
-            # solution is un-permuted before reporting.
-            from tpucg.sparse.ordering import permute_csr, rcm_order
+            # bandwidth so DIA/WELL packing (hence Gnnz/s) improves.
+            # --strength-order runs RCM on the strength-filtered graph
+            # instead, so contiguous index blocks (hence --two-level
+            # aggregates) follow the STRONG couplings — semi-coarsening
+            # for anisotropic operators. Solution is un-permuted before
+            # reporting.
+            from tpucg.sparse.ordering import (
+                permute_csr, rcm_order, strength_order,
+            )
 
-            perm = rcm_order(csr)
+            perm = (strength_order(csr, theta=s_theta)
+                    if s_theta is not None else rcm_order(csr))
             csr = permute_csr(csr, perm)
         A_or_op = tpucg.best_sparse_operator(
             csr, backend=args.kernel,
@@ -249,7 +257,7 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         )
         fmt = type(A_or_op).__name__
         if perm is not None:
-            fmt += "+rcm"
+            fmt += "+strength" if s_theta is not None else "+rcm"
     b = _load_rhs_any(args.rhs, n)
     x0 = _load_rhs_any(args.x0, n) if args.x0 else None
     if perm is not None:
@@ -1017,6 +1025,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reverse Cuthill-McKee reorder a sparse .mtx "
                          "system before format promotion (solution is "
                          "un-permuted)")
+    ps.add_argument("--strength-order", type=float, nargs="?", const=0.25,
+                    default=None, metavar="THETA", dest="strength_order",
+                    help="reorder by RCM on the strength-filtered graph "
+                         "(|a_ij| >= THETA sqrt(a_ii a_jj), default 0.25): "
+                         "contiguous blocks then follow strong couplings, "
+                         "so --two-level aggregates semi-coarsen "
+                         "anisotropic operators; overrides --rcm")
     ps.add_argument("--residual-history", action="store_true",
                     help="print per-iteration ||r|| (serial strategy only)")
     ps.add_argument("--checkpoint", default=None, metavar="PATH",

@@ -48,6 +48,49 @@ def _neighbors_of(indptr, indices, frontier):
     return indices[starts + within]
 
 
+def strength_order(csr: CSRMatrix, theta: float = 0.25) -> np.ndarray:
+    """RCM on the STRENGTH-FILTERED graph: new-to-old permutation that
+    makes contiguous index blocks follow the strong couplings.
+
+    Classic AMG coarsens anisotropic operators ALONG the strong direction
+    (semi-coarsening); tpucg's two-level preconditioner aggregates
+    contiguous index blocks (``twolevel.py``), so the TPU-honest way to get
+    the same effect is an ORDERING: keep only off-diagonal entries with
+    ``|a_ij| >= theta * sqrt(|a_ii a_jj|)`` (the standard strength-of-
+    connection test), symmetrize, and RCM the filtered graph. Weak-direction
+    edges drop out, BFS level sets chain along the strong lines, and each
+    contiguous ``agg_size`` block of the permuted matrix is a strong-line
+    segment — the coarse space then captures the smooth-along-strong-lines
+    modes plain contiguous aggregation misses. On isotropic operators the
+    filter keeps most edges and this degenerates to ``rcm_order``.
+
+    Measured effect on ``fem_p1_aniso_system`` (eps = 1e-2, n = 300k,
+    two_level(64)): published in RESULTS.md's irregular solve table.
+    """
+    n = csr.shape[0]
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError(f"strength_order needs square, got {csr.shape}")
+    coo = csr.to_coo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    vals = np.abs(coo.data.astype(np.float64))
+    diag = np.zeros(n, np.float64)
+    on_d = rows == cols
+    np.add.at(diag, rows[on_d], vals[on_d])
+    scale = np.sqrt(np.maximum(diag, np.finfo(np.float64).tiny))
+    keep = (~on_d) & (vals >= theta * scale[rows] * scale[cols])
+    r, c = rows[keep], cols[keep]
+    # Symmetrize (keep may be one-sided under asymmetric scaling) and
+    # dedupe — COOMatrix.to_csr keeps duplicates, which would inflate the
+    # degrees RCM sorts its level sets by.
+    eid = np.unique(np.concatenate([r, c]) * n + np.concatenate([c, r]))
+    strong = COOMatrix(
+        row=eid // n, col=eid % n,
+        data=np.ones(eid.size, np.float32), shape=(n, n),
+    ).to_csr()
+    return rcm_order(strong)
+
+
 def rcm_order(csr: CSRMatrix) -> np.ndarray:
     """Reverse Cuthill-McKee (level-set variant): new-to-old permutation.
 
