@@ -366,13 +366,17 @@ def bench_block_well(n_points, k, repeats):
     VERDICT round-3 item-3 ask ("dense AND WELL"): one geometric-graph
     Laplacian (the irregular solve table's own workload — an
     unpreconditioned FEM stiffness does NOT converge inside the watchdog
-    clamp below) with k random right-hand sides. Arms: BCGrQ block CG,
-    vmapped lockstep multi (both lift the Pallas WELL kernel over the RHS
-    axis via vmap — exercised here on real TPU for the first time; a
-    Mosaic batching failure falls back to reporting sequential only,
-    loudly), and k sequential single-vector solves. On a ~30-lap system
-    the block arm's lap cut is modest — the measured story is
-    launch/dispatch amortization of the gather kernel across lanes."""
+    clamp below) with k random right-hand sides.
+
+    Kernel contrast first (the round-4 design story): k sequential
+    single-RHS kernel applies vs the batched apply
+    (``WellOperator.matvec_multi`` = ``vmap`` of the kernel, whose
+    Mosaic batching makes the lane axis the minor grid dimension and
+    elides repeated block fetches — measured FASTER on chip than a
+    hand-fused scratch SpMM at every size tried; see
+    ``kernels/gather_spmv.py``'s module note). Solver arms ride the
+    batched apply (``multi_cg_loop`` matrix-form lockstep, BCGrQ block
+    CG) vs k sequential single-vector solves."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -428,6 +432,42 @@ def bench_block_well(n_points, k, repeats):
     print(f"block-well[seq]: {s_seq*1e3:.3f} ms ({seq_laps} laps)",
           flush=True)
 
+    # Kernel micro-contrast: k SEQUENTIAL kernel applies (one pallas_call
+    # per RHS — the no-batching baseline) vs the batched apply
+    # (matvec_multi = vmap minor-grid batching, where Mosaic elides
+    # repeated block fetches). Both guarded — a Mosaic failure reports
+    # and moves on.
+    def run_mv_seq(operands, bb, x0_):
+        (op_,) = operands
+        return jnp.stack(
+            [op_.matvec(bb[:, j]) for j in range(k)], axis=1
+        )
+
+    def run_mv_batched(operands, bb, x0_):
+        (op_,) = operands
+        return op_.matvec_multi(bb)
+
+    mv_rows = []
+    for label, run in (
+        (f"k={k} sequential single-RHS applies", run_mv_seq),
+        (f"batched apply (matvec_multi, k={k})", run_mv_batched),
+    ):
+        try:
+            jax.device_get(run((op,), Bj, X0))  # compile + Mosaic check
+            s = float(np.median([
+                time_run_chain(run, (op,), Bj, X0, iters=repeats,
+                               est_solve_s=k * mv_est)
+                for _ in range(3)
+            ]))
+            mv_rows.append(dict(method=label, us=s * 1e6))
+            print(f"block-well-mv[{label}]: {s*1e6:.0f} us/apply",
+                  flush=True)
+        except Exception as e:
+            mv_rows.append(dict(
+                method=f"{label} — FAILED ({type(e).__name__})",
+                us=float("nan")))
+            print(f"block-well-mv[{label}] FAILED: {e}", flush=True)
+
     def run_multi(operands, bb, x0_):
         (op_,) = operands
         return _cg_multi_jit(op_, bb, x0_, None, tol, maxiter, True).x
@@ -437,10 +477,10 @@ def bench_block_well(n_points, k, repeats):
         return _cg_block_jit(op_, bb, x0_, tol, maxiter).x
 
     for label, solve_fn, run in (
-        ("multi (vmap lockstep)",
+        ("multi (batched-kernel lockstep)",
          lambda: _cg_multi_jit(op, Bj, X0, None, tol, maxiter, True),
          run_multi),
-        ("block-cg (BCGrQ)",
+        ("block-cg (BCGrQ, batched kernel)",
          lambda: _cg_block_jit(op, Bj, X0, tol, maxiter),
          run_block),
     ):
@@ -459,11 +499,11 @@ def bench_block_well(n_points, k, repeats):
                              solve_ms=s * 1e3))
             print(f"block-well[{label}]: {s*1e3:.3f} ms ({iters} laps)",
                   flush=True)
-        except Exception as e:  # Mosaic vmap-batching failure: report it
+        except Exception as e:  # Mosaic batching failure: report it
             rows.append(dict(method=f"{label} — FAILED ({type(e).__name__})",
                              n=n, k=k, iters=0, solve_ms=float("nan")))
             print(f"block-well[{label}] FAILED: {e}", flush=True)
-    return rows
+    return rows, mv_rows
 
 
 def bench_block_jacobi(n, repeats):
@@ -760,12 +800,14 @@ def main():
     # LAST: a worker crash here (vmapped Pallas on real TPU is this
     # arm's exercise) must not lose the arms above.
     try:
-        block_well_rows = bench_block_well(100_000, 8, args.repeats)
+        block_well_rows, block_well_mv_rows = bench_block_well(
+            100_000, 8, args.repeats)
     except Exception as e:
         print(f"block-well arm failed: {e}", flush=True)
         block_well_rows = [dict(method=f"FAILED ({type(e).__name__})",
                                 n=100_000, k=8, iters=0,
                                 solve_ms=float("nan"))]
+        block_well_mv_rows = []
 
     lines = [
         MARK,
@@ -873,12 +915,26 @@ def main():
         "",
         f"One geometric-graph Laplacian (n={block_well_rows[0]['n']}, "
         f"WELL Pallas kernel) with k={block_well_rows[0]['k']} random "
-        "right-hand sides, tol 1e-5 ||b||. The multi/block arms lift the "
-        "WELL matvec over the RHS axis with `vmap` (a leading Mosaic "
-        "grid dimension — the gather traffic does NOT amortize across "
-        "lanes the way the dense GEMM does, so the win here is "
-        "launch/dispatch amortization plus the block arm's lap cut, not "
-        "k-fold bandwidth reuse).",
+        "right-hand sides, tol 1e-5 ||b||. Kernel contrast first: k "
+        "sequential single-RHS applies vs the batched apply "
+        "(`WellOperator.matvec_multi` = `vmap` of the kernel; Mosaic "
+        "batches the lane axis as the MINOR grid dimension and elides "
+        "repeated block fetches, so the vals/lidx stream amortizes "
+        "across lanes). A hand-fused scratch SpMM (matrix streamed "
+        "once, (k*128)-wide window gathers, one wide one-hot matmul) "
+        "was built and measured SLOWER than the vmapped form at every "
+        "size tried (450-488 vs 244-371 us at n=100k k=8; 614 vs 253 "
+        "us/RHS at n=1M) and removed — the negative result is recorded "
+        "in `kernels/gather_spmv.py`. The multi/block solver arms ride "
+        "the batched apply via the matrix-form lockstep loop "
+        "(`multi_cg_loop`).",
+        "",
+        "| batched matvec (k RHS, one apply) | us |",
+        "|---|---|",
+    ]
+    for r in block_well_mv_rows:
+        lines.append(f"| {r['method']} | {r['us']:.0f} |")
+    lines += [
         "",
         "| method | solve (ms) | laps |",
         "|---|---|---|",

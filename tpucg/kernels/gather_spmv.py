@@ -26,6 +26,17 @@ streams ~5.6 bytes per slot (4 value + 1 lane index + 0.5 gathered window).
 
 Reference analog: the hot-kernel contract of ``serialConjugate.c:109-120``
 (do the platform's matvec right), extended to irregular sparsity.
+
+Multi-RHS (round 4, measured negative result worth recording): batched
+k-RHS applies ride ``vmap`` of this kernel (``WellOperator.matvec_multi``),
+NOT a hand-fused SpMM. A fused variant was built (matrix streamed once,
+(k*128)-wide window gathers, VMEM scratch + one wide one-hot matmul) and
+timed on chip against the vmapped form: it lost at every size tried —
+450-488 us vs 244-371 us at n=100k k=8, 614 vs 253 us/RHS at n=1M k=8.
+Mosaic's kernel batching adds the lane axis as the MINOR grid dimension
+and skips re-fetching blocks whose index map is unchanged between
+consecutive grid steps, so the vals/lidx stream already amortizes across
+lanes, with pipeline overlap the scratch variant could not match.
 """
 
 from __future__ import annotations

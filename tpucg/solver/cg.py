@@ -1317,10 +1317,125 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
     )
 
 
+class _MultiState(NamedTuple):
+    k: jax.Array     # scalar lap counter (loop bound)
+    its: jax.Array   # (k,) per-column iteration counts
+    X: jax.Array
+    R: jax.Array
+    P: jax.Array
+    rsold: jax.Array
+    rslast: jax.Array
+    done: jax.Array
+
+
+def _dot_cols(U: jax.Array, V: jax.Array) -> jax.Array:
+    """Columnwise dots, (npad, k) x (npad, k) -> (k,), at HIGHEST precision
+    (the MXU bf16-truncation guard — same contract as ``dot_xla``)."""
+    return jnp.einsum(
+        "nk,nk->k", U, V, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def multi_cg_loop(
+    mvm: Callable,
+    B: jax.Array,
+    X0: jax.Array,
+    *,
+    tol: float,
+    maxiter,
+    safe_alpha: bool = True,
+    precond: Optional[Callable] = None,
+) -> _MultiState:
+    """Matrix-form lockstep (P)CG: k independent recurrences advanced by
+    ONE batched matvec ``mvm(X) = A @ X`` per lap.
+
+    Per-column iterates are EXACTLY ``cg_loop``'s (same update order, same
+    stopping test on the true residual after the x/r update, same done-lane
+    freezing the batched while_loop provides under vmap — here explicit
+    ``where`` masks with alpha = 0 on frozen columns). The point of the
+    matrix form is the operator: ``vmap(op.matvec)`` re-streams a sparse
+    operator's packed data once per lane, while a native ``matvec_multi``
+    (e.g. ``WellOperator.matvec_multi``) streams it once for all k —
+    the SpMM the serving workload wants. The loop runs until every column
+    converges (or ``maxiter``); ``its`` reports per-column lap counts,
+    matching the vmapped path's per-lane ``k``.
+    """
+    R0 = B - mvm(X0)
+    tol2 = jnp.asarray(tol, R0.dtype) ** 2
+    rr0 = _dot_cols(R0, R0)
+    done0 = rr0 < tol2
+    if precond is None:
+        P0, rs0 = R0, rr0
+    else:
+        P0 = precond(R0)
+        rs0 = _dot_cols(R0, P0)
+    k0 = B.shape[1]
+    state = _MultiState(
+        k=jnp.int32(0), its=jnp.zeros((k0,), jnp.int32),
+        X=X0, R=R0, P=P0, rsold=rs0, rslast=rr0, done=done0,
+    )
+
+    def cond(s: _MultiState):
+        return jnp.logical_and(
+            s.k < maxiter, jnp.logical_not(jnp.all(s.done))
+        )
+
+    def body(s: _MultiState):
+        AP = mvm(s.P)
+        pap = _dot_cols(s.P, AP)
+        if safe_alpha:
+            alpha = jnp.where(pap != 0, s.rsold / pap, jnp.zeros_like(pap))
+        else:
+            alpha = s.rsold / pap
+        # Frozen columns take alpha = 0: X/R bit-identical to the vmapped
+        # while_loop's per-lane freeze.
+        alpha = jnp.where(s.done, jnp.zeros_like(alpha), alpha)
+        X = s.X + alpha * s.P
+        R = s.R - alpha * AP
+        rr = jnp.where(s.done, s.rslast, _dot_cols(R, R))
+        done = jnp.logical_or(s.done, rr < tol2)
+        if precond is None:
+            Z, rs_new = R, rr
+        else:
+            Z = precond(R)
+            rs_new = _dot_cols(R, Z)
+        P = jnp.where(done, s.P, Z + (rs_new / s.rsold) * s.P)
+        rsold = jnp.where(done, s.rsold, rs_new)
+        its = s.its + jnp.logical_not(s.done).astype(jnp.int32)
+        return _MultiState(
+            k=s.k + 1, its=its, X=X, R=R, P=P, rsold=rsold, rslast=rr,
+            done=done,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tol", "maxiter", "safe_alpha", "poly_degree")
 )
 def _cg_multi_jit(op, B, X0, minv, tol, maxiter, safe_alpha, poly_degree=0):
+    mvm = getattr(op, "matvec_multi", None)
+    if mvm is not None and poly_degree == 0:
+        # Operators with a native SpMM (WELL today): the matrix-form
+        # lockstep loop streams the packed matrix ONCE per lap for all k
+        # columns instead of once per vmapped lane.
+        if minv is None:
+            precond = None
+        elif minv.ndim == 3:
+            precond = jax.vmap(
+                make_block_precond(minv, B.shape[0]), in_axes=1, out_axes=1
+            )
+        else:
+            precond = lambda Rm: minv[:, None] * Rm
+        s = multi_cg_loop(
+            mvm, B, X0, tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
+            precond=precond,
+        )
+        return CGResult(
+            x=s.X, iterations=s.its, residual_norm=jnp.sqrt(s.rslast),
+            converged=s.done,
+        )
+
     def one(b, x0):
         def update(x, r, p, ap, alpha):
             xn = x + alpha * p
@@ -1750,7 +1865,11 @@ def _cg_block_pjit(op, B, X0, minv, tol, maxiter, poly_degree=0):
     spectrally well-conditioned by construction, which keeps the
     flexible recurrence at its f32 floor (measured: exact parity with
     single-vector poly PCG on Poisson)."""
-    mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
+    # Native SpMM when the operator has one (WELL): one matrix
+    # stream per lap for all k columns; vmap re-streams per lane.
+    mv = getattr(op, "matvec_multi", None) or jax.vmap(
+        op.matvec, in_axes=1, out_axes=1
+    )
     gram = lambda U, V: jnp.matmul(
         U.T, V, precision=jax.lax.Precision.HIGHEST
     )
@@ -1797,7 +1916,11 @@ def _cg_block_pjit(op, B, X0, minv, tol, maxiter, poly_degree=0):
 
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
 def _cg_block_jit(op, B, X0, tol, maxiter):
-    mv = jax.vmap(op.matvec, in_axes=1, out_axes=1)
+    # Native SpMM when the operator has one (WELL): one matrix
+    # stream per lap for all k columns; vmap re-streams per lane.
+    mv = getattr(op, "matvec_multi", None) or jax.vmap(
+        op.matvec, in_axes=1, out_axes=1
+    )
     gram = lambda U, V: jnp.matmul(
         U.T, V, precision=jax.lax.Precision.HIGHEST
     )

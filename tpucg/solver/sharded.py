@@ -1256,14 +1256,18 @@ def _operator_matvec_batched(kind, op_blk, axis, num, m, m_padded, offsets,
         fn = well_spmv if backend == "pallas" else well_spmv_xla
 
         def mvb(X_blk):
+            # vmap over columns (round 4; was a static per-column unroll):
+            # Mosaic batches the lane axis as the minor grid dimension and
+            # elides repeated block fetches, so the shard's packed slabs
+            # amortize across the k columns — the measured-fastest batched
+            # form (see WellOperator.matvec_multi).
             X_full = jax.lax.all_gather(X_blk, axis, tiled=True)
-            cols = [
-                fn(vals, lidx, gidl, wrow, sgb,
-                   X_full[:, j].reshape(-1, _WL),
-                   bg=bg, nsg=nsg).reshape(-1)[:m]
-                for j in range(X_blk.shape[1])
-            ]
-            return jnp.stack(cols, axis=1)
+            return jax.vmap(
+                lambda xc: fn(vals, lidx, gidl, wrow, sgb,
+                              xc.reshape(-1, _WL),
+                              bg=bg, nsg=nsg).reshape(-1)[:m],
+                in_axes=1, out_axes=1,
+            )(X_full)
 
         return mvb
     if kind == "poisson":
