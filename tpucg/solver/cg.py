@@ -1782,9 +1782,11 @@ def cg_solve_multi(
 
     An extension beyond the reference (one RHS per program run): the k CG
     recurrences advance in lockstep under ``vmap``, turning the per-lap GEMV
-    into a GEMM that reads A once for all k systems. Fields of the result are
-    batched: ``x`` is (n, k); ``iterations``/``residual_norm``/``converged``
-    are (k,).
+    into a GEMM that reads A once for all k systems. Operators exposing a
+    native batched apply (``matvec_multi`` — WELL) take the matrix-form
+    ``multi_cg_loop`` instead, same per-column iterates. Fields of the
+    result are batched: ``x`` is (n, k);
+    ``iterations``/``residual_norm``/``converged`` are (k,).
     """
     if config is None:
         config = CGConfig(**overrides)
