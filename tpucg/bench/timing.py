@@ -83,6 +83,27 @@ def time_fn(
     raise ValueError(f"unknown reduce {reduce!r}")
 
 
+def _chain_extra(est_solve_s, target_s: float) -> int:
+    """Extra chained repetitions (khi - klo) for the differencing timers.
+
+    The extra work must dominate the tunnel's per-dispatch jitter
+    (~25 ms), hence the classic floor of 8 — but ONLY while the per-solve
+    time is small. For multi-hundred-ms solves that floor builds
+    multi-second single dispatches, and those time UNRELIABLY on the
+    remote worker (measured: a 2.4 s chain of 2345-lap MINRES solves
+    differenced to 0.689 s/solve, 2.6x the 0.268 s a fetch-timed single
+    dispatch reproducibly takes; a 3.8 s chain of the block arm
+    differenced 6% UNDER its single-dispatch time — the published
+    ranking inverted). One extra solve already differences away RTT when
+    the solve itself dwarfs it, so the floor scales down as est grows:
+    ceil(40 ms / est), clamped to [1, 8].
+    """
+    if not est_solve_s or est_solve_s <= 0:
+        return 8
+    floor = int(min(8, max(1, -(-0.04 // est_solve_s))))
+    return int(min(max(target_s / est_solve_s, floor), 256))
+
+
 def time_run_chain(
     run: Callable,
     operands: tuple,
@@ -107,10 +128,7 @@ def time_run_chain(
     import jax.numpy as jnp
 
     if khi is None:
-        if est_solve_s and est_solve_s > 0:
-            khi = klo + int(min(max(target_s / est_solve_s, 8), 256))
-        else:
-            khi = klo + 8
+        khi = klo + _chain_extra(est_solve_s, target_s)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(operands, b, x0, eps, k):
@@ -168,13 +186,12 @@ def time_solve_chain(
     ``khi`` defaults so the extra chained work is ~``target_s`` (needs
     ``est_solve_s``, e.g. iterations x the matvec roofline estimate) — too
     short a chain differences two noisy ~25 ms round trips and returns
-    garbage at small n.
+    garbage at small n; too LONG a chain (multi-second dispatch) times
+    unreliably on the remote worker, so the repetition floor scales down
+    as the per-solve estimate grows (``_chain_extra``).
     """
     if khi is None:
-        if est_solve_s and est_solve_s > 0:
-            khi = klo + int(min(max(target_s / est_solve_s, 8), 256))
-        else:
-            khi = klo + 8
+        khi = klo + _chain_extra(est_solve_s, target_s)
     import functools
 
     import jax.numpy as jnp

@@ -523,6 +523,16 @@ def minres_solve(
     if jnp.dtype(config.dtype) != jnp.float32:
         raise ValueError("minres_solve is float32-only")
     backend = resolve_backend(config.kernel)
+    if config.kernel == "auto" and config.precondition == "jacobi":
+        # MEASURED dispatch rule (round 4): the Pallas dense GEMV composed
+        # with the elementwise 1/|d| psolve runs 0.292 ms/lap at n=4096 vs
+        # the XLA GEMV's 0.115 — the real vector-multiply fusion feeding
+        # the Pallas custom call is the cliff (an identity psolve, which
+        # XLA's simplifier elides, is fast; the block-|B|^-1 einsum psolve
+        # is also fast). Until that composition is fixed, "auto" prefers
+        # the XLA GEMV for elementwise-preconditioned dense MINRES; an
+        # explicit kernel="pallas" still overrides.
+        backend = "xla"
     op = as_operator(A, backend=backend)
     n, npad = op.n, op.padded_n
     b = jnp.asarray(b, jnp.float32)
