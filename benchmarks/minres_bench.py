@@ -230,21 +230,28 @@ def main():
         "|B|^-1 preconditioning, any LinearOperator backend, serial / "
         "1-D sharded / operator-sharded (band-halo DIA, slab Poisson). "
         "Solve times: median of 3 independent chains (min-max); chains "
-        "are est-aware-sized (`timing._chain_extra`) after a round-4 "
-        "finding that multi-second chained dispatches time unreliably "
-        "(the jacobi row once published 689 ms — 2.6x its reproducible "
-        "fetch-timed single-dispatch 268 ms — and the ranking below "
-        "inverted). Block-|B|^-1 on the badly scaled row is an honest "
+        "are est-aware-sized (`timing._chain_extra` — big solves chain "
+        "once, shrinking watchdog exposure; verified equivalent to the "
+        "floor-8 chains it replaced). Block-|B|^-1 on the badly scaled "
+        "row is an honest "
         "NEGATIVE result for lap count: 3792 laps vs point-jacobi's "
         "2345 (a CPU block-size sweep bs=32/64/128/256/512 gives "
         "4460/4275/3792/3274/3084 — never beating point 1/|d|): the "
         "diagonal blocks of a randomly-rotated indefinite spectrum "
         "carry no absorbable structure beyond the scaling itself, and "
         "the |.| SPD-ization folds block eigenvalues that point |d| "
-        "leaves untouched. Both preconditioned arms run the XLA GEMV: "
-        "the Pallas GEMV composed with an elementwise psolve measured "
-        "0.292 ms/lap vs 0.115 (the vector-multiply fusion feeding the "
-        "custom call — `minres_solve`'s auto dispatch now avoids it).",
+        "leaves untouched. Both preconditioned arms run the XLA GEMV "
+        "after a round-4 diagnosis: the jacobi row published 689 ms for "
+        "two rounds because the Pallas GEMV composed with the "
+        "elementwise 1/|d| psolve runs 0.292 ms/lap vs the XLA GEMV's "
+        "0.102-0.115 — chain-length-independent (floor-8 and floor-1 "
+        "chains both measured ~685 ms on the Pallas path) and pinned to "
+        "the real vector-multiply fusion feeding the Pallas custom call "
+        "(an identity psolve, which XLA's simplifier elides, runs at "
+        "full rate; the block-|B|^-1 einsum psolve is also unaffected). "
+        "`minres_solve`'s auto dispatch now prefers the XLA GEMV for "
+        "elementwise-preconditioned dense solves; `kernel='pallas'` "
+        "overrides.",
         "",
         "| system | n | laps | solve ms (min-max) | ms/lap | true ||r|| |",
         "|---|---|---|---|---|---|",
