@@ -169,9 +169,14 @@ def bench_fem_sequence(n_points, nsolves):
         A.shape[0]).astype(np.float32)
     drift *= 0.1 * float(np.linalg.norm(base)) / float(
         np.linalg.norm(drift))
-    # 3e-5 ||b||: headroom over the composed recurrence's f32 floor
-    # (cg_solve_deflated docstring).
-    tolf = 3e-5 * float(np.linalg.norm(base))
+    # 1e-3 ||b||: above the composed deflationxtwo-level recurrence's
+    # MEASURED f32 flatten level (build_deflation_basis docstring:
+    # ~7e-5 ||b|| at n=30k, scaling with condition — 2e-4 still stalled
+    # at n=300k). The attainable TRUE residual on this 1700-lap-class
+    # FEM system is ~1e-3 ||b|| regardless of the recurrence tol (same
+    # drift the WELL solve table's true-||r|| column shows) — laps per
+    # solve, not final accuracy, is this table's metric.
+    tolf = 1e-3 * float(np.linalg.norm(base))
     tl = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n,
                                smooth_degree=2)
     # Watchdog clamp (CLAUDE.md rule 6): the composed solve lands ~100-200
@@ -262,8 +267,13 @@ def main():
             f"RecyclingCG x TWO-LEVEL composed on the irregular FEM "
             f"workload (P1 Delaunay n={args.fem_points}-mesh, WELL "
             "operator, `RecyclingCG(op, two_level=build_two_level(..., "
-            "smooth_degree=2))`, tol 3e-5 ||b|| — the composed "
-            "recurrence's documented f32 floor headroom): the coarse "
+            "smooth_degree=2))`, tol 1e-3 ||b|| — above the composed "
+            "recurrence's measured f32 flatten level (~7e-5 ||b|| at "
+            "n=30k, condition-scaled; 3e-5 and 2e-4 both stalled "
+            "basis-carrying solves here — build_deflation_basis's floor "
+            "note). The attainable TRUE residual on this 1700-lap-class "
+            "system is ~1e-3 ||b|| either way, so laps per solve — not "
+            "final accuracy — is this table's metric): the coarse "
             "space removes the smooth band every RHS shares, the "
             "recycled basis the sequence's own directions — the FEM "
             "time-stepping serving shape. Wall seconds include "

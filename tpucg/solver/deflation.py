@@ -60,11 +60,13 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class DeflationBasis(NamedTuple):
-    """An orthonormalized deflation space, reusable across solves.
+    """A deflation space, reusable across solves.
 
-    W    (npad, m) orthonormal columns spanning the deflation subspace;
+    W    (npad, m) columns spanning the deflation subspace —
+         A-ORTHONORMAL when built by :func:`build_deflation_basis`
+         (W^T A W = I, the G^-1/2 fold done in f64 at setup);
     AW   (npad, m) = A @ W;
-    Ginv (m, m)    = (W^T A W)^-1, HIGHEST-precision Cholesky inverse.
+    Ginv (m, m)    = (W^T A W)^-1 — the identity for an A-orthonormal W.
     """
 
     W: jax.Array
@@ -76,26 +78,26 @@ class DeflationBasis(NamedTuple):
         return int(self.W.shape[1])
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _basis_jit(op, W, m: int) -> DeflationBasis:
-    """AW and (W^T A W)^-1 for an already-orthonormal W."""
-    AW = jax.vmap(op.matvec, in_axes=1, out_axes=1)(W)
-    G = jnp.matmul(W.T, AW, precision=_HI)
-    G = 0.5 * (G + G.T)
-    eyek = jnp.eye(m, dtype=W.dtype)
-    return DeflationBasis(W=W, AW=AW, Ginv=_spd_inv(G, eyek, m))
-
-
 def build_deflation_basis(A, V, kernel: str = "auto") -> DeflationBasis:
-    """Orthonormalize the columns of ``V`` (n, m) into a reusable
+    """A-orthonormalize the columns of ``V`` (n, m) into a reusable
     :class:`DeflationBasis` for ``A``.
 
-    Rank revealing: V is orthonormalized by a host-side f64 SVD and
-    near-dependent directions are PRUNED (singular values below
-    1e-6 x the largest) — junk directions would make W^T A W
-    ill-conditioned and the per-lap f32 projection would then inject
-    noise that floors the attainable residual. Setup-only cost
-    (O(n m^2) on the host); the returned basis may have fewer columns
+    Rank revealing twice over: V is first orthonormalized by a host-side
+    f64 SVD (directions below 1e-6 x the largest singular value PRUNED),
+    then G = W^T A W is eigendecomposed in f64 and folded into the basis
+    as W <- W G^-1/2 (near-null G eigendirections pruned at 1e-12
+    relative), so the stored space satisfies W^T A W = I and the per-lap
+    projection needs NO m x m inverse (the old explicit f32 Ginv carried
+    kappa(A)-scale entries for solution-type bases). Honest floor note
+    (round 4, measured): the fold does NOT remove the composed f32
+    floor — the stored A-orthonormal AW inherits the f32 matvec's error
+    amplified ~sqrt(kappa) on solution bases (which live on the
+    small-eigenvalue end), so a deflation x two-level recurrence on FEM
+    P1 flattens at ~7e-5 ||b|| at n=30k, scaling up with condition
+    (~2e-4+ at n=300k); size sequence tolerances above that floor
+    (RecyclingCG benchmarks use 1e-3 ||b|| at n=300k), or the solve
+    grinds at the flatten level to the cap. Setup-only cost (O(n m^2)
+    host + m device matvecs); the returned basis may have fewer columns
     than V.
     """
     backend = resolve_backend(kernel)
@@ -117,7 +119,26 @@ def build_deflation_basis(A, V, kernel: str = "auto") -> DeflationBasis:
     npad = op.padded_n
     if npad != op.n:
         W = np.pad(W, ((0, npad - op.n), (0, 0)))
-    return _basis_jit(op, jnp.asarray(W), int(W.shape[1]))
+    # One batched device matvec (f32 — the accuracy AW has in the per-lap
+    # projection anyway), then the G^-1/2 fold in f64 on the host.
+    AW = np.asarray(
+        jax.vmap(op.matvec, in_axes=1, out_axes=1)(jnp.asarray(W)),
+        np.float64,
+    )
+    W64 = W.astype(np.float64)
+    G = W64.T @ AW
+    G = 0.5 * (G + G.T)
+    ew, E = np.linalg.eigh(G)
+    keep2 = ew > max(1e-12 * float(ew.max()), 1e-300)
+    if not keep2.any():
+        raise ValueError("V has no A-positive directions (W^T A W ~ 0)")
+    S = E[:, keep2] / np.sqrt(ew[keep2])  # W @ S is A-orthonormal
+    m2 = int(keep2.sum())
+    return DeflationBasis(
+        W=jnp.asarray((W64 @ S).astype(np.float32)),
+        AW=jnp.asarray((AW @ S).astype(np.float32)),
+        Ginv=jnp.eye(m2, dtype=jnp.float32),
+    )
 
 
 def _deflate_precond(basis: DeflationBasis, base):
@@ -557,8 +578,10 @@ def _sharded_operator_deflated(op, b, V, x0, mesh, config) -> CGResult:
     stack); AW is computed with the SHARDED operator matvec itself (one
     device matvec per basis column — sparse operators have no dense host
     form to multiply); G^-1 is inverted host-side in f64 from the f32 AW
-    (the same accuracy as the serial operator path, whose ``_basis_jit``
-    also forms AW on device in f32)."""
+    (the same accuracy as the serial path, whose
+    ``build_deflation_basis`` also forms AW on device in f32; the serial
+    builder additionally folds G^-1/2 into the basis — this sharded
+    builder keeps the explicit-Ginv scheme and its documented floor)."""
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
