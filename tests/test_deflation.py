@@ -331,3 +331,23 @@ class TestOperatorShardedDeflatedCG:
             assert bool(res.converged)
             iters.append(int(res.iterations))
         assert min(iters[1:]) * 2 < iters[0], iters
+
+
+def test_basis_is_a_orthonormal():
+    """build_deflation_basis folds G^-1/2 in f64: W^T A W = I to ~f32
+    accuracy and Ginv is the identity, even for a near-degenerate
+    solution-type stack (the recycled-sequence shape whose explicit
+    f32 Ginv used to carry kappa(A)-scale entries)."""
+    A, b, _ = tpucg.generate_spd_system(256, seed=20)
+    A = np.asarray(A)
+    x = np.linalg.solve(A.astype(np.float64), np.asarray(b, np.float64))
+    V = np.stack(
+        [x, x * (1 + 1e-3 * np.random.default_rng(21).standard_normal(256))],
+        axis=1,
+    ).astype(np.float32)
+    basis = tpucg.build_deflation_basis(A, V)
+    W = np.asarray(basis.W, np.float64)
+    G = W.T @ (A.astype(np.float64) @ W)
+    np.testing.assert_allclose(G, np.eye(basis.m), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(basis.Ginv),
+                                  np.eye(basis.m, dtype=np.float32))
