@@ -351,3 +351,49 @@ def test_basis_is_a_orthonormal():
     np.testing.assert_allclose(G, np.eye(basis.m), atol=5e-4)
     np.testing.assert_array_equal(np.asarray(basis.Ginv),
                                   np.eye(basis.m, dtype=np.float32))
+
+
+def test_recycling_state_roundtrip(tmp_path):
+    """A sequence interrupted by save/load must continue with the same
+    lap counts as the uninterrupted run — the time-stepping restart
+    story (sequence-level analog of checkpoint/resume)."""
+    A, V = _clustered_spd(n=256, seed=30)
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal(256).astype(np.float32)
+    drift = rng.standard_normal(256).astype(np.float32)
+    tol = 1e-4 * float(np.linalg.norm(base))
+    path = str(tmp_path / "rec_state.npz")
+
+    def rhs(t):
+        return base + 0.1 * t * drift
+
+    ref = tpucg.RecyclingCG(A, max_vectors=3, tol=tol, maxiter=1024)
+    ref_laps = [int(ref.solve(rhs(t)).iterations) for t in range(5)]
+
+    first = tpucg.RecyclingCG(A, max_vectors=3, tol=tol, maxiter=1024)
+    for t in range(3):
+        first.solve(rhs(t))
+    first.save_state(path)
+
+    resumed = tpucg.RecyclingCG(A, max_vectors=3, tol=tol, maxiter=1024)
+    m = resumed.load_state(path)
+    assert m == 3
+    for t in (3, 4):
+        r = resumed.solve(rhs(t))
+        assert bool(r.converged)
+        assert abs(int(r.iterations) - ref_laps[t]) <= 2, (
+            t, int(r.iterations), ref_laps)
+
+
+def test_recycling_state_refuses_foreign_operator(tmp_path):
+    A1, _ = _clustered_spd(n=128, seed=32)
+    A2, _ = _clustered_spd(n=128, seed=33)
+    b = np.random.default_rng(34).standard_normal(128).astype(np.float32)
+    tol = 1e-4 * float(np.linalg.norm(b))
+    path = str(tmp_path / "rec_state.npz")
+    rec1 = tpucg.RecyclingCG(A1, max_vectors=2, tol=tol, maxiter=1024)
+    rec1.solve(b)
+    rec1.save_state(path)
+    rec2 = tpucg.RecyclingCG(A2, max_vectors=2, tol=tol, maxiter=1024)
+    with pytest.raises(ValueError, match="DIFFERENT operator"):
+        rec2.load_state(path)

@@ -857,3 +857,62 @@ class RecyclingCG:
                     kernel=self.config.kernel,
                 )
         return res
+
+    def _signature(self) -> np.ndarray:
+        from tpucg.solver.checkpoint import system_signature
+
+        op = as_operator(self.A)
+        return system_signature(op, np.zeros(op.padded_n, np.float32))
+
+    def save_state(self, path: str) -> None:
+        """Persist the recycled solution stack as an atomic ``.npz`` —
+        the sequence-level analog of ``save_checkpoint`` (which persists
+        ONE solve's mid-flight CG state; this persists the BETWEEN-solve
+        state a time-stepping run accumulates). Carries the operator's
+        probe signature so a restart against a different system refuses
+        loudly instead of deflating with a foreign basis.
+        """
+        import os
+
+        V = (
+            np.stack(self._vectors, axis=1)
+            if self._vectors else np.zeros((0, 0), np.float32)
+        )
+        tmp = path + ".tmp"
+        np.savez(
+            tmp, V=V,
+            max_vectors=np.int64(self.max_vectors),
+            signature=self._signature(),
+        )
+        tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(tmp_real, path)
+
+    def load_state(self, path: str) -> int:
+        """Restore a :meth:`save_state` stack (returns the number of
+        recycled vectors restored). Verifies the operator's probe
+        signature first; the basis is rebuilt through the current
+        :func:`build_deflation_basis` (so state saved before a basis-
+        construction upgrade still loads)."""
+        from tpucg.solver.checkpoint import signatures_match
+
+        with np.load(path) as z:
+            V = np.asarray(z["V"], np.float32)
+            sig = np.asarray(z["signature"])
+        if not signatures_match(sig, self._signature()):
+            raise ValueError(
+                f"recycling state at {path!r} was saved for a DIFFERENT "
+                "operator (probe signature mismatch) — refusing to "
+                "deflate with a foreign basis"
+            )
+        # FIFO semantics: the newest vectors are the LAST columns.
+        Vk = V[:, -self.max_vectors:] if V.shape[1] else V
+        self._vectors = [
+            np.ascontiguousarray(Vk[:, j]) for j in range(Vk.shape[1])
+        ]
+        self._basis = None
+        if self._vectors and self.mesh is None:
+            self._basis = build_deflation_basis(
+                self.A, np.stack(self._vectors, axis=1),
+                kernel=self.config.kernel,
+            )
+        return len(self._vectors)
