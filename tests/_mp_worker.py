@@ -56,9 +56,25 @@ def _operator_mode(workdir: str, pid: int, nproc: int) -> None:
         poisson3d_dia(m), b, mesh=mesh, tol=tol
     )
     x_d = np.asarray(multihost_utils.process_allgather(res_d.x, tiled=True))
+    # WELL + two-level across OS processes (round 4): the irregular
+    # decomposition's all-gather matvec AND the coarse space's
+    # (nc,)-all_gather both ride the cross-process (gloo) mesh; the
+    # coarse inverse is replicated per process. n=1024 pads to 128 rows
+    # per shard at 8 shards — agg=32 divides it.
+    from tpucg.io.generator import random_geometric_spd
+    from tpucg.solver.twolevel import build_two_level
+
+    Aw, bw, _ = random_geometric_spd(1024, seed=5, avg_degree=8.0)
+    tol_w = 1e-5 * float(np.linalg.norm(bw))
+    tl = build_two_level(Aw, agg_size=32, npad=1024)
+    res_w = sharded_operator_cg_solve(
+        Aw, bw, mesh=mesh, tol=tol_w, two_level=tl
+    )
+    x_w = np.asarray(multihost_utils.process_allgather(res_w.x, tiled=True))
     if pid == 0:
         np.save(os.path.join(workdir, "x_op_poisson.npy"), x_p[:n])
         np.save(os.path.join(workdir, "x_op_dia.npy"), x_d[:n])
+        np.save(os.path.join(workdir, "x_op_well2l.npy"), x_w[:1024])
         with open(os.path.join(workdir, "meta_op.json"), "w") as f:
             json.dump(
                 {
@@ -67,6 +83,8 @@ def _operator_mode(workdir: str, pid: int, nproc: int) -> None:
                     "poisson_iterations": int(res_p.iterations),
                     "dia_converged": bool(res_d.converged),
                     "dia_iterations": int(res_d.iterations),
+                    "well2l_converged": bool(res_w.converged),
+                    "well2l_iterations": int(res_w.iterations),
                 },
                 f,
             )

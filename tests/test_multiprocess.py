@@ -225,3 +225,20 @@ def test_multiprocess_wide_operator_arms(mp_run_wide):
         x = np.load(os.path.join(workdir, f"x_op_{arm}.npy"))[:n]
         np.testing.assert_allclose(x, ox, rtol=1e-4, atol=1e-5,
                                    err_msg=arm)
+    # WELL + two-level across OS processes: oracle parity on the
+    # assembled irregular system (round 4 — the coarse space's
+    # (nc,)-all_gather rides the cross-process mesh).
+    import tpucg as _t
+    from tpucg.io.generator import random_geometric_spd
+
+    Aw, bw, _ = random_geometric_spd(1024, seed=5, avg_degree=8.0)
+    tol_w = 1e-5 * float(np.linalg.norm(bw))
+    oxw, oiw, _ = oracle_cg(
+        np.asarray(Aw.to_dense(), np.float32), bw,
+        np.zeros(1024, np.float32), tol=tol_w,
+    )
+    assert meta["well2l_converged"]
+    xw = np.load(os.path.join(workdir, "x_op_well2l.npy"))[:1024]
+    np.testing.assert_allclose(xw, oxw, rtol=2e-3, atol=2e-4)
+    # Two-level cuts laps vs the unpreconditioned oracle.
+    assert meta["well2l_iterations"] < oiw
