@@ -421,7 +421,7 @@ def bench_block_well(n_points, k, repeats):
                     True)
     assert bool(res_1.converged), "single WELL solve hit the lap clamp"
     seq_laps = int(res_1.iterations)
-    mv_est = 60e-6  # measured WELL matvec at n~50k scale
+    mv_est = 80e-6  # measured WELL matvec at n=100k (chain sizing only)
     s_seq = float(np.median([
         time_run_chain(run_singles, (op,), Bj, X0, iters=repeats,
                        est_solve_s=k * seq_laps * mv_est)

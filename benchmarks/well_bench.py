@@ -271,6 +271,28 @@ def main():
                      if any(k in ln for k in ("system size", "iterations",
                                               "converged", "CG solve"))]
 
+        # Second CLI pass: the round-4 flags end-to-end — a shuffled
+        # structured-aniso .mtx recovered by --strength-order and solved
+        # under --two-level (the semi-coarsening pipeline a foreign
+        # anisotropic file would ride).
+        a2, b2 = os.path.join(td, "aniso.mtx"), os.path.join(td, "b2.mtx")
+        tpucg.save_matrix_market(a2, grid[0].to_coo(), symmetric=True)
+        tpucg.save_matrix_market(b2, grid[1])
+        t0 = time.time()
+        r2 = subprocess.run(
+            [sys.executable, "-m", "tpucg", "solve", a2, b2,
+             "--strength-order", "--two-level", "64",
+             "--tol", str(1e-5 * float(np.linalg.norm(grid[1])))],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": os.pathsep.join(sys.path)},
+        )
+        cli2_s = time.time() - t0
+        print(r2.stdout, flush=True)
+        assert r2.returncode == 0, r2.stdout + r2.stderr
+        cli2_lines = [ln for ln in r2.stdout.splitlines()
+                      if any(k in ln for k in ("system size", "iterations",
+                                               "converged", "CG solve"))]
+
     MARK = "## Irregular sparse (WELL)"
     section = "\n".join(
         [MARK, "",
@@ -330,6 +352,11 @@ def main():
            f"--precondition jacobi; whole-process {cli_s:.0f}s incl. "
            "compile):", "", "```"]
         + cli_lines + ["```"]
+        + ["", "CLI end-to-end, round-4 flags (.mtx, shuffled "
+           "structured-aniso grid; --strength-order recovers "
+           "line-contiguous numbering, --two-level 64 semi-coarsens on "
+           f"it; whole-process {cli2_s:.0f}s incl. compile):", "", "```"]
+        + cli2_lines + ["```"]
     ) + "\n"
     print("\n" + section, flush=True)
     out = args.out or os.path.join(
