@@ -74,3 +74,20 @@ def test_ell_spmv_matches_csr():
         ell_spmv(jnp.asarray(ell.values), jnp.asarray(ell.indices), jnp.asarray(x))
     )
     np.testing.assert_allclose(got, csr.matvec(x), rtol=1e-5, atol=1e-5)
+
+
+def test_chain_extra_sizing():
+    """Chain-repetition sizing: small estimates keep the classic floor of
+    8 (the extra work must dominate ~25 ms dispatch jitter), large
+    estimates drop to one extra solve (multi-second chained dispatches
+    gain nothing and raise watchdog exposure), and the target_s budget
+    bounds the middle."""
+    from tpucg.bench.timing import _chain_extra
+
+    assert _chain_extra(None, 0.05) == 8
+    assert _chain_extra(0.0, 0.05) == 8
+    assert _chain_extra(1e-5, 0.05) == 256   # capped
+    assert _chain_extra(0.002, 0.05) == 25   # target/est
+    assert _chain_extra(0.01, 0.05) == 5     # floor ceil(40ms/est)=4 < 5
+    assert _chain_extra(0.05, 0.05) == 1
+    assert _chain_extra(1.0, 0.05) == 1
