@@ -230,6 +230,16 @@ def main():
               two_level_agg=64)
     solve_row("FEM P1 aniso eps=1e-2", aniso[0], aniso[1], sv_lines,
               two_level_agg=64, smooth_degree=2)
+    # Rotating-field variant (rotating=True): the characteristic
+    # direction bends around the domain center, so NO single ordering —
+    # mesh numbering, RCM, or strength — can follow it globally; this is
+    # the robustness row for the contiguous-aggregate coarse space (it
+    # must degrade gracefully, not fail).
+    rot = fem_p1_aniso_system(300_000, eps=1e-2, rotating=True, seed=0)
+    solve_row("FEM P1 aniso rotating", rot[0], rot[1], sv_lines,
+              precondition="jacobi")
+    solve_row("FEM P1 aniso rotating", rot[0], rot[1], sv_lines,
+              two_level_agg=64, smooth_degree=2)
 
     # STRUCTURED anisotropy (aniso_grid_system m=256: -u_xx - eps u_yy,
     # strong couplings form LONG unbroken x-lines) with SHUFFLED numbering
@@ -320,7 +330,10 @@ def main():
          "restores it — fill is the knob, ordering is how you turn it.  Sub-80% rows are covered by BASELINE.md's round-4 measured-floor amendment (benchmarks/well_sweep.py): the n=100k gap is the descriptor-bound x-row-gather (measured 15 us / 228 GB/s effective standalone) plus 13-block-grid ramp — ~75% of the corrected composite floor; bf16 n=1M is a three-way HBM/VPU/MXU co-bind at ~71% of the perfectly-overlapped bound, and the on-chip (BS, BG) sweep found no layout lever (BG=64 + adaptive BS is optimal). ",
          "`FEM P1 aniso` is the second independent family "
          "(`fem_p1_aniso_system`: anisotropic diffusion K = R^T "
-         "diag(1, eps) R, the iteration-HARD input class). Every matrix "
+         "diag(1, eps) R, the iteration-HARD input class; the `rotating` "
+         "rows bend the characteristic direction around the domain "
+         "center — no single ordering can follow it, the coarse space's "
+         "graceful-degradation row). Every matrix "
          "here is generated because this environment has NO network "
          "egress (a SuiteSparse download is impossible); the "
          "external-validity stand-ins are the independent families plus "
