@@ -152,16 +152,42 @@ class WellMatrix:
         return y2.reshape(-1)[: self.shape[0]]
 
 
-def _auto_block_sublanes(total_sublanes: int, n_supergroups: int) -> int:
-    """Stream-block size heuristic (on-chip BS sweep, n=1M geometric
-    Laplacian, 2026-08-20): larger blocks amortize the one-hot output
-    revisits (2048 -> 4096 measured +20%/+29% Gnnz/s in f32/bf16), but a
-    block larger than one super-group's raw content is pure padding (8192
-    at ~4.1k raw sublanes/super-group HALVED fill and throughput). Pick
-    the largest power of two <= 1.25x the per-super-group raw content
-    (n=1M sits at ~3.9k raw sublanes/super-group and 4096 still wins — a
-    just-oversized block costs ~1% fill, an undersized one ~20% rate),
-    clamped to [256, 4096]."""
+def _auto_block_sublanes(total_sublanes: int, n_supergroups: int,
+                         sg_tot=None) -> int:
+    """Stream-block size heuristic, padding-aware (round 4).
+
+    Larger blocks amortize the one-hot output revisits (on-chip BS sweep,
+    n=1M geometric Laplacian: 2048 -> 4096 measured +20%/+29% Gnnz/s in
+    f32/bf16 at EQUAL padding), but each super-group pads to a BS
+    multiple, so the padding penalty depends on the per-super-group
+    content MODULO BS, not its average: FEM n=1M sits just ABOVE 4096
+    raw sublanes per super-group, so BS=4096 forced two blocks each
+    (fill 0.14) while BS=2048 packs three (fill 0.19) — measured 16.9 vs
+    22.6 Gnnz/s, a +34% lever the old average-content rule missed.
+
+    With ``sg_tot`` (the exact per-super-group chunk-padded sublane
+    counts, available at pack time) the choice minimizes
+    ``padded_slots(bs) * (4096/bs)**0.263`` over powers of two in
+    [256, 4096] — the exponent encodes the measured ~20% rate cost per
+    block halving, so padding must shrink by more than that to justify a
+    smaller block (ties go to the larger block). Without ``sg_tot`` the
+    old average-content rule applies.
+    """
+    if sg_tot is not None and len(sg_tot) > 0:
+        import numpy as _np
+
+        sg = _np.asarray(sg_tot, _np.int64)
+        best_bs, best_score = None, None
+        bs = 4096
+        while bs >= 256:
+            padded = int(
+                _np.where(sg == 0, bs, -(-sg // bs) * bs).sum()
+            )
+            score = padded * (4096.0 / bs) ** 0.263
+            if best_score is None or score < best_score:
+                best_bs, best_score = bs, score
+            bs //= 2
+        return best_bs
     per_sg = max(int(total_sublanes) // max(int(n_supergroups), 1), 1)
     bs = 256
     while bs * 2 <= min(per_sg + per_sg // 4, 4096):
@@ -272,7 +298,7 @@ def csr_to_well(
     sg_tot = np.bincount(run_sg, weights=runS_pad.astype(np.float64),
                          minlength=NSG).astype(np.int64)
     if BS is None:
-        BS = _auto_block_sublanes(int(runS_pad.sum()), NSG)
+        BS = _auto_block_sublanes(int(runS_pad.sum()), NSG, sg_tot=sg_tot)
     sg_pad = np.where(sg_tot == 0, BS, -(-sg_tot // BS) * BS)
     sg_base = np.concatenate([[0], np.cumsum(sg_pad)])
     NS = int(sg_base[-1])
