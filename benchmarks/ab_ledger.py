@@ -28,6 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks import _ledger
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -309,19 +311,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
-    text = open(out).read() if os.path.exists(out) else ""
-    if SECTION_HEADER in text:
-        head, _, rest = text.partition(SECTION_HEADER)
-        # Drop the old section (up to the next "## " heading or EOF).
-        after = ""
-        idx = rest.find("\n## ")
-        if idx >= 0:
-            after = rest[idx + 1:]
-        text = head + section + "\n" + after
-    else:
-        text = text.rstrip("\n") + "\n\n" + section + "\n"
-    with open(out, "w") as f:
-        f.write(text)
+    _ledger.replace_section(out, SECTION_HEADER, section)
 
     json_path = os.path.join(os.path.dirname(out), "RESULTS_AB.json")
     with open(json_path, "w") as f:

@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks import _ledger
+
 MARK = "## Extensions (beyond the reference)"
 
 
@@ -991,20 +993,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
-    text = open(out).read() if os.path.exists(out) else ""
-    if MARK in text:
-        # Replace ONLY this section (up to the next top-level "## " heading
-        # or EOF) — other regenerated sections may follow it.
-        head, _, rest = text.partition(MARK)
-        after = ""
-        idx = rest.find("\n## ")
-        if idx >= 0:
-            after = rest[idx + 1:]
-        text = head + section + "\n" + after
-    else:
-        text = (text.rstrip("\n") + "\n\n" if text else "") + section
-    with open(out, "w") as f:
-        f.write(text)
+    _ledger.replace_section(out, MARK, section)
     print(f"wrote {out}")
 
 

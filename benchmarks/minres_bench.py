@@ -22,6 +22,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks import _ledger
+
 MARK = "## MINRES (symmetric indefinite, extension)"
 
 
@@ -268,18 +270,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
-    text = open(out).read() if os.path.exists(out) else ""
-    if MARK in text:
-        head, _, rest = text.partition(MARK)
-        after = ""
-        idx = rest.find("\n## ")
-        if idx >= 0:
-            after = rest[idx + 1:]
-        text = head + section + "\n" + after
-    else:
-        text = (text.rstrip("\n") + "\n\n" if text else "") + section
-    with open(out, "w") as f:
-        f.write(text)
+    _ledger.replace_section(out, MARK, section)
     print(f"wrote {out}")
 
 

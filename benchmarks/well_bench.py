@@ -21,6 +21,10 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks import _ledger
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -376,20 +380,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
-    text = open(out).read() if os.path.exists(out) else ""
-    if MARK in text:
-        # Replace ONLY this section (up to the next top-level "## "),
-        # like the other RESULTS writers.
-        head, _, rest = text.partition(MARK)
-        after = ""
-        idx = rest.find("\n## ")
-        if idx >= 0:
-            after = rest[idx + 1:]
-        text = head + section + "\n" + after
-    else:
-        text = (text.rstrip("\n") + "\n\n" if text else "") + section
-    with open(out, "w") as f:
-        f.write(text)
+    _ledger.replace_section(out, MARK, section)
     print(f"wrote {out}")
 
 

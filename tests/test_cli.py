@@ -311,6 +311,26 @@ def test_solve_mtx_minres_and_bf16(tmp_path, capsys):
     assert "+bf16" in out and "converged            : True" in out
 
 
+def test_minres_rejects_two_level_and_interval(tmp_path):
+    # --two-level/--interval would be silently dropped by the minres path
+    # while the report stamped "+2lvl" into the format string (ADVICE r4);
+    # the CLI must refuse the combination loudly instead.
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+
+    A, b, _ = random_geometric_spd(300, seed=63, avg_degree=6.0)
+    amtx = str(tmp_path / "A.mtx")
+    bmtx = str(tmp_path / "b.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    with pytest.raises(SystemExit, match="minres"):
+        main(["solve", amtx, bmtx, "--method", "minres",
+              "--two-level", "32"])
+    with pytest.raises(SystemExit, match="minres"):
+        main(["solve", amtx, bmtx, "--method", "minres",
+              "--interval", "0.1", "4.0"])
+
+
 def test_solve_mtx_well_bf16(tmp_path, capsys):
     # Irregular .mtx (WELL promotion) with --storage bf16.
     import tpucg

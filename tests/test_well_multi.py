@@ -1,11 +1,13 @@
-"""Multi-RHS WELL: the fused SpMM kernel and the matrix-form lockstep loop.
+"""Multi-RHS WELL: the vmapped batched matvec and the lockstep loop.
 
-``WellOperator.matvec_multi`` streams the packed matrix ONCE per lap for all
-k right-hand sides (``kernels.gather_spmv.well_spmm``), replacing the
-vmapped single-RHS kernel that re-ran the descriptor-bound x-window gather
-per lane (measured 2.6x slower than k sequential solves — RESULTS.md).
-``multi_cg_loop`` is the matrix-form lockstep recurrence that exploits it;
-its per-column iterates must match ``cg_loop``'s exactly (reference stopping
+``WellOperator.matvec_multi`` is ``jax.vmap`` of the single-RHS WELL kernel
+over the RHS axis — Mosaic batches the lane axis minor-grid and elides
+repeated block fetches, so the matrix streams effectively once per lap for
+all k columns. A hand-fused scratch SpMM kernel was built and measured
+SLOWER at every size (the recorded negative result,
+``kernels/gather_spmv.py``), so the vmapped form is the keeper.
+``multi_cg_loop`` is the matrix-form lockstep recurrence on top of it; its
+per-column iterates must match ``cg_loop``'s exactly (reference stopping
 contract per column: true residual after the x/r update,
 ``serialConjugate.c:213-220``).
 """

@@ -280,6 +280,17 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         s_step=args.s_step, pc_block_size=args.pc_block_size,
         check_every=args.check_every,
     )
+    if args.method == "minres" and (
+        getattr(args, "two_level", None) is not None
+        or getattr(args, "interval", None) is not None
+    ):
+        # MINRES takes neither knob; building the preconditioner and
+        # stamping "+2lvl" into the report while silently solving without
+        # it would misstate the published configuration (ADVICE r4).
+        raise SystemExit(
+            "--two-level/--interval do not apply to --method minres "
+            "(MINRES preconditioning is --precondition jacobi/block_jacobi)"
+        )
     if getattr(args, "interval", None) is not None:
         kw["interval"] = tuple(args.interval)
     if getattr(args, "two_level", None) is not None:

@@ -140,11 +140,15 @@ def build_two_level(
     vals = coo.data.astype(np.float64)
 
     # Galerkin coarse matrix: entries pool by aggregate pair; identity tail
-    # rows add 1 to their aggregate's diagonal (blockdiag(A, I) exactly).
+    # rows [n, npad) add 1 to their aggregate's diagonal (blockdiag(A, I)
+    # exactly). Rows [npad, nc*agg) are PHANTOM — restrict zero-pads them
+    # (`make_two_level_precond.restrict`), so they contribute nothing to
+    # the true Galerkin matrix and must not inflate the last diagonal
+    # (every aggregate still holds real rows: (nc-1)*agg < npad).
     Ac = np.zeros((nc, nc), np.float64)
     np.add.at(Ac, (rows // agg, cols // agg), vals)
     tail_counts = np.bincount(
-        np.arange(n, nc * agg, dtype=np.int64) // agg, minlength=nc
+        np.arange(n, npad, dtype=np.int64) // agg, minlength=nc
     )
     idx = np.arange(nc)
     Ac[idx, idx] += tail_counts
