@@ -193,6 +193,32 @@ def main():
                 flush=True,
             )
 
+    # ---- two_level x {cg, pipelined} cadence arm (round 5) ----
+    # The method x preconditioner cell VERDICT r4 #5 opened: the strong
+    # cycle under the one-fused-psum-per-lap recurrence, on the irregular
+    # (sharded-WELL) decomposition where both matter.
+    from tpucg.io.generator import random_geometric_spd
+    from tpucg.solver.sharded import sharded_operator_cg_solve
+
+    Aw, bw, _ = random_geometric_spd(32_768, seed=0, avg_degree=12.0)
+    nw = Aw.shape[0]
+    npad_w = -(-nw // (128 * P_m)) * (128 * P_m)
+    tl_w = tpucg.build_two_level(Aw, agg_size=64, npad=npad_w)
+    tol_w = 1e-5 * float(np.linalg.norm(bw))
+    tl_results = {}
+    for method in ("cg", "pipelined"):
+        solve = lambda: sharded_operator_cg_solve(
+            Aw, bw, mesh=mesh_m, method=method, tol=tol_w, two_level=tl_w,
+        )
+        r = solve()
+        jax.block_until_ready(r.x)
+        cg_s = time_fn(lambda: solve().x, warmup=1, iters=args.repeats,
+                       reduce="median")
+        assert bool(r.converged), method
+        tl_results[method] = dict(cg_s=cg_s, iters=int(r.iterations))
+        print(f"two_level x {method}: CG {cg_s:.4f} s "
+              f"(iters {int(r.iterations)})", flush=True)
+
     # ---- render the RESULTS.md section ----
     lines = [
         SECTION_HEADER,
@@ -303,6 +329,29 @@ def main():
         "laps) additionally pays a no-minimization rate penalty — its "
         "iteration counts round up to the check cadence; it is the "
         "extreme latency point, not a bandwidth winner.",
+        "",
+        "#### two_level x pipelined (round 5)",
+        "",
+        f"The strong preconditioner under the latency-hiding method — the "
+        f"multi-chip composition (guard removed round 5): geometric-graph "
+        f"Laplacian n={nw} on the sharded-WELL decomposition at P={P_m}, "
+        f"tol = 1e-5*||b||. The cycle is a fixed SPD operator, so the "
+        f"pipelined recurrence keeps its ONE fused scalar psum per lap "
+        f"(the cycle's coarse all_gather is dataflow-independent of the "
+        f"lap's scalars); preconditioned pipelined runs carry periodic "
+        f"residual replacement + a measured (p, Ap) pair in the same "
+        f"fused reduction (solver.cg.PIPE_REPLACE_EVERY — the f32 "
+        f"attainable floor scales ~kappa*1e-7*||b||, so ill-conditioned "
+        f"FEM wants classic PCG; this kappa~1e2 family reaches 1e-5 with "
+        f"exact lap parity):",
+        "",
+        "| arm | CG (s, CPU-functional) | iters |",
+        "|---|---|---|",
+        f"| two_level + classic CG (2 scalar psums/lap) "
+        f"| {tl_results['cg']['cg_s']:.4f} | {tl_results['cg']['iters']} |",
+        f"| two_level + pipelined (1 fused psum/lap) "
+        f"| {tl_results['pipelined']['cg_s']:.4f} "
+        f"| {tl_results['pipelined']['iters']} |",
         "",
     ]
     section = "\n".join(lines)

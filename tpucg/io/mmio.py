@@ -176,6 +176,198 @@ def load_matrix_market(
                      shape=(nrow, ncol))
 
 
+# --- Host-sharded (byte-range) loading -------------------------------------
+#
+# The reference's scalability ceiling is rank 0 reading ALL of A and
+# scattering it (parallel_cg.c:100-108). tpucg removed that for the dense
+# text path (per-shard range reads); these primitives remove it for the
+# sparse .mtx path: a one-time sidecar index records the byte offset where
+# each row's entries begin in a ROW-SORTED general coordinate file, after
+# which any process can read EXACTLY its row-block's bytes — per-process
+# bytes-read ~ nnz_shard/nnz of the file, no full parse anywhere.
+#
+# Symmetric-storage files cannot be row-range-read (the mirrored entry
+# (j, i) of a stored (i, j) lives in row i's byte range, not row j's), so
+# the ETL step `expand_matrix_market` rewrites them general + row-sorted +
+# indexed once; `tpucg convert` exposes it.
+
+
+def mm_index_path(path: str) -> str:
+    return path + ".mmidx.npz"
+
+
+def build_mm_index(path: str) -> str:
+    """Build the byte-offset sidecar for a ROW-SORTED general coordinate
+    .mtx file (one streaming pass; validates sortedness). Returns the
+    sidecar path. Symmetric or unsorted files raise, pointing at
+    :func:`expand_matrix_market`."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if not raw.isascii():
+        # char offsets into the decoded text double as BYTE offsets only
+        # for pure-ASCII files (the MatrixMarket spec's charset).
+        raise ValueError(
+            f"{path!r}: non-ASCII bytes — cannot build a byte-offset "
+            "index; re-write the file with expand_matrix_market"
+        )
+    text = raw.decode("ascii")
+    fmt, field, sym = _parse_header(path, text.splitlines()[0])
+    if fmt != "coordinate":
+        raise ValueError(f"{path!r}: row index applies to coordinate files")
+    if sym != "general":
+        raise ValueError(
+            f"{path!r}: symmetric storage cannot be row-range-read "
+            "(mirrored entries live in other rows' bytes) — run "
+            "expand_matrix_market / `tpucg convert` first"
+        )
+    nrow = ncol = nnz = None
+    # find the size line (first non-comment line after the header)
+    line_start = text.index("\n") + 1
+    while True:
+        nl = text.find("\n", line_start)
+        line = text[line_start: nl if nl >= 0 else len(text)]
+        ls = line.strip()
+        if ls and not ls.startswith("%"):
+            nrow, ncol, nnz = (int(t) for t in ls.split())
+            data_start = (nl + 1) if nl >= 0 else len(text)
+            break
+        if nl < 0:
+            raise ValueError(f"{path!r}: missing size line")
+        line_start = nl + 1
+    # Record the first byte of each row's run. Fast path (vectorized,
+    # ~100 ms/M-nnz): every data-region line is an entry — true for files
+    # tpucg writes and virtually all files in the wild. Falls back to a
+    # per-line scan when comments/blank lines interleave the data.
+    offsets = np.full(nrow + 1, -1, dtype=np.int64)
+    body_u8 = np.frombuffer(raw[data_start:], np.uint8)
+    nl_pos = np.flatnonzero(body_u8 == 0x0A)
+    line_starts = np.concatenate(([0], nl_pos + 1))
+    if line_starts.size and line_starts[-1] >= body_u8.size:
+        line_starts = line_starts[:-1]  # trailing newline
+    count = None
+    if line_starts.size == nnz:
+        toks = _parse_floats(path, text[data_start:])
+        if toks.size == nnz * 3:
+            rows0 = toks.reshape(-1, 3)[:, 0].astype(np.int64) - 1
+            if rows0.size and (rows0.min() < 0 or rows0.max() >= nrow):
+                raise ValueError(f"{path!r}: row index out of range")
+            if np.any(np.diff(rows0) < 0):
+                raise ValueError(
+                    f"{path!r}: entries are not row-sorted — run "
+                    "expand_matrix_market first"
+                )
+            uniq, first = np.unique(rows0, return_index=True)
+            offsets[uniq] = data_start + line_starts[first]
+            count = nnz
+    if count is None:
+        # slow path: comment/blank lines inside the data region
+        pos = data_start
+        prev_row = -1
+        count = 0
+        while pos < len(text):
+            nl = text.find("\n", pos)
+            end = nl if nl >= 0 else len(text)
+            ls = text[pos:end].strip()
+            if ls and not ls.startswith("%"):
+                r = int(ls.split(None, 1)[0]) - 1
+                if r < prev_row:
+                    raise ValueError(
+                        f"{path!r}: entries are not row-sorted (row "
+                        f"{r + 1} after {prev_row + 1}) — run "
+                        "expand_matrix_market first"
+                    )
+                if r >= nrow:
+                    raise ValueError(f"{path!r}: row {r + 1} > {nrow}")
+                if r != prev_row:
+                    offsets[r] = pos
+                    prev_row = r
+                count += 1
+            if nl < 0:
+                break
+            pos = nl + 1
+    if count != nnz:
+        raise ValueError(f"{path!r}: size line says {nnz} entries, "
+                         f"found {count}")
+    offsets[nrow] = len(raw)
+    # empty rows (and rows before the first entry) inherit the NEXT
+    # starting offset so [off[r0], off[r1]) is always exactly row-block
+    # bytes.
+    for r in range(nrow - 1, -1, -1):
+        if offsets[r] < 0:
+            offsets[r] = offsets[r + 1]
+    out = mm_index_path(path)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    np.savez(tmp, row_offsets=offsets, nrow=np.int64(nrow),
+             ncol=np.int64(ncol), nnz=np.int64(nnz),
+             file_bytes=np.int64(len(raw)))
+    tmp_real = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(tmp_real, out)
+    return out
+
+
+def expand_matrix_market(src: str, dst: str) -> str:
+    """One-time ETL for host-sharded loading: load ``src`` (any supported
+    coordinate variant incl. symmetric), expand to the full operator,
+    row-sort, write ``dst`` as general coordinate, and build its sidecar
+    index. Returns the sidecar path."""
+    mat = load_matrix_market(src, dtype=np.float64)
+    if not isinstance(mat, COOMatrix):
+        raise ValueError(f"{src!r}: expand applies to coordinate files")
+    order = np.lexsort((mat.col, mat.row))
+    mat = COOMatrix(row=mat.row[order], col=mat.col[order],
+                    data=mat.data[order], shape=mat.shape)
+    save_matrix_market(dst, mat, symmetric=False)
+    return build_mm_index(dst)
+
+
+def load_matrix_market_rows(
+    path: str, r0: int, r1: int, dtype=np.float32
+) -> tuple:
+    """Read ONLY rows [r0, r1) of an indexed general coordinate file.
+
+    Returns (COOMatrix with LOCAL row numbering [0, r1-r0) and GLOBAL
+    columns, global_shape, bytes_read). ``bytes_read`` counts the data
+    bytes actually fetched — the host-sharded loading contract is that it
+    is ~ the shard's share of the file, not the whole file
+    (parallel_cg.c:100-108 is the ceiling being removed)."""
+    idx_path = mm_index_path(path)
+    if not os.path.exists(idx_path):
+        raise FileNotFoundError(
+            f"{idx_path!r} missing — build it once with build_mm_index() "
+            "or expand_matrix_market() (`tpucg convert`)"
+        )
+    with np.load(idx_path) as z:
+        offsets = z["row_offsets"]
+        nrow, ncol = int(z["nrow"]), int(z["ncol"])
+    if not (0 <= r0 <= r1 <= nrow):
+        raise ValueError(f"rows [{r0}, {r1}) out of range for {nrow}")
+    lo, hi = int(offsets[r0]), int(offsets[r1])
+    with open(path, "rb") as f:
+        f.seek(lo)
+        chunk = f.read(hi - lo)
+    body = "\n".join(
+        ln for ln in chunk.decode("ascii", errors="replace").splitlines()
+        if ln.strip() and not ln.lstrip().startswith("%")
+    )
+    toks = _parse_floats(path, body) if body else np.empty(0, np.float64)
+    if toks.size % 3:
+        raise ValueError(f"{path!r}: byte range [{lo}, {hi}) held "
+                         f"{toks.size} tokens (not triples)")
+    toks = toks.reshape((-1, 3))
+    row = toks[:, 0].astype(np.int64) - 1
+    col = toks[:, 1].astype(np.int64) - 1
+    if row.size and (row.min() < r0 or row.max() >= r1):
+        raise ValueError(
+            f"{path!r}: stale index — rows outside [{r0}, {r1}) in range"
+        )
+    return (
+        COOMatrix(row=row - r0, col=col, data=toks[:, 2].astype(dtype),
+                  shape=(r1 - r0, ncol)),
+        (nrow, ncol),
+        hi - lo,
+    )
+
+
 def save_matrix_market(
     path: str,
     mat: Union[COOMatrix, CSRMatrix, np.ndarray],

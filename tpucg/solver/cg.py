@@ -290,6 +290,9 @@ def cg_loop(
     state: Optional[_State] = None,
     precond: Optional[Callable] = None,
     hist_len: Optional[int] = None,
+    replace_every: Optional[int] = None,
+    replace_fn: Optional[Callable] = None,
+    check_true_every: Optional[int] = None,
 ) -> _State:
     """Generic CG while_loop. ``matvec``/``dot``/``update`` abstract the
     execution model: serial closures here; psum-reducing closures under
@@ -305,12 +308,47 @@ def cg_loop(
     preconditioned CG — an extension beyond the reference (which is
     unpreconditioned only), with the same stopping contract on the true
     residual: ``sqrt(r.r) < tol`` after the x/r update, before the p update.
+
+    ``replace_every`` (requires ``b``; round 5): Van der Vorst/Sleijpen
+    residual replacement — every that-many laps the recurrence residual is
+    re-anchored to the TRUE residual (r <- b - A x, rsold <- (r, M^-1 r);
+    p kept). The deflation x two-level composition needs it: the
+    projection re-injects the stored basis's f32 matvec error every lap
+    and the recurrence walks away from the true residual near the
+    composed floor (RESULTS.md deflation caveat); replacement lowers that
+    attainable floor by following the true residual again. Costs one
+    matvec + one preconditioner apply per replacement lap.
+    ``replace_fn(x, r_true) -> (x, r)`` customizes the re-anchoring — the
+    DEFLATED recurrence must re-apply its Galerkin correction here
+    (plainly replacing r re-injects span(W) components the projected
+    search directions can never remove; measured DIVERGENT at FEM n=30k).
+
+    ``check_true_every`` (requires ``b``; round 5): make the STOPPING test
+    the TRUE residual, evaluated every that-many laps (one extra matvec +
+    dot per check) — the reference's actual contract
+    (``serialConjugate.c:28,235``; in the reference's double precision the
+    recurrence r IS the true r, in f32 at high condition it is NOT:
+    measured at FEM n=300k the recurrence converged 2000x BELOW the true
+    residual on strong-preconditioner solves, while warm deflated
+    recurrences sat ABOVE a true residual that had already met tol). The
+    per-lap recurrence test is disabled; laps quantize to the check
+    cadence; ``rslast`` carries the latest TRUE r.r so reported residuals
+    are honest. The checks run UNCONDITIONALLY at segment boundaries
+    (collective-safe — see pipelined_cg_loop's deadlock note). Mutually
+    exclusive with ``replace_every``.
     """
     if state is None:
         state = init_state(
             matvec, dot, b, x0, tol, precond=precond, hist_len=hist_len
         )
-    tol2 = jnp.asarray(tol, state.r.dtype) ** 2
+    if check_true_every:
+        assert b is not None and not replace_every
+        # disable the per-lap recurrence test: done fires only from the
+        # true-residual checks at segment boundaries below.
+        tol2 = jnp.asarray(-1.0, state.r.dtype)
+    else:
+        tol2 = jnp.asarray(tol, state.r.dtype) ** 2
+    true_tol2 = jnp.asarray(tol, state.r.dtype) ** 2
 
     def cond(s: _State):
         return jnp.logical_and(s.k < maxiter, jnp.logical_not(s.done))
@@ -318,8 +356,15 @@ def cg_loop(
     def body(s: _State):
         ap = matvec(s.p)
         pap = dot(s.p, ap)
+        # Breakdown guards (round 5): (p, Ap) and (r, M^-1 r) are positive
+        # for SPD A/M in exact arithmetic but cross zero in f32 once a
+        # solve grinds PAST its attainable floor (reachable now that
+        # check_true_every can honestly keep iterating there) — an
+        # unguarded recurrence then NaNs within a few hundred laps
+        # (measured, FEM + two-level). Before the floor the guards never
+        # fire, so all existing trajectories are bit-identical.
         if safe_alpha:
-            alpha = jnp.where(pap != 0, s.rsold / pap, jnp.zeros_like(pap))
+            alpha = jnp.where(pap > 0, s.rsold / pap, jnp.zeros_like(pap))
         else:
             alpha = s.rsold / pap
         x, r, rr = update(s.x, s.r, s.p, ap, alpha)
@@ -329,18 +374,133 @@ def cg_loop(
         else:
             z = precond(r)
             rs_new = dot(r, z)
-        p = jnp.where(done, s.p, z + (rs_new / s.rsold) * s.p)
-        rsold = jnp.where(done, s.rsold, rs_new)
+        healthy = rs_new > 0
+        beta = jnp.where(healthy, rs_new / s.rsold, jnp.zeros_like(rs_new))
+        p = jnp.where(done, s.p, z + beta * s.p)
+        rsold = jnp.where(
+            done, s.rsold,
+            jnp.where(healthy, rs_new,
+                      jnp.asarray(np.finfo(np.float32).tiny, rs_new.dtype)),
+        )
         hist = (
             None if s.hist is None
             else s.hist.at[s.k + 1].set(jnp.sqrt(rr))
         )
-        return _State(
+        ns = _State(
             k=s.k + 1, x=x, r=r, p=p, rsold=rsold, rslast=rr, done=done,
             hist=hist,
         )
+        if replace_every:
+            assert b is not None, "replace_every needs b"
+            # SERIAL-ONLY: this refresh sits inside lax.cond; a SHARDED
+            # matvec/dot here (collectives under a conditional) is an
+            # SPMD deadlock hazard — see pipelined_cg_loop's segmented
+            # restructure if a distributed caller ever needs this.
 
-    return jax.lax.while_loop(cond, body, state)
+            def refresh(s2: _State) -> _State:
+                r_true = b - matvec(s2.x)
+                if replace_fn is None:
+                    x_n, r_n = s2.x, r_true
+                else:
+                    x_n, r_n = replace_fn(s2.x, r_true)
+                z_t = r_n if precond is None else precond(r_n)
+                return s2._replace(x=x_n, r=r_n, rsold=dot(r_n, z_t))
+
+            do = jnp.logical_and(
+                ns.k % jnp.int32(replace_every) == 0,
+                jnp.logical_not(ns.done),
+            )
+            ns = jax.lax.cond(do, refresh, lambda s2: s2, ns)
+        return ns
+
+    if not check_true_every:
+        return jax.lax.while_loop(cond, body, state)
+
+    R = jnp.int32(check_true_every)
+
+    def inner_cond(s: _State):
+        return jnp.logical_and(cond(s), s.k % R != 0)
+
+    def outer_cond(carry):
+        s, _, _ = carry
+        return cond(s)
+
+    def outer_body(carry):
+        s, prev_rr, prev_stag = carry
+        s = body(s)                                    # leave the boundary
+        s = jax.lax.while_loop(inner_cond, body, s)    # to next boundary
+        rec_rr = s.rslast           # the RECURRENCE r.r at this boundary
+        r_t = b - matvec(s.x)
+        rr_t = dot(r_t, r_t)
+        done_t = rr_t < true_tol2
+        # Stagnation exit: past the f32 attainable floor the true residual
+        # stops improving while the RECURRENCE runs away (measured: p
+        # overflows to inf within ~1k post-floor laps). Two guards keep
+        # this from killing live solves: (a) TWO consecutive sub-0.5%
+        # windows (CG 2-norms are not monotone — a single plateau can be
+        # a mid-convergence shoulder), and (b) recurrence/truth
+        # DECOUPLING (rr_true >> rr_recurrence): during the initial
+        # residual-growth transient the recurrence still TRACKS the true
+        # residual, only at the floor has it collapsed far below it.
+        # (done, NOT converged: callers decide from rslast = true r.r.)
+        stag = jnp.logical_and(
+            rr_t > 0.995 * prev_rr, rr_t > 100.0 * rec_rr
+        )
+        # Checks take EFFECT only at k % R == 0 boundaries (elementwise
+        # select — the matvec/dot above stay unconditional, collective-
+        # safe): a segmented driver whose k_target lands mid-window then
+        # follows the bit-identical trajectory of an unsegmented run.
+        at_b = s.k % R == 0
+        s = s._replace(
+            done=jnp.logical_or(
+                s.done,
+                jnp.logical_and(
+                    at_b,
+                    jnp.logical_or(done_t,
+                                   jnp.logical_and(stag, prev_stag)),
+                ),
+            ),
+            rslast=jnp.where(at_b, rr_t, s.rslast),
+        )
+        return (
+            s,
+            jnp.where(at_b, rr_t, prev_rr),
+            jnp.where(at_b, stag, prev_stag),
+        )
+
+    st, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (state, jnp.asarray(np.inf, state.r.dtype),
+         jnp.zeros((), jnp.bool_)),
+    )
+    return st
+
+
+# Residual-replacement cadence for PRECONDITIONED pipelined CG (laps
+# between recomputing the recurrence vectors from their definitions).
+# The r/w recurrences drift as ||M^-1|| grows — measured catastrophic on
+# FEM mesh Laplacians for both Jacobi and two-level (true residual 0.2-0.5
+# while the recurrence reported 1e-5-1e-3) — so every preconditioned
+# pipelined solve replaces; together with the measured (p, s) pair in the
+# fused reduction (see pipelined_cg_loop's body) this anchors the
+# reported residual to the true one. The remaining f32 ATTAINABLE floor
+# scales with the operator's condition number (~kappa * 1e-7 ||b||,
+# measured: FEM P1 n=2k ~3e-4 ||b||, n=30k ~3e-2 ||b||; geometric-graph
+# kappa~1e2 systems reach 1e-5 ||b|| with exact lap parity) — cadence
+# sweeps {5, 10, 25} do not move it; it is the method's known f32
+# penalty, and classic PCG remains the accuracy path on ill-conditioned
+# systems.
+PIPE_REPLACE_EVERY = 25
+
+# True-residual stopping cadence for STRONG-preconditioner classic PCG
+# (two-level / deflated composition — see cg_loop's check_true_every).
+# At high condition the f32 recurrence decouples from the true residual
+# in BOTH directions (measured at FEM n=300k: the cold two-level solve's
+# recurrence converged 2000x below truth; warm deflated recurrences sat
+# above a truth that had already met tol), so these paths test the TRUE
+# residual every 16 laps — the reference's actual contract
+# (serialConjugate.c:28,235) — at one extra matvec+dot per check (~6%).
+TRUE_CHECK_EVERY = 16
 
 
 class _PipeState(NamedTuple):
@@ -369,6 +529,7 @@ def pipelined_cg_loop(
     maxiter,
     safe_alpha: bool = True,
     precond: Optional[Callable] = None,
+    replace_every: Optional[int] = None,
 ) -> _PipeState:
     """Pipelined (communication-hiding) CG/PCG — Ghysels & Vanroose 2014.
 
@@ -383,6 +544,17 @@ def pipelined_cg_loop(
     bounds the iteration (strong-scaled small n/P). Extension beyond the
     reference (its two MPI_Allreduce calls per lap are the analogous cost,
     ``parallel_cg.c:294,313``).
+
+    ``replace_every``: periodic residual replacement (Cools & Vanroose
+    2017) — every that-many laps the recurrence-maintained vectors are
+    recomputed from their definitions (r = b - Ax, u = M^-1 r, w = A u,
+    s = A p, q = M^-1 s, z = A q). The drift of the r/w recurrences scales
+    with ||M^-1|| — harmless for Jacobi, CATASTROPHIC for a strong cycle
+    like two-level (measured: the recurrence residual reports 1e-5 while
+    the true residual sits at 2e-1 on FEM n=2k) — so the two_level
+    composition always sets it. Replacement laps cost 3 matvecs + 2
+    preconditioner applies but add NO reductions, preserving the
+    one-fused-psum-per-lap property.
 
     Stopping contract: same quantity as classic CG (``sqrt(r.r) < tol`` on
     the TRUE residual), evaluated at the top of the next lap; ``k`` counts
@@ -405,22 +577,42 @@ def pipelined_cg_loop(
         return jnp.logical_and(st.k < maxiter, jnp.logical_not(st.done))
 
     def body(st: _PipeState):
+        # The (p, s) pair measures the conjugation term DIRECTLY instead
+        # of through the classic recursive proxy gamma/alpha (Ghysels'
+        # denom = delta - beta*gamma/alpha): the recursion's scalar drift
+        # compounds with ||M^-1|| and measured-floors the attainable
+        # residual at 1e-2 ||b|| on FEM n=30k under two-level — the
+        # measured pair rides the SAME fused reduction (one more scalar
+        # in the psum, zero extra latency) and restores the floor to the
+        # replacement-bounded level. Identity: gamma_i/alpha_{i-1} =
+        # beta_i * (p, s)_{i-1}, so denom_i = delta_i - beta_i^2 (p,s)_{i-1}.
         if precond is None:
-            gamma, delta = dots([(st.r, st.r), (st.w, st.r)])
+            gamma, delta, ps = dots(
+                [(st.r, st.r), (st.w, st.r), (st.p, st.s)]
+            )
             rr = gamma
         else:
-            gamma, delta, rr = dots(
-                [(st.r, st.u), (st.w, st.u), (st.r, st.r)]
+            gamma, delta, rr, ps = dots(
+                [(st.r, st.u), (st.w, st.u), (st.r, st.r), (st.p, st.s)]
             )
         done = rr < tol2
         # Independent of the fused reduction: overlaps the psum.
         m = st.w if precond is None else precond(st.w)
         nv = matvec(m)
+        # Breakdown-safe scalars: gamma = (r, M^-1 r) and denom = (p, A p)
+        # are positive for SPD in exact arithmetic, but at the f32
+        # attainable floor the measured values cross zero — a negative
+        # beta/alpha then walks the iterate AWAY (measured: 5e-2 ||b||,
+        # then NaN, after a few thousand post-floor laps). On a gamma
+        # breakdown restart the direction (beta = 0 -> p = u, steepest
+        # descent); on a denom breakdown freeze the step (alpha = 0). The
+        # solve then grinds in place to the cap — the honest behavior.
         first = st.k == 0
-        beta = jnp.where(first, jnp.zeros_like(gamma), gamma / st.gamma)
-        denom = delta - beta * gamma / st.alpha
+        restart = jnp.logical_or(first, gamma <= 0)
+        beta = jnp.where(restart, jnp.zeros_like(gamma), gamma / st.gamma)
+        denom = delta - beta * beta * ps
         if safe_alpha:
-            alpha = jnp.where(denom != 0, gamma / denom, jnp.zeros_like(gamma))
+            alpha = jnp.where(denom > 0, gamma / denom, jnp.zeros_like(gamma))
         else:
             alpha = gamma / denom
         ubase = st.r if precond is None else st.u
@@ -445,7 +637,42 @@ def pipelined_cg_loop(
             rslast=rr, done=done, u=u, q=q,
         )
 
-    return jax.lax.while_loop(cond, body, state)
+    if not replace_every:
+        return jax.lax.while_loop(cond, body, state)
+
+    # Residual replacement, SEGMENTED: an outer loop runs replace_every
+    # laps (inner while_loop), then refreshes the recurrence vectors
+    # UNCONDITIONALLY with an elementwise keep-guard. The refresh must
+    # NOT live inside a lax.cond: the sharded matvec carries collectives
+    # (all_gather/ppermute), and collectives under a conditional are an
+    # SPMD deadlock hazard (measured: the full CPU-mesh suite hung in
+    # the sharded pipelined+two_level test; standalone runs passed).
+    R = jnp.int32(replace_every)
+
+    def inner_cond(st: _PipeState):
+        return jnp.logical_and(cond(st), st.k % R != 0)
+
+    def refresh(s2: _PipeState) -> _PipeState:
+        rr_ = b - matvec(s2.x)
+        u_ = None if precond is None else precond(rr_)
+        w_ = matvec(rr_ if precond is None else u_)
+        s_ = matvec(s2.p)
+        q_ = None if precond is None else precond(s_)
+        z_ = matvec(s_ if precond is None else q_)
+        keep_ = lambda new, old: jnp.where(s2.done, old, new)
+        return s2._replace(
+            r=keep_(rr_, s2.r), w=keep_(w_, s2.w), s=keep_(s_, s2.s),
+            z=keep_(z_, s2.z),
+            u=None if u_ is None else keep_(u_, s2.u),
+            q=None if q_ is None else keep_(q_, s2.q),
+        )
+
+    def outer_body(st: _PipeState):
+        st = body(st)                                   # leave the k%R==0 point
+        st = jax.lax.while_loop(inner_cond, body, st)   # run to next boundary
+        return refresh(st)
+
+    return jax.lax.while_loop(cond, outer_body, state)
 
 
 def ca_cg_loop(
@@ -1267,6 +1494,7 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
             matvec, dots, b, x0,
             tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
             precond=precond,
+            replace_every=None if precond is None else PIPE_REPLACE_EVERY,
         )
         # The pipelined loop tests convergence one lap late; if it exited on
         # the iteration cap, recompute the final r.r for honest reporting.
@@ -1307,12 +1535,17 @@ def _cg_jit(op, b, x0, minv, tol, maxiter, blas_backend, safe_alpha,
         matvec, dot, update, b, x0,
         tol=tol, maxiter=maxiter, safe_alpha=safe_alpha, precond=precond,
         hist_len=maxiter if record else None,
+        check_true_every=(
+            TRUE_CHECK_EVERY if two_level is not None else None
+        ),
     )
     return CGResult(
         x=s.x,
         iterations=s.k,
         residual_norm=jnp.sqrt(s.rslast),
-        converged=s.done,
+        # rslast carries the TRUE r.r under check_true_every (where done
+        # may also fire on stagnation); identical to s.done otherwise.
+        converged=s.rslast < jnp.asarray(tol, s.rslast.dtype) ** 2,
         residual_history=s.hist,
     )
 
@@ -2085,7 +2318,8 @@ def cg_solve(
     must be for M^-1 A.
 
     ``two_level`` (a prebuilt :func:`tpucg.build_two_level` result; method
-    "cg", ``precondition="none"``) runs two-level-preconditioned CG — the
+    "cg" or "pipelined", ``precondition="none"``) runs
+    two-level-preconditioned (pipelined) CG — the
     coarse-space correction that cuts FEM-class lap counts where
     point/block Jacobi cannot (see ``tpucg.solver.twolevel``). It must
     have been built with ``npad`` equal to the operator's ``padded_n``.
@@ -2140,10 +2374,17 @@ def cg_solve(
             [float(interval[0]), float(interval[1])], dtype
         )
     if two_level is not None:
-        if config.method != "cg" or config.precondition != "none":
+        if config.method not in ("cg", "pipelined") \
+                or config.precondition != "none":
+            # The cycle is a FIXED SPD linear operator (solver/twolevel.py),
+            # so it composes with any fixed-preconditioner Krylov method:
+            # classic PCG and pipelined PCG (whose recurrence already takes
+            # a precond and keeps its one-fused-psum-per-lap property — the
+            # cycle's own collective is a tiny (nc,) all_gather, not a
+            # blocking scalar reduction). CA/chebyshev take interval=.
             raise ValueError(
-                "two_level runs as THE preconditioner of a method='cg' "
-                f"solve (got method={config.method!r}, "
+                "two_level runs as THE preconditioner of a method='cg' or "
+                f"'pipelined' solve (got method={config.method!r}, "
                 f"precondition={config.precondition!r})"
             )
         if dtype != jnp.float32:

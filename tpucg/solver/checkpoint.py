@@ -486,7 +486,12 @@ def _drive_segments(
         x=x,
         iterations=state.k,
         residual_norm=jnp.sqrt(state.rslast),
-        converged=state.done,
+        # under true-residual checking, done may also fire on stagnation;
+        # convergence is rslast (the latest true r.r there) vs tol.
+        converged=jnp.logical_and(
+            state.done,
+            state.rslast < jnp.asarray(tol, jnp.float32) ** 2,
+        ),
     )
 
 
@@ -531,23 +536,109 @@ def _precond(minv, npad):
     return lambda r: minv * r
 
 
+def _two_level_identity(tl) -> str:
+    """The preconditioner-identity string for a two-level cycle: layout
+    knobs plus low-precision random projections of the numerical content
+    (acinv, dinv). 3 significant digits is robust to BLAS reduction-order
+    jitter in a rebuilt-from-the-same-CSR inverse, yet two DIFFERENT
+    preconditioners colliding on both digests is vanishingly unlikely.
+    A mismatch refuses resume (the safe direction)."""
+    acinv = np.asarray(tl.acinv, np.float64)
+    dinv = np.asarray(tl.dinv, np.float64)
+    rng = np.random.default_rng(0x2F)
+    u = rng.standard_normal(acinv.shape[0])
+    v = rng.standard_normal(acinv.shape[0])
+    w = rng.standard_normal(dinv.shape[0])
+    return (
+        f"two_level[agg={tl.agg},om={tl.omega:g},sd={tl.smooth_degree},"
+        f"sa={tl.smooth_alpha:g},npad={tl.npad},"
+        f"a={float(u @ acinv @ v):.3e},d={float(w @ dinv):.3e}]"
+    )
+
+
+def _basis_identity(basis) -> str:
+    """Low-precision content digest of a deflation basis (same rationale
+    as :func:`_two_level_identity`): resuming under a DIFFERENT recycled
+    stack would silently run a different recurrence."""
+    W = np.asarray(basis.W, np.float64)
+    rng = np.random.default_rng(0x5D)
+    u = rng.standard_normal(W.shape[0])
+    v = rng.standard_normal(W.shape[1])
+    return f"deflated[m={W.shape[1]},w={float(u @ W @ v):.3e}]"
+
+
+def _serial_precond(minv, op, like, two_level, basis=None):
+    """Segment preconditioner, shared by init and segment jits. The
+    two-level branch rebuilds the cycle closure from the SAME deterministic
+    pieces every segment (lambda_max_estimate seeds from an iota, not from
+    values), so a resumed trajectory is bit-identical; the deflation
+    projection wraps whatever base results (solver.deflation semantics)."""
+    if two_level is not None:
+        from tpucg.solver.twolevel import make_two_level_precond
+
+        base = make_two_level_precond(two_level, op.matvec, _dot, like)
+    else:
+        base = _precond(minv, like.shape[0])
+    if basis is not None:
+        from tpucg.solver.deflation import _deflate_precond
+
+        return _deflate_precond(basis, base)
+    return base
+
+
 @functools.partial(jax.jit, static_argnames=("tol", "blas_backend"))
-def _init_jit(op, b, x0, minv, tol, blas_backend):
+def _init_jit(op, b, x0, minv, tol, blas_backend, two_level=None,
+              basis=None):
     del blas_backend
+    if basis is not None:
+        # Galerkin warm start (cg_solve_deflated): x0 += W Ginv W^T r0.
+        # Fresh starts only — a RESUMED state carries its own trajectory.
+        _HI = jax.lax.Precision.HIGHEST
+        r0 = b - op.matvec(x0)
+        y = jnp.matmul(basis.Ginv,
+                       jnp.matmul(basis.W.T, r0, precision=_HI),
+                       precision=_HI)
+        x0 = x0 + jnp.matmul(basis.W, y, precision=_HI)
     return init_state(
-        op.matvec, _dot, b, x0, tol, precond=_precond(minv, b.shape[0])
+        op.matvec, _dot, b, x0, tol,
+        precond=_serial_precond(minv, op, b, two_level, basis),
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("tol", "blas_backend", "safe_alpha")
 )
-def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha):
+def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha,
+                 two_level=None, basis=None, b=None):
     update = functools.partial(fused_update, backend=blas_backend)
+    # The composed deflation x two-level recurrence replaces residuals
+    # (solver.deflation.DEFLATED_REPLACE_EVERY, keyed on the CUMULATIVE
+    # k) — the segments must run the exact recurrence cg_solve_deflated
+    # runs or resume would not be bit-identical.
+    replace_every = None
+    replace_fn = None
+    if basis is not None and two_level is not None:
+        from tpucg.solver.deflation import (
+            DEFLATED_REPLACE_EVERY,
+            _galerkin_refresh,
+        )
+
+        replace_every = DEFLATED_REPLACE_EVERY  # None: measured negative
+        if DEFLATED_REPLACE_EVERY:
+            replace_fn = _galerkin_refresh(basis)
+    from tpucg.solver.cg import TRUE_CHECK_EVERY
+
     return cg_loop(
-        op.matvec, _dot, update, None, None,
+        op.matvec, _dot, update, b, None,
         tol=tol, maxiter=k_target, safe_alpha=safe_alpha, state=state,
-        precond=_precond(minv, state.x.shape[0]),
+        precond=_serial_precond(minv, op, state.x, two_level, basis),
+        replace_every=replace_every, replace_fn=replace_fn,
+        # Same true-residual stopping as the unsegmented solvers (checks
+        # take effect only at global k % cadence boundaries, so the
+        # segmented trajectory stays bit-identical).
+        check_true_every=(
+            TRUE_CHECK_EVERY if two_level is not None else None
+        ),
     )
 
 
@@ -560,6 +651,8 @@ def cg_solve_checkpointed(
     segment_iters: int = 128,
     checkpoint_path: Optional[str] = None,
     keep_checkpoint: bool = False,
+    two_level=None,
+    basis=None,
     **overrides,
 ) -> CGResult:
     """Solve A x = b, checkpointing every ``segment_iters`` iterations.
@@ -567,7 +660,20 @@ def cg_solve_checkpointed(
     If ``checkpoint_path`` exists, the solve resumes from it (size, tol,
     preconditioner, and A/b probe signature must all match). The checkpoint
     is deleted on convergence unless ``keep_checkpoint``. Semantics
-    otherwise identical to ``tpucg.cg_solve``.
+    otherwise identical to ``tpucg.cg_solve``. ``A`` is anything
+    ``as_operator`` takes — dense, or the sparse formats (CSR promotes to
+    WELL): the long-running FEM/irregular class is exactly the
+    segment-and-resume workload. ``two_level`` (a
+    :func:`tpucg.build_two_level` result, ``precondition='none'``) runs
+    the checkpointed segments under the two-level cycle; the cycle is a
+    fixed deterministic operator, so resume stays bit-identical, and its
+    identity (layout knobs + content digests) is recorded in the
+    checkpoint like any other preconditioner. ``basis`` (a
+    :func:`tpucg.build_deflation_basis` result) runs the DEFLATED
+    recurrence (``cg_solve_deflated`` semantics: Galerkin warm start on
+    fresh starts, the projection folded onto the base preconditioner) —
+    so a :class:`tpucg.RecyclingCG` sequence's in-flight solve can
+    segment-and-resume too.
     """
     if config is None:
         config = CGConfig(**overrides)
@@ -584,7 +690,20 @@ def cg_solve_checkpointed(
     tol = float(config.tol)
     minv = None
     pre_id = config.precondition
-    if config.precondition == "jacobi":
+    if two_level is not None:
+        if config.precondition != "none":
+            raise ValueError(
+                "two_level runs as THE preconditioner (got "
+                f"precondition={config.precondition!r})"
+            )
+        if two_level.npad != npad:
+            raise ValueError(
+                f"two_level was built for padded size {two_level.npad}, "
+                f"operator has {npad} — rebuild with "
+                f"build_two_level(csr, npad={npad})"
+            )
+        pre_id = _two_level_identity(two_level)
+    elif config.precondition == "jacobi":
         d = op.diagonal()
         minv = jnp.where(d != 0, 1.0 / d, 1.0).astype(jnp.float32)
     elif config.precondition == "block_jacobi":
@@ -594,6 +713,13 @@ def cg_solve_checkpointed(
         # would silently run a different recurrence, so record it.
         minv = block_jacobi_minv(op, int(config.pc_block_size))
         pre_id = f"block_jacobi[bs={int(config.pc_block_size)}]"
+    if basis is not None:
+        if basis.W.shape[0] != npad:
+            raise ValueError(
+                f"basis was built for padded size {basis.W.shape[0]}, "
+                f"operator has {npad}"
+            )
+        pre_id = _basis_identity(basis) + "+" + pre_id
 
     bj = jnp.asarray(b, jnp.float32)
     if bj.shape != (n,):
@@ -617,12 +743,14 @@ def cg_solve_checkpointed(
         if npad != n:
             x0j = jnp.pad(x0j, (0, npad - n))
         state = _state_to_host(
-            _init_jit(op, bj, x0j, minv, tol, blas_backend)
+            _init_jit(op, bj, x0j, minv, tol, blas_backend,
+                      two_level=two_level, basis=basis)
         )
 
     def segment_fn(st, kt):
         return _segment_jit(
-            op, st, minv, kt, tol, blas_backend, bool(config.safe_alpha)
+            op, st, minv, kt, tol, blas_backend, bool(config.safe_alpha),
+            two_level=two_level, basis=basis, b=bj,
         )
 
     return _drive_segments(
@@ -826,6 +954,7 @@ def sharded_operator_cg_solve_checkpointed(
     segment_iters: int = 128,
     checkpoint_path: Optional[str] = None,
     keep_checkpoint: bool = False,
+    two_level=None,
     **overrides,
 ) -> CGResult:
     """Checkpoint/resume for the DISTRIBUTED sparse/stencil solvers — the
@@ -833,10 +962,14 @@ def sharded_operator_cg_solve_checkpointed(
     solver runs BASELINE config 5's 512^3 = 134M-unknown grid).
 
     Accepts the same operator family as ``sharded_operator_cg_solve``
-    (Poisson slab-halo, DIA band-halo, BSR, ELL), with the same padding;
-    segmented-driver semantics identical to ``sharded_cg_solve_checkpointed``
-    (bit-identical resume, distributed-matvec identity probe, one segment
-    executable for all segments). precondition: 'none' or 'jacobi'.
+    (Poisson slab-halo, DIA band-halo, BSR, ELL, CSR-to-WELL), with the
+    same padding; segmented-driver semantics identical to
+    ``sharded_cg_solve_checkpointed`` (bit-identical resume,
+    distributed-matvec identity probe, one segment executable for all
+    segments). precondition: 'none' or 'jacobi', or pass ``two_level``
+    (built with the SHARDED npad, ``agg_size`` dividing rows-per-shard,
+    like ``sharded_operator_cg_solve``) — the long-lap FEM/irregular
+    class is exactly the segment-and-resume workload.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -861,6 +994,38 @@ def sharded_operator_cg_solve_checkpointed(
     op_arrays, statics, n, npad, minv_host = _prepare_sharded_operator(
         op, mesh, config
     )
+    precondition = config.precondition
+    tl_static = {}
+    acinv_host = np.zeros((1, 1), np.float32)
+    if two_level is not None:
+        if config.precondition != "none":
+            raise ValueError(
+                "two_level runs as THE preconditioner (got "
+                f"precondition={config.precondition!r})"
+            )
+        if two_level.npad != npad:
+            raise ValueError(
+                f"two_level was built for padded size {two_level.npad}, "
+                f"the sharded decomposition pads to {npad} — rebuild with "
+                f"build_two_level(csr, agg_size={two_level.agg}, "
+                f"npad={npad})"
+            )
+        if (npad // mesh.devices.size) % two_level.agg:
+            raise ValueError(
+                f"agg_size={two_level.agg} must divide rows-per-shard "
+                f"({npad // mesh.devices.size}) so aggregates stay "
+                "shard-local"
+            )
+        precondition = "two_level"
+        pre_id = _two_level_identity(two_level)
+        tl_static = dict(
+            tl_agg=two_level.agg, tl_omega=two_level.omega,
+            tl_sd=two_level.smooth_degree, tl_sa=two_level.smooth_alpha,
+        )
+        minv_host = np.asarray(two_level.dinv)
+        acinv_host = np.asarray(two_level.acinv)
+    else:
+        pre_id = precondition
     b_host = np.asarray(b, np.float32)
     if b_host.shape != (n,):
         raise ValueError(f"b must have shape ({n},), got {b_host.shape}")
@@ -876,6 +1041,8 @@ def sharded_operator_cg_solve_checkpointed(
     bd = jax.device_put(jnp.asarray(bp), shard1)
     x0d = jax.device_put(jnp.asarray(x0p), shard1)
     minvd = jax.device_put(jnp.asarray(minv), shard1)
+    acinvd = jax.device_put(jnp.asarray(acinv_host),
+                            NamedSharding(mesh, P(None, None)))
     tol = float(config.tol)
     maxiter = config.maxiter if config.maxiter is not None else n
     static = dict(mesh=mesh, axis=axis, **statics)
@@ -886,12 +1053,12 @@ def sharded_operator_cg_solve_checkpointed(
 
     state, sig = _resume_or_none(
         checkpoint_path, n=n, npad=npad, tol=tol,
-        precondition=config.precondition, sig_fn=sig_fn,
+        precondition=pre_id, sig_fn=sig_fn,
     )
     if state is None:
         state = _state_to_host(_sharded_operator_init_jit(
-            op_arrays, bd, x0d, minvd,
-            tol=tol, precondition=config.precondition, **static,
+            op_arrays, bd, x0d, minvd, acinvd,
+            tol=tol, precondition=precondition, **tl_static, **static,
         ))
 
     def segment_fn(st, kt):
@@ -900,16 +1067,19 @@ def sharded_operator_cg_solve_checkpointed(
             (st.k, st.x, st.r, st.p, st.rsold, st.rslast, st.done),
             kt,
             minvd,
+            acinvd,
+            bd,
             tol=tol,
             safe_alpha=bool(config.safe_alpha),
-            precondition=config.precondition,
+            precondition=precondition,
+            **tl_static,
             **static,
         )
 
     return _drive_segments(
         state, segment_fn,
         n=n, npad=npad, tol=tol, maxiter=maxiter,
-        segment_iters=segment_iters, precondition=config.precondition,
+        segment_iters=segment_iters, precondition=pre_id,
         checkpoint_path=checkpoint_path, keep_checkpoint=keep_checkpoint,
         sig=sig, sig_fn=sig_fn,
     )

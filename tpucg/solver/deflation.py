@@ -47,6 +47,7 @@ from tpucg.config import CGConfig
 from tpucg.kernels.blas1 import dot_xla, fused_update
 from tpucg.kernels.dispatch import resolve_backend
 from tpucg.solver.cg import (
+    TRUE_CHECK_EVERY,
     CGResult,
     _spd_inv,
     block_jacobi_minv,
@@ -57,6 +58,21 @@ from tpucg.solver.cg import (
 from tpucg.solver.operators import DenseOperator, as_operator
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Residual-replacement cadence for the deflation x two-level COMPOSED
+# recurrence — MEASURED NEGATIVE, default OFF (round 5, VERDICT r4 #7):
+# re-anchoring r <- b - Ax (even with the Galerkin-corrected refresh that
+# keeps the replaced residual out of span(W)) is honest mid-convergence,
+# but once a solve grinds at its f32 floor the replaced scalars feed back
+# (beta = rs_new/rsold > 1 against a stale direction) and the iterate
+# grows EXPONENTIALLY — measured on FEM P1 n=30k, jacobi AND composed:
+# true residual 3e8 ||b|| after 2000 post-floor laps, while the
+# unreplaced recurrence stalls harmlessly. The same measurement showed
+# the CURRENT composed path (round 4's A-orthonormalized basis) already
+# reaches ~3e-5 ||b|| TRUE residual at n=30k without replacement — the
+# r4 1e-3 tolerance note was the recurrence-vs-true gap, not a hard
+# stall; see RESULTS.md's recycling section for the re-measured floor.
+DEFLATED_REPLACE_EVERY = None
 
 
 class DeflationBasis(NamedTuple):
@@ -141,6 +157,23 @@ def build_deflation_basis(A, V, kernel: str = "auto") -> DeflationBasis:
     )
 
 
+def _galerkin_refresh(basis: DeflationBasis):
+    """x/r refresh for residual replacement inside the DEFLATED
+    recurrence: re-apply the Galerkin correction so the replaced residual
+    stays (numerically) orthogonal to span(W)."""
+
+    def refresh(x, r_true):
+        y = jnp.matmul(basis.Ginv,
+                       jnp.matmul(basis.W.T, r_true, precision=_HI),
+                       precision=_HI)
+        return (
+            x + jnp.matmul(basis.W, y, precision=_HI),
+            r_true - jnp.matmul(basis.AW, y, precision=_HI),
+        )
+
+    return refresh
+
+
 def _deflate_precond(basis: DeflationBasis, base):
     """z = P (M^-1 r): the deflation projection folded onto the base
     preconditioner (identity when ``base`` is None)."""
@@ -191,10 +224,34 @@ def _deflated_jit(op, b, x0, basis, minv, tol, maxiter, blas_backend,
         tol=tol, maxiter=maxiter, safe_alpha=safe_alpha,
         precond=_deflate_precond(basis, base),
         hist_len=maxiter if record else None,
+        # The composed deflation x two-level recurrence walks away from
+        # the true residual near its f32 floor (the projection re-injects
+        # the stored AW's amplified matvec error every lap); periodic
+        # re-anchoring r <- b - Ax follows the true residual again and
+        # lowers the attainable floor (VERDICT r4 #7; measured in
+        # RESULTS.md's recycling section). The refresh MUST re-apply the
+        # Galerkin correction (x += W Ginv W^T r, r -= AW ...): the
+        # projected search directions never move x in span(W), so a
+        # plainly-replaced W-component of r would persist and corrupt
+        # (r, z) — measured divergent at FEM n=30k.
+        replace_every=(DEFLATED_REPLACE_EVERY
+                       if two_level is not None else None),
+        replace_fn=(_galerkin_refresh(basis)
+                    if DEFLATED_REPLACE_EVERY else None),
+        # True-residual stopping for the composed strong-preconditioner
+        # path (solver.cg.TRUE_CHECK_EVERY): at FEM n=300k warm deflated
+        # RECURRENCES sat above a true residual that had already met tol
+        # (900-lap cap-outs at a true 9e-8 absolute vs a 4.4e-7 target) —
+        # the true test stops them honestly AND makes deeper tolerances
+        # reachable than the r4 1e-3 ||b|| sequence constraint.
+        check_true_every=(
+            TRUE_CHECK_EVERY if two_level is not None else None
+        ),
     )
     return CGResult(
         x=s.x, iterations=s.k, residual_norm=jnp.sqrt(s.rslast),
-        converged=s.done, residual_history=s.hist,
+        converged=s.rslast < jnp.asarray(tol, s.rslast.dtype) ** 2,
+        residual_history=s.hist,
     )
 
 
@@ -835,8 +892,29 @@ class RecyclingCG:
         return sharded_cg_solve(self.A, b, x0, mesh=self.mesh,
                                 config=self.config)
 
-    def solve(self, b, x0=None) -> CGResult:
-        if self.mesh is not None:
+    def solve(self, b, x0=None, *, checkpoint_path=None,
+              segment_iters: int = 128) -> CGResult:
+        """Solve the next system of the sequence. ``checkpoint_path``
+        (serial only) routes THIS solve through the segmented
+        checkpoint/resume driver — pair it with :meth:`save_state` /
+        :meth:`load_state` and an interrupted sequence resumes warm: the
+        saved stack restores the deflation space, the .npz checkpoint the
+        in-flight solve's mid-trajectory state (same recurrence: the
+        checkpointed driver takes the basis + two_level directly)."""
+        if checkpoint_path is not None:
+            if self.mesh is not None:
+                raise ValueError(
+                    "RecyclingCG checkpoint_path is serial-only"
+                )
+            from tpucg.solver.checkpoint import cg_solve_checkpointed
+
+            res = cg_solve_checkpointed(
+                self.A, b, x0, config=self.config,
+                checkpoint_path=checkpoint_path,
+                segment_iters=segment_iters,
+                two_level=self.two_level, basis=self._basis,
+            )
+        elif self.mesh is not None:
             res = self._solve_sharded(b, x0)
         elif self._basis is not None:
             res = cg_solve_deflated(
@@ -848,7 +926,18 @@ class RecyclingCG:
 
             res = cg_solve(self.A, b, x0, config=self.config,
                            two_level=self.two_level)
-        if bool(res.converged):
+        # Admit the solution to the recycled stack when converged OR when
+        # an honest stagnation stop delivered the f32-attainable best
+        # (round 5: at FEM n >= 100k the kappa*eps_f32 floor sits at
+        # ~1e-2 ||b|| relative, so flagship-scale solves END there — the
+        # best-achievable x still spans exactly the low modes recycling
+        # wants). The 0.1*||b|| gate keeps garbage (diverged/early-kill)
+        # vectors out.
+        b_norm = float(np.linalg.norm(np.asarray(b, np.float64)))
+        made_progress = (
+            float(res.residual_norm) < 0.1 * max(b_norm, 1e-30)
+        )
+        if bool(res.converged) or made_progress:
             self._vectors.append(np.asarray(res.x, np.float32))
             self._vectors = self._vectors[-self.max_vectors:]
             if self.mesh is None:

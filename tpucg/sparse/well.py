@@ -357,6 +357,73 @@ def csr_to_well(
     )
 
 
+def local_rows_to_well_shard(
+    coo_local,
+    shard: int,
+    rps: int,
+    npad: int,
+    n: int,
+    block_sublanes: int,
+    groups_per_super: int = 64,
+) -> "WellMatrix":
+    """ONE shard's WELL pack from ONLY its local rows — the host-sharded
+    loading form of :func:`csr_to_well_sharded` (which needs the full CSR
+    on every host, the reference's rank-0 ceiling, parallel_cg.c:100-108).
+
+    ``coo_local`` holds rows with LOCAL numbering [0, rps) and GLOBAL
+    columns (e.g. from ``tpucg.io.mmio.load_matrix_market_rows``); global
+    rows in [n, npad) covered by this shard get the partitioner's identity
+    tail here. ``block_sublanes`` must be the mesh-wide agreed BS (every
+    shard shares one — see ``load_well_system_sharded``'s two-phase
+    agreement); the caller pads the result to the mesh-wide max shapes
+    with :func:`pad_well_shard`.
+    """
+    from tpucg.sparse.formats import COOMatrix
+
+    rows = coo_local.row.astype(np.int64)
+    cols = coo_local.col.astype(np.int64)
+    vals = coo_local.data.astype(np.float32)
+    g0 = shard * rps
+    t0, t1 = max(n, g0), min(npad, g0 + rps)
+    if t1 > t0:
+        tail = np.arange(t0, t1, dtype=np.int64)
+        rows = np.concatenate([rows, tail - g0])
+        cols = np.concatenate([cols, tail])
+        vals = np.concatenate([vals, np.ones(tail.size, np.float32)])
+    return csr_to_well(
+        COOMatrix(row=rows, col=cols, data=vals,
+                  shape=(rps, npad)).to_csr(),
+        block_sublanes=(
+            None if block_sublanes is None else int(block_sublanes)
+        ),
+        groups_per_super=groups_per_super,
+    )
+
+
+def pad_well_shard(w: "WellMatrix", NS: int) -> dict:
+    """Zero-pad one shard's pack to the mesh-wide max sublane count ``NS``
+    (padding stream blocks carry vals=0 / the last super-group id — they
+    accumulate exact zeros), returning the per-shard dict of arrays in the
+    stacked layout ``csr_to_well_sharded`` produces (minus the leading
+    shard axis)."""
+    BS = w.block_sublanes
+    NB = NS // BS
+    nsg = w.n_supergroups
+
+    def pad(a, shape, dtype, fill=0):
+        out = np.full(shape, fill, dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    return dict(
+        vals=pad(w.vals, (NS, LANE), np.float32),
+        lidx=pad(w.lidx, (NS, LANE), np.int8),
+        gidl=pad(w.gidl, (NB, BS), np.int32),
+        wrow=pad(w.wrow, (NS // CHUNK,), np.int32),
+        sgb=pad(w.sgb, (NB,), np.int32, fill=nsg - 1),
+    )
+
+
 def csr_to_well_sharded(
     csr,
     num_shards: int,
