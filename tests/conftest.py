@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable the persistent compilation cache here — this suite
+# runs Pallas kernels in INTERPRETER mode (python-callback custom calls),
+# and serializing such an executable into the cache was measured
+# SEGFAULTING the process (jax compilation_cache.put_executable_and_time).
+# Suite wall-time is compile-dominated and sensitive to concurrent load on
+# the machine (identical 7-file subsets measured 81 s solo vs 1081 s under
+# competing processes); run it solo.
 
 import numpy as np
 import pytest

@@ -61,7 +61,9 @@ def test_aniso_through_well_and_two_level(aniso):
     A, b, _ = aniso
     n = A.shape[0]
     op = tpucg.WellOperator.from_csr(A)
-    tol = 1e-5 * float(np.linalg.norm(b))
+    # above the aniso-family TRUE-residual f32 floor (round-5 honest
+    # stopping; the old 1e-5 was only reached by the drifted recurrence)
+    tol = 1e-3 * float(np.linalg.norm(b))
     jac = tpucg.cg_solve(op, b, tol=tol, maxiter=8 * n,
                          precondition="jacobi")
     tl = tpucg.build_two_level(A, agg_size=32)

@@ -60,7 +60,9 @@ def test_strength_order_semicoarsens_aniso_grid():
     m = 40
     A, b, _ = aniso_grid_system(m, eps=1e-2, seed=0, shuffle=True)
     n = A.shape[0]
-    tol = 1e-5 * float(np.linalg.norm(b))
+    # above the TRUE-residual f32 floor (~1.2e-5 relative here) the
+    # round-5 honest stopping enforces
+    tol = 5e-5 * float(np.linalg.norm(b))
 
     def laps(order_fn):
         perm = order_fn(A)

@@ -138,6 +138,130 @@ def well_spmv(
     )(sgb, vals, lidx, gidl.reshape(NB, 1, BS), xg)
 
 
+def _well_kernel_fused(BG, CPB, sgb_ref, wrow_ref, vals_ref, lidx_ref,
+                       gidl_ref, x2_ref, y_ref, xg_sc, sems):
+    """The round-5 fused-window-gather experiment (VERDICT r4 #6): the
+    x-window row gather moves INSIDE the kernel as per-chunk async DMA
+    from HBM into a double-buffered VMEM scratch, issued one block ahead
+    — collapsing the separate descriptor-bound XLA gather dispatch the
+    BASELINE floor analysis blames for the small-n gap, and overlapping
+    the gather with value streaming. CPB = chunks per block (BS//8)."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    sg = sgb_ref[i]
+    first = jnp.logical_or(i == 0, sgb_ref[jnp.maximum(i - 1, 0)] != sg)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+    BS = vals_ref.shape[0]
+
+    def issue(block, s):
+        base = block * CPB
+
+        def body(c, carry):
+            pltpu.make_async_copy(
+                x2_ref.at[pl.ds(wrow_ref[base + c], 1), :],
+                xg_sc.at[s, pl.ds(c, 1), :],
+                sems.at[s],
+            ).start()
+            return carry
+
+        jax.lax.fori_loop(0, CPB, body, 0)
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        issue(i + 1, nslot)
+
+    def wait_body(c, carry):
+        pltpu.make_async_copy(
+            x2_ref.at[pl.ds(0, 1), :],
+            xg_sc.at[slot, pl.ds(c, 1), :],
+            sems.at[slot],
+        ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, CPB, wait_body, 0)
+
+    xgr = jnp.broadcast_to(
+        xg_sc[slot][:, None, :], (CPB, CHUNK, LANE)
+    ).reshape(BS, LANE)
+    li = lidx_ref[...].astype(jnp.int32)
+    P = vals_ref[...].astype(jnp.float32) * jnp.take_along_axis(
+        xgr, li, axis=1
+    )
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (BG, BS), 0) == gidl_ref[0]
+    ).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot,
+        P,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(first)
+    def _():
+        y_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        y_ref[...] = y_ref[...] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "nsg"))
+def well_spmv_fused_gather(
+    vals: jax.Array,
+    lidx: jax.Array,
+    gidl: jax.Array,
+    wrow: jax.Array,
+    sgb: jax.Array,
+    x2: jax.Array,
+    bg: int,
+    nsg: int,
+) -> jax.Array:
+    """WELL SpMV with the window gather fused into the kernel (in-kernel
+    double-buffered row DMA; see ``_well_kernel_fused``). Semantics are
+    identical to :func:`well_spmv`; this is the measured A/B arm for the
+    two-dispatch structure (run `benchmarks/probe_gather.py` on chip)."""
+    NB, BS = gidl.shape
+    CPB = BS // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((BS, LANE), lambda i, s_ref, w_ref: (i, 0)),
+            pl.BlockSpec((BS, LANE), lambda i, s_ref, w_ref: (i, 0)),
+            pl.BlockSpec((1, 1, BS), lambda i, s_ref, w_ref: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x2 stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (bg, LANE), lambda i, s_ref, w_ref: (s_ref[i], 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CPB, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_well_kernel_fused, bg, CPB),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsg * bg, LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NB * BS * LANE,
+            bytes_accessed=(vals.dtype.itemsize + 2) * NB * BS * LANE,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20
+        ),
+        interpret=interpret_mode(),
+    )(sgb, wrow, vals, lidx, gidl.reshape(NB, 1, BS), x2)
+
+
 @functools.partial(jax.jit, static_argnames=("bg", "nsg"))
 def well_spmv_xla(
     vals: jax.Array,

@@ -353,18 +353,24 @@ def cg_loop(
     def cond(s: _State):
         return jnp.logical_and(s.k < maxiter, jnp.logical_not(s.done))
 
+    # Breakdown guards, ONLY in check_true mode: (p, Ap) and (r, M^-1 r)
+    # are positive for SPD A/M in exact arithmetic but cross zero in f32
+    # once a solve grinds PAST its attainable floor (reachable only when
+    # check_true_every keeps iterating honestly there) — an unguarded
+    # recurrence then NaNs within a few hundred laps (measured, FEM +
+    # two-level). The guards must NOT apply to legacy recurrence-tested
+    # paths: bf16 inner solves (solver/ir.py) legitimately measure
+    # pap <= 0 from rounding mid-convergence, and zeroing those steps was
+    # measured to DIVERGE iterative refinement — the historical
+    # negative-alpha step is what works there.
+    guard = bool(check_true_every)
+
     def body(s: _State):
         ap = matvec(s.p)
         pap = dot(s.p, ap)
-        # Breakdown guards (round 5): (p, Ap) and (r, M^-1 r) are positive
-        # for SPD A/M in exact arithmetic but cross zero in f32 once a
-        # solve grinds PAST its attainable floor (reachable now that
-        # check_true_every can honestly keep iterating there) — an
-        # unguarded recurrence then NaNs within a few hundred laps
-        # (measured, FEM + two-level). Before the floor the guards never
-        # fire, so all existing trajectories are bit-identical.
         if safe_alpha:
-            alpha = jnp.where(pap > 0, s.rsold / pap, jnp.zeros_like(pap))
+            ok_a = (pap > 0) if guard else (pap != 0)
+            alpha = jnp.where(ok_a, s.rsold / pap, jnp.zeros_like(pap))
         else:
             alpha = s.rsold / pap
         x, r, rr = update(s.x, s.r, s.p, ap, alpha)
@@ -374,14 +380,20 @@ def cg_loop(
         else:
             z = precond(r)
             rs_new = dot(r, z)
-        healthy = rs_new > 0
-        beta = jnp.where(healthy, rs_new / s.rsold, jnp.zeros_like(rs_new))
-        p = jnp.where(done, s.p, z + beta * s.p)
-        rsold = jnp.where(
-            done, s.rsold,
-            jnp.where(healthy, rs_new,
-                      jnp.asarray(np.finfo(np.float32).tiny, rs_new.dtype)),
-        )
+        if guard:
+            healthy = rs_new > 0
+            beta = jnp.where(healthy, rs_new / s.rsold,
+                             jnp.zeros_like(rs_new))
+            p = jnp.where(done, s.p, z + beta * s.p)
+            rsold = jnp.where(
+                done, s.rsold,
+                jnp.where(healthy, rs_new,
+                          jnp.asarray(np.finfo(np.float32).tiny,
+                                      rs_new.dtype)),
+            )
+        else:
+            p = jnp.where(done, s.p, z + (rs_new / s.rsold) * s.p)
+            rsold = jnp.where(done, s.rsold, rs_new)
         hist = (
             None if s.hist is None
             else s.hist.at[s.k + 1].set(jnp.sqrt(rr))
