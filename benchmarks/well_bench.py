@@ -375,7 +375,7 @@ def main():
          "general values round at ~1e-2 relative. The shuffled-FEM pair "
          "is the .mtx-in-the-wild story: no spatial numbering -> low "
          "fill; one reverse-Cuthill-McKee pass (`--rcm` on the CLI) "
-         "restores it — fill is the knob, ordering is how you turn it.  Sub-80% rows are covered by BASELINE.md's round-4 measured-floor amendment (benchmarks/well_sweep.py): the n=100k gap is the descriptor-bound x-row-gather (measured 15 us / 228 GB/s effective standalone) plus 13-block-grid ramp — ~75% of the corrected composite floor; bf16 n=1M is a three-way HBM/VPU/MXU co-bind at ~71% of the perfectly-overlapped bound, and the on-chip (BS, BG) sweep found no layout lever (BG=64 + adaptive BS is optimal). ",
+         "restores it — fill is the knob, ordering is how you turn it.  Sub-80% rows are covered by BASELINE.md's round-4 measured-floor amendment (benchmarks/well_sweep.py): the n=100k gap is the descriptor-bound x-row-gather (measured 15 us / 228 GB/s effective standalone) plus 13-block-grid ramp — ~75% of the corrected composite floor; bf16 n=1M is a three-way HBM/VPU/MXU co-bind at ~71% of the perfectly-overlapped bound, and the on-chip (BS, BG) sweep found no layout lever (BG=64 + adaptive BS is optimal); the round-5 in-kernel fused window gather (`well_spmv_fused_gather`, the one structural lever left open) measured a 2-3x NEGATIVE at every size — a flat ~28% of the plain model, DMA-issue-bound per-chunk copies vs XLA's batched descriptor gather (`benchmarks/well_fused_ab.py`; BASELINE.md round-5 amendment) — so the two-dispatch structure is a measured floor. ",
          "`FEM P1 aniso` is the second independent family "
          "(`fem_p1_aniso_system`: anisotropic diffusion K = R^T "
          "diag(1, eps) R, the iteration-HARD input class; the `rotating` "

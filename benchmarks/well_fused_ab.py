@@ -42,6 +42,8 @@ def arm(name, A, steps=2048):
             w.groups_per_super, w.n_supergroups)
     y_ref = None
     rows = {}
+    bg, nsg = args[6], args[7]
+    arrs = args[:5]
     for label, fn in (("two-dispatch", well_spmv),
                       ("fused-gather", well_spmv_fused_gather)):
         try:
@@ -52,13 +54,18 @@ def arm(name, A, steps=2048):
                 rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
                 assert rel < 1e-5, (label, rel)
 
-            class _Op:  # minimal op shim for time_matvec_robust
-                def matvec(self, u):
-                    return fn(args[0], args[1], args[2], args[3], args[4],
-                              u, args[6], args[7])
+            # operand = the WELL array tuple (a real jit argument, not a
+            # closure capture); bg/nsg are static ints closed over. The
+            # chain wants flat (npad,) in/out (dot_xla is 1-D); the kernel
+            # output is supergroup-padded (nsg*bg, 128) — truncate back.
+            ng = x2.shape[0]
 
-            s = time_matvec_robust(lambda o, u: o.matvec(u), _Op(), x2,
-                                   steps=steps)
+            def apply(op, u, fn=fn):
+                y2 = fn(op[0], op[1], op[2], op[3], op[4],
+                        u.reshape(ng, 128), bg, nsg)
+                return y2.reshape(-1)[: ng * 128]
+
+            s = time_matvec_robust(apply, arrs, x2.reshape(-1), steps=steps)
             gnnz = A.nnz / s / 1e9
             fill = A.nnz / (w.vals.size)
             ceil = fill * (ROOFLINE_GBPS / BYTES_PER_SLOT)

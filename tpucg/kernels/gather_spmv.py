@@ -145,7 +145,17 @@ def _well_kernel_fused(BG, CPB, sgb_ref, wrow_ref, vals_ref, lidx_ref,
     from HBM into a double-buffered VMEM scratch, issued one block ahead
     — collapsing the separate descriptor-bound XLA gather dispatch the
     BASELINE floor analysis blames for the small-n gap, and overlapping
-    the gather with value streaming. CPB = chunks per block (BS//8)."""
+    the gather with value streaming. CPB = chunks per block (BS//8).
+
+    MEASURED NEGATIVE (on chip 2026-08-21, benchmarks/well_fused_ab.py):
+    loses 2-3x to the two-dispatch structure at every size — 167 vs
+    79.8 us at geometric n=100k, 703 vs 234 us at FEM n=300k, 1571 vs
+    567 us at geometric n=1M — a flat ~28% of the plain stream model,
+    i.e. DMA-ISSUE-bound: the serial fori_loop of per-chunk 512-B row
+    copies pays one descriptor per chunk, where XLA's standalone gather
+    batches all descriptors into one large DMA (228-801 GB/s measured).
+    The two-dispatch form is the measured floor; this kernel is kept as
+    the published record (BASELINE.md round-5 amendment)."""
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     sg = sgb_ref[i]
