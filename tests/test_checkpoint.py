@@ -489,6 +489,53 @@ def test_checkpoint_rejects_two_level_identity_mismatch(irregular, tmp_path):
         cg_solve_checkpointed(op, b, tol=tol, two_level=bad)
 
 
+def test_checkpointed_stagnation_stop_matches_plain(irregular):
+    """A floor-bound two_level solve (tol below the f32 attainable floor)
+    stagnation-stops; the segmented driver must stop at the SAME lap, not
+    grind to maxiter. Round-5 on-chip smoke found the grind: the
+    stagnation bookkeeping (prev boundary true r.r + stagnant flag) lived
+    outside the carried state and reset at every segment, so the
+    two-consecutive-windows rule never fired. segment_iters=24 lands
+    segment ends mid-check-window on purpose."""
+    A, b = irregular
+    op = tpucg.best_sparse_operator(A)
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    tol = 1e-7 * float(np.linalg.norm(b))  # below the f32 floor
+    cap = 4 * A.shape[0]
+    plain = tpucg.cg_solve(op, b, tol=tol, two_level=tl, maxiter=cap)
+    k_plain = int(plain.iterations)
+    assert not bool(plain.converged) and k_plain < cap, (
+        "fixture must stagnation-stop for this test to mean anything"
+    )
+    seg = cg_solve_checkpointed(op, b, tol=tol, segment_iters=24,
+                                two_level=tl, maxiter=cap)
+    assert not bool(seg.converged)
+    assert int(seg.iterations) == k_plain
+    np.testing.assert_array_equal(np.asarray(seg.x), np.asarray(plain.x))
+
+
+def test_checkpointed_bare_csr_promotes_to_well(irregular, tmp_path):
+    """A bare CSR handed to the checkpointed driver rides the WELL
+    promotion chain (the docstring's contract), NOT as_operator's legacy
+    scalar-gather ELL mapping — the ELL route's un-128-padded npad also
+    rejected any correctly built two_level (found by the round-5 on-chip
+    smoke: build_two_level(npad=op.padded_n) vs the Ell operator's raw n)."""
+    A, b = irregular
+    op = tpucg.best_sparse_operator(A)
+    assert type(op).__name__ == "WellOperator"
+    tl = tpucg.build_two_level(A, agg_size=32, npad=op.padded_n)
+    tol = 1e-3 * float(np.linalg.norm(b))
+    # Bare CSR, two_level built against the PROMOTED padding: must solve.
+    res = cg_solve_checkpointed(A, b, tol=tol, segment_iters=64,
+                                two_level=tl, maxiter=4 * A.shape[0])
+    assert bool(res.converged)
+    # Identical trajectory to the explicit-operator route.
+    ref = cg_solve_checkpointed(op, b, tol=tol, segment_iters=64,
+                                two_level=tl, maxiter=4 * A.shape[0])
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
 def test_operator_sharded_checkpointed_well_two_level(irregular, tmp_path):
     """Distributed WELL + two-level kill/resume on the CPU mesh."""
     import jax

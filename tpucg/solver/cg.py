@@ -293,6 +293,8 @@ def cg_loop(
     replace_every: Optional[int] = None,
     replace_fn: Optional[Callable] = None,
     check_true_every: Optional[int] = None,
+    stag_carry=None,
+    return_stag: bool = False,
 ) -> _State:
     """Generic CG while_loop. ``matvec``/``dot``/``update`` abstract the
     execution model: serial closures here; psum-reducing closures under
@@ -336,6 +338,18 @@ def cg_loop(
     are honest. The checks run UNCONDITIONALLY at segment boundaries
     (collective-safe — see pipelined_cg_loop's deadlock note). Mutually
     exclusive with ``replace_every``.
+
+    ``stag_carry``/``return_stag`` (round 5): the stagnation exit's
+    bookkeeping — (previous boundary true r.r, previous stagnant flag) —
+    lives OUTSIDE ``state``; a segmented driver that calls cg_loop per
+    segment must thread it across calls or the two-consecutive-windows
+    rule never accumulates and a floor-bound solve grinds to maxiter
+    instead of stagnation-stopping (found by the round-5 on-chip smoke:
+    the plain FEM n=30k two_level solve stopped honestly at 112 laps
+    while the checkpointed run burned all 512). Pass ``return_stag=True``
+    to get ``(state, (prev_rr, prev_stag))`` back and feed it to the next
+    segment's ``stag_carry``. Ignored when ``check_true_every`` is None
+    (the carry is returned unchanged).
     """
     if state is None:
         state = init_state(
@@ -426,7 +440,15 @@ def cg_loop(
         return ns
 
     if not check_true_every:
-        return jax.lax.while_loop(cond, body, state)
+        st = jax.lax.while_loop(cond, body, state)
+        if return_stag:
+            return st, (
+                stag_carry
+                if stag_carry is not None
+                else (jnp.asarray(np.inf, state.r.dtype),
+                      jnp.zeros((), jnp.bool_))
+            )
+        return st
 
     R = jnp.int32(check_true_every)
 
@@ -480,11 +502,17 @@ def cg_loop(
             jnp.where(at_b, stag, prev_stag),
         )
 
-    st, _, _ = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (state, jnp.asarray(np.inf, state.r.dtype),
-         jnp.zeros((), jnp.bool_)),
+    if stag_carry is not None:
+        init_rr = jnp.asarray(stag_carry[0], state.r.dtype)
+        init_stag = jnp.asarray(stag_carry[1], jnp.bool_)
+    else:
+        init_rr = jnp.asarray(np.inf, state.r.dtype)
+        init_stag = jnp.zeros((), jnp.bool_)
+    st, prev_rr, prev_stag = jax.lax.while_loop(
+        outer_cond, outer_body, (state, init_rr, init_stag)
     )
+    if return_stag:
+        return st, (prev_rr, prev_stag)
     return st
 
 

@@ -609,7 +609,7 @@ def _init_jit(op, b, x0, minv, tol, blas_backend, two_level=None,
     jax.jit, static_argnames=("tol", "blas_backend", "safe_alpha")
 )
 def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha,
-                 two_level=None, basis=None, b=None):
+                 two_level=None, basis=None, b=None, stag_carry=None):
     update = functools.partial(fused_update, backend=blas_backend)
     # The composed deflation x two-level recurrence replaces residuals
     # (solver.deflation.DEFLATED_REPLACE_EVERY, keyed on the CUMULATIVE
@@ -639,6 +639,10 @@ def _segment_jit(op, state, minv, k_target, tol, blas_backend, safe_alpha,
         check_true_every=(
             TRUE_CHECK_EVERY if two_level is not None else None
         ),
+        # The stagnation bookkeeping must SURVIVE segment boundaries or a
+        # floor-bound solve can never accumulate its two consecutive
+        # stagnant windows and grinds to maxiter (cg_loop docstring).
+        stag_carry=stag_carry, return_stag=True,
     )
 
 
@@ -683,7 +687,19 @@ def cg_solve_checkpointed(
         config, segment_iters, allowed=("none", "jacobi", "block_jacobi")
     )
     backend = resolve_backend(config.kernel)
-    op = as_operator(A, backend=backend)
+    from tpucg.sparse.formats import CSRMatrix
+
+    if isinstance(A, CSRMatrix):
+        # The docstring's promise: a bare CSR rides the WELL promotion
+        # chain (DIA > BSR > WELL), not as_operator's legacy scalar-gather
+        # ELL mapping — the long-lap irregular class this entry point
+        # exists for is unusable on the ELL floor, and the un-128-padded
+        # ELL npad also rejects any correctly built two_level.
+        from tpucg.solver.operators import best_sparse_operator
+
+        op = best_sparse_operator(A, backend=backend)
+    else:
+        op = as_operator(A, backend=backend)
     n, npad = op.n, op.padded_n
     blas_backend = backend if npad % 128 == 0 else "xla"
     maxiter = config.maxiter if config.maxiter is not None else n
@@ -747,11 +763,21 @@ def cg_solve_checkpointed(
                       two_level=two_level, basis=basis)
         )
 
+    # The stagnation carry is held here, NOT in the .npz: a kill/resume
+    # restarts it at (inf, False), which only delays a stagnation stop by
+    # up to two extra check windows — the on-disk trajectory is unchanged.
+    # (Concrete from the start so every segment hits ONE _segment_jit
+    # compile — checkpointed state is f32-only, validated above.)
+    stag = [(jnp.asarray(np.inf, jnp.float32), jnp.zeros((), jnp.bool_))]
+
     def segment_fn(st, kt):
-        return _segment_jit(
+        st2, carry = _segment_jit(
             op, st, minv, kt, tol, blas_backend, bool(config.safe_alpha),
             two_level=two_level, basis=basis, b=bj,
+            stag_carry=stag[0],
         )
+        stag[0] = jax.block_until_ready(carry)
+        return st2
 
     return _drive_segments(
         state, segment_fn,
