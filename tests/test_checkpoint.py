@@ -536,6 +536,36 @@ def test_checkpointed_bare_csr_promotes_to_well(irregular, tmp_path):
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
 
 
+def test_operator_sharded_checkpointed_stagnation_stop(irregular):
+    """The sharded analog of test_checkpointed_stagnation_stop_matches_
+    plain: the operator-sharded segmented driver threads the stagnation
+    carry across segments, so a floor-bound two_level solve stops at the
+    same lap as the unsegmented sharded solve."""
+    import jax
+
+    from tpucg.solver.checkpoint import sharded_operator_cg_solve_checkpointed
+    from tpucg.solver.sharded import sharded_operator_cg_solve
+
+    A, b = irregular
+    num = len(jax.devices())
+    n = A.shape[0]
+    npad_sh = -(-n // (128 * num)) * (128 * num)
+    tl = tpucg.build_two_level(A, agg_size=64, npad=npad_sh)
+    tol = 1e-7 * float(np.linalg.norm(b))  # below the f32 floor
+    cap = 4 * n
+    plain = sharded_operator_cg_solve(A, b, tol=tol, two_level=tl,
+                                      maxiter=cap)
+    k_plain = int(plain.iterations)
+    assert not bool(plain.converged) and k_plain < cap, (
+        "fixture must stagnation-stop for this test to mean anything"
+    )
+    seg = sharded_operator_cg_solve_checkpointed(
+        A, b, tol=tol, segment_iters=24, two_level=tl, maxiter=cap,
+    )
+    assert not bool(seg.converged)
+    assert int(seg.iterations) == k_plain
+
+
 def test_operator_sharded_checkpointed_well_two_level(irregular, tmp_path):
     """Distributed WELL + two-level kill/resume on the CPU mesh."""
     import jax

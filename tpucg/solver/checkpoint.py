@@ -1087,8 +1087,12 @@ def sharded_operator_cg_solve_checkpointed(
             tol=tol, precondition=precondition, **tl_static, **static,
         ))
 
+    # Stagnation carry across segments (same rationale and restart
+    # semantics as the serial driver's cell — see cg_solve_checkpointed).
+    stag = [(jnp.asarray(np.inf, jnp.float32), jnp.zeros((), jnp.bool_))]
+
     def segment_fn(st, kt):
-        return _sharded_operator_segment_jit(
+        out = _sharded_operator_segment_jit(
             op_arrays,
             (st.k, st.x, st.r, st.p, st.rsold, st.rslast, st.done),
             kt,
@@ -1098,9 +1102,12 @@ def sharded_operator_cg_solve_checkpointed(
             tol=tol,
             safe_alpha=bool(config.safe_alpha),
             precondition=precondition,
+            stag_carry=stag[0],
             **tl_static,
             **static,
         )
+        stag[0] = jax.block_until_ready(out[7:9])
+        return out[:7]
 
     return _drive_segments(
         state, segment_fn,

@@ -800,13 +800,21 @@ def _sharded_operator_segment_jit(
     op_arrays, state, k_target, minv, acinv, b=None, *, mesh, tol,
     safe_alpha, axis, kind, m, m_padded, offsets, backend,
     precondition="none", tl_agg=0, tl_omega=0.7, tl_sd=1, tl_sa=4.0,
+    stag_carry=None,
 ):
     num = mesh.devices.size
     if b is None:
         b = jnp.zeros_like(state[1])
+    if stag_carry is None:
+        # Replicated stagnation bookkeeping (cg_loop's stag_carry): must
+        # thread ACROSS segment calls or a floor-bound two_level solve
+        # grinds to maxiter instead of stagnation-stopping (same bug the
+        # serial segment driver had — see solver.checkpoint).
+        stag_carry = (jnp.asarray(np.inf, jnp.float32),
+                      jnp.zeros((), jnp.bool_))
 
     def seg(op_blk, k, x_blk, r_blk, p_blk, rsold, rslast, done, kt,
-            minv_blk, acinv_rep, b_blk):
+            minv_blk, acinv_rep, b_blk, stag_rr, stag_flag):
         from tpucg.solver.cg import _State
 
         mv = _operator_matvec(
@@ -819,26 +827,27 @@ def _sharded_operator_segment_jit(
         )
         st = _State(k=k, x=x_blk, r=r_blk, p=p_blk, rsold=rsold,
                     rslast=rslast, done=done)
-        s = cg_loop(
+        s, (rr_c, st_c) = cg_loop(
             mv, dot, update, b_blk, None,
             tol=tol, maxiter=kt, safe_alpha=safe_alpha, state=st,
             precond=precond,
             check_true_every=(
                 _TRUE_CHECK if precondition == "two_level" else None
             ),
+            stag_carry=(stag_rr, stag_flag), return_stag=True,
         )
-        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done
+        return s.k, s.x, s.r, s.p, s.rsold, s.rslast, s.done, rr_c, st_c
 
     return jax.shard_map(
         seg,
         mesh=mesh,
         in_specs=(
             (_operator_specs(kind, axis),) + _state_specs(axis)
-            + (P(), P(axis), P(None, None), P(axis))
+            + (P(), P(axis), P(None, None), P(axis), P(), P())
         ),
-        out_specs=_state_specs(axis),
+        out_specs=_state_specs(axis) + (P(), P()),
         check_vma=not _operator_uses_pallas(kind, m, m_padded, mesh, backend),
-    )(op_arrays, *state, k_target, minv, acinv, b)
+    )(op_arrays, *state, k_target, minv, acinv, b, *stag_carry)
 
 
 @functools.partial(
